@@ -1,0 +1,92 @@
+"""Config model — the reference's PHP config array as typed dataclasses.
+
+Mirrors `/root/reference/test.config.php` structure (`env` + `tails`,
+SURVEY.md §2 A11/A15): per-tail source path, optional pattern override
+(`pattern=False` ⇒ raw passthrough, readme.md:81), optional callback,
+enrichment constants, and per-tail sink overrides falling back to the
+engine-level sink (`Worker.php:184-187`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from typing import Any, Optional, Union
+
+import pandas as pd
+
+from log2ck_spark.parse import MONOLOG_GROUPS, MONOLOG_PATTERN
+
+# A callback is either a column-level transform (fast path — stays on
+# the JVM) or a pandas batch transform with a declared output schema
+# (Arrow path; the analog of the reference's arbitrary per-row closure,
+# `Worker.php:142-144` / readme.md:82-85 — but batched, never per-row).
+ColumnCallback = Callable[["DataFrame"], "DataFrame"]  # noqa: F821
+PandasCallback = Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]
+
+
+@dataclass
+class SinkConfig:
+    """Where parsed rows land. Parquet is the self-contained default;
+    `kind="clickhouse"` routes through sink.clickhouse_writer (gated on
+    the optional client lib being importable)."""
+
+    path: str = ""
+    kind: str = "parquet"  # parquet | delta | clickhouse | memory
+    partition_col: str = "log_date"
+    sort_cols: tuple[str, ...] = ("created_at",)  # readme.md:122 ORDER BY
+    ttl_days: Optional[int] = 10  # readme.md:123 TTL
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class TailSpec:
+    """One tailed source (reference: one entry in config['tails'],
+    `test.config.php:33-49`)."""
+
+    name: str
+    path: str  # file/glob; {date} macro supported (Manager.php:82-85)
+    repo: str = "default"
+    host: str = "localhost"
+    # None ⇒ monolog default; False ⇒ raw passthrough (A6, readme.md:81)
+    pattern: Union[str, None, bool] = None
+    groups: tuple[str, ...] = MONOLOG_GROUPS
+    callback: Optional[ColumnCallback] = None
+    pandas_callback: Optional[PandasCallback] = None
+    pandas_callback_schema: Optional[str] = None  # DDL string, required with ^
+    sink: Optional[SinkConfig] = None  # per-tail override (A11)
+
+
+@dataclass
+class EngineConfig:
+    """Top-level config (reference: the `env` array, A15)."""
+
+    tails: list[TailSpec] = field(default_factory=list)
+    sink: SinkConfig = field(default_factory=SinkConfig)
+    checkpoint_root: str = ""  # Structured Streaming checkpoint (A2)
+    trigger_seconds: int = 10  # max_sent_wait analog (A9, readme.md:65)
+    max_files_per_trigger: int = 100  # max_sent_count analog (A9)
+
+    def validate(self) -> "EngineConfig":
+        # reference asserts dsn + tails presence (ToolsTraits.php:17-27)
+        if not self.tails:
+            raise ValueError("config must declare at least one tail")
+        for t in self.tails:
+            if not t.name or not t.path:
+                raise ValueError(f"tail needs name+path: {t}")
+            if t.pandas_callback and not t.pandas_callback_schema:
+                raise ValueError(
+                    f"tail {t.name}: pandas_callback requires an explicit "
+                    "output schema (Python UDFs must declare types)"
+                )
+            if t.pattern is None and t.groups != MONOLOG_GROUPS:
+                raise ValueError(f"tail {t.name}: custom groups need a pattern")
+        return self
+
+    def sink_for(self, tail: TailSpec) -> SinkConfig:
+        """Per-tail sink override with engine-level fallback (A11,
+        `Worker.php:184-187`)."""
+        return tail.sink or self.sink
+
+
+DEFAULT_PATTERN = MONOLOG_PATTERN

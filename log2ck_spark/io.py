@@ -1,0 +1,43 @@
+"""Table loading + scratch-dir helpers shared by the query library."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRATCH_ROOT = os.path.join(_REPO_ROOT, ".scratch")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Forces UTC session time so timestamps read
+    from (naive) parquet agree with the DuckDB oracle regardless of the
+    caller's session defaults.
+
+    events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as raw nanos
+    (`nanosAsLong`) and convert to a microsecond timestamp with exact
+    integer division (`DIV` — a double division would lose precision
+    above 2^53), matching DuckDB's nanos→micros truncation."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def scratch_dir(*keys: str) -> str:
+    """A writable scratch path inside the repo (we must not write
+    outside /root/repo). Keyed so different sf_dirs don't collide."""
+    digest = hashlib.md5("|".join(keys).encode()).hexdigest()[:12]
+    path = os.path.join(SCRATCH_ROOT, f"{os.path.basename(keys[0].rstrip('/'))}-{digest}")
+    os.makedirs(SCRATCH_ROOT, exist_ok=True)
+    return path

@@ -1,0 +1,92 @@
+"""Monolog line parsing — the reference's per-line hot loop, declarative.
+
+Reference semantics reproduced (SURVEY.md §2 Part A):
+* A4 regex extract: the reference matches each line against a monolog
+  pattern with named capture groups and keeps only the named captures
+  (`/root/reference/src/Worker.php:25,:134-137`). Here: one
+  `regexp_extract` per group — JVM-side, whole-stage-codegen'd.
+* A5 invalid-line filter + dead-letter: non-matching lines are dropped
+  and logged (`Worker.php:154-156`); we split them into a dead-letter
+  DataFrame instead.
+* A8 literal enrichment: `repo`/`name`/`host` stamped on every row
+  **after** the callback, overwriting it (`Worker.php:146-148`).
+
+Java named groups reject underscores, so the pattern uses positional
+groups paired with ``MONOLOG_GROUPS`` (same order as the reference's
+named captures).
+
+Scale: pure column expressions — no Python in the hot path; a 100 TB
+re-parse is a single codegen'd scan stage with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Monolog default line grammar: "[%datetime%] %channel%.%level_name%:
+# %message% %context% %extra%" (reference DEFAULT_PATTERN,
+# /root/reference/src/Worker.php:25; one event per line, readme.md:19-21).
+MONOLOG_PATTERN = r"^\[([^\]]*)\] (\w+)\.(\w+): (.*[^ ]) ([^ ]+) ([^ ]+)$"
+MONOLOG_GROUPS = ("created_at", "logger", "level", "message", "context", "extra")
+MONOLOG_TS_FORMAT = "yyyy-MM-dd HH:mm:ss"
+
+
+def parse_lines(
+    df: DataFrame,
+    line_col: str = "value",
+    pattern: str = MONOLOG_PATTERN,
+    groups: tuple[str, ...] = MONOLOG_GROUPS,
+    ts_group: str | None = "created_at",
+    ts_format: str = MONOLOG_TS_FORMAT,
+) -> DataFrame:
+    """Extract one column per capture group; adds boolean ``_valid``.
+
+    ``ts_group`` (if set) is additionally typed to a timestamp — the
+    reference leaves typing to ClickHouse's implicit coercion
+    (SURVEY.md §1.2); Spark needs the explicit `to_timestamp`.
+    """
+    line = F.col(line_col)
+    cols: list[Column] = [line.alias("_raw")]
+    for i, g in enumerate(groups, start=1):
+        cols.append(F.regexp_extract(line, pattern, i).alias(g))
+    out = df.select(*cols).withColumn("_valid", F.col("_raw").rlike(pattern))
+    if ts_group:
+        out = out.withColumn(
+            ts_group,
+            F.when(F.col("_valid"), F.to_timestamp(F.col(ts_group), ts_format)),
+        )
+        # a line that matched the regex but carries an unparseable
+        # datetime is invalid too (null created_at ⇒ dead-letter)
+        out = out.withColumn(
+            "_valid", F.col("_valid") & F.col(ts_group).isNotNull()
+        )
+    return out
+
+
+def split_valid(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid_rows, dead_letter) — reference drops+logs invalid lines
+    (`Worker.php:154-156`); we keep them addressable as a side output."""
+    valid = parsed.filter(F.col("_valid")).drop("_valid", "_raw")
+    dead = parsed.filter(~F.col("_valid")).select(F.col("_raw").alias("raw_line"))
+    return valid, dead
+
+
+def enrich(
+    df: DataFrame, repo: str, name: str, host: str = "localhost"
+) -> DataFrame:
+    """A8: stamp repo/name/host constants, overwriting any same-named
+    columns the callback produced (reference order, `Worker.php:146-148`)."""
+    return (
+        df.drop("repo", "name", "host")
+        .withColumn("repo", F.lit(repo))
+        .withColumn("name", F.lit(name))
+        .withColumn("host", F.lit(host))
+    )
+
+
+def with_log_date(df: DataFrame, ts_col: str = "created_at") -> DataFrame:
+    """Partition column for the sink layout (B1): toDate(created_at),
+    mirroring the reference DDL's `PARTITION BY toDate(created_at)`
+    (`readme.md:121`)."""
+    return df.withColumn("log_date", F.to_date(F.col(ts_col)))

@@ -1,0 +1,303 @@
+"""Deduplication operators (SURVEY.md §2 Part C1/C2) over `documents`.
+
+Five variants, cheapest-to-richest:
+* exact text dedup (hash groupBy),
+* canonical fingerprint dedup (sorted-token md5),
+* exact n-gram Jaccard similarity join via an inverted shingle index
+  (the oracle-checkable ground truth),
+* MinHash + LSH banding (the 100 TB path: candidates via band buckets,
+  exact Jaccard verification only on candidates),
+* SimHash near-dup (Hamming ≤ k via chunk banding),
+* embedding-cosine near-dup.
+
+Scale design: nothing here is O(n²) except the verification of LSH
+*candidates* (expected ~#true-pairs). The inverted-index joins shuffle
+on (shingle/band/chunk) keys; stop-shingle skew is handled by dropping
+ubiquitous shingles (df > threshold) — the classic stop-word cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2ck_spark.functions.text import (
+    fingerprint,
+    hamming64,
+    lsh_bands,
+    minhash_signature,
+    shingles,
+    simhash_bit_votes,
+    simhash_from_votes,
+    tokens,
+)
+from log2ck_spark.functions.vectors import as_double, cosine
+from log2ck_spark.io import tbl
+from log2ck_spark.queries import register
+
+JACCARD_THRESHOLD = 0.7  # fixture near-dups cluster at >=0.9; noise <0.3
+
+_ORACLE_SHINGLE_PAIRS = """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS s
+      FROM tok
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "documents").select(
+        "doc_id", shingles("text", w=3).alias("sh")
+    )
+
+
+def _exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
+    """Inverted-index exact Jaccard join: explode shingles → self-join
+    on shingle → count common shingles per pair → filter. The join key
+    is the shingle, so only docs sharing a shingle ever meet — no
+    cross join. Input col: doc_id, sh (array<string>)."""
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    posting = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# C1 exact dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash groupBy on the full text, keeping the lowest
+    doc_id (deterministic canonical survivor — dropDuplicates picks an
+    arbitrary row, which can't be oracle-checked). Partial aggregation
+    dedups map-side before the shuffle."""
+    return (
+        tbl(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "text", "n_copies")
+    )
+
+
+@register(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fp,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-fingerprint dedup: md5 of the sorted distinct token set.
+    Collapses docs that differ only in word order/repetition. At scale:
+    group on a 16-byte key instead of the full text — far smaller
+    shuffle than dedup_exact."""
+    return (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_docs"))
+        .select("fp", "doc_id", "n_docs")
+    )
+
+
+# --------------------------------------------------------------------------
+# C2 near-dup: exact n-gram Jaccard (oracle ground truth)
+# --------------------------------------------------------------------------
+
+
+@register("dedup_ngram_jaccard", oracle=_ORACLE_SHINGLE_PAIRS)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard pairs >= 0.7 via inverted-index join —
+    the ground truth the probabilistic variants are judged against."""
+    return _exact_jaccard_pairs(_shingled(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# C2 near-dup: MinHash + LSH banding (the scale path)
+# --------------------------------------------------------------------------
+
+
+@register("dedup_minhash_lsh", oracle=_ORACLE_SHINGLE_PAIRS)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + 32 bands x 4 rows, then exact-Jaccard
+    verification of candidates only.
+
+    P(candidate | j) = 1-(1-j^4)^32: j=0.9 → miss prob ~1e-15, j=0.3 →
+    ~0.23 false-candidate prob, all killed by verification. The only
+    shuffles are the band-bucket self-join (keys are 64-bit hashes —
+    uniform, no skew) and the candidate verification join; signature
+    computation is shuffle-free codegen. This is the shape that
+    survives 10^10 documents; its oracle is the exact-Jaccard SQL, so
+    the driver check also proves the LSH recall on this corpus."""
+    docs = _shingled(spark, sf_dir).filter(F.size("sh") > 0)
+    sig = docs.select(
+        "doc_id", "sh", minhash_signature(F.col("sh"), num_perm=128).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(lsh_bands(F.col("sig"), bands=32, rows_per_band=4)).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            inter.cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - inter),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# C2 near-dup: SimHash (rows-only — hash-internal, not SQL-expressible)
+# --------------------------------------------------------------------------
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash; pairs within Hamming distance 3 found via the
+    4-chunk pigeonhole scheme (hamming<=3 ⇒ at least one identical
+    16-bit chunk ⇒ join only on chunk matches — no cross join).
+
+    Signature build: explode tokens → xxhash64 once per token → one
+    hash-aggregate computing all 64 bit-votes per doc in a single pass
+    (vectorized partial agg; the shuffle carries 64 ints per doc)."""
+    tok = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("t"))
+        .select("doc_id", F.xxhash64("t").alias("h"))
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[F.sum(v).alias(f"v{b}") for b, v in enumerate(simhash_bit_votes(F.col("h")))]
+    )
+    docs = votes.select(
+        "doc_id",
+        simhash_from_votes([F.col(f"v{b}") for b in range(64)]).alias("sim"),
+    )
+    chunks = docs.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sim"), c * 16)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "sim", "ck.chunk", "ck.key")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# C2 near-dup: embedding cosine
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.5). Exact variant here
+    is a block-nested-loop; the LSH-bucketed scale path is
+    similarity.similarity_lsh. Kept exact so DuckDB can oracle it."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.5)
+    )

@@ -1,0 +1,262 @@
+"""Part A ingestion operators as oracle-checked batch queries.
+
+Strategy: deterministically render the `events` table into monolog
+lines ("[ts] user_<id>.<LEVEL>: event <id> <json> []", the reference's
+DEFAULT_PATTERN grammar, `/root/reference/src/Worker.php:25`), inject
+invalid lines (event_id % 13 == 0), then run the REAL parse pipeline
+(log2ck_spark.parse / pipeline) over them. The DuckDB oracle derives
+the expected output directly from the events columns — an independent
+derivation, so regex extraction, validity split, enrichment, callback
+and sink layout are all cross-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2ck_spark.config import EngineConfig, SinkConfig, TailSpec
+from log2ck_spark.io import scratch_dir, tbl
+from log2ck_spark.parse import enrich, parse_lines, split_valid, with_log_date
+from log2ck_spark.pipeline import transform_chain
+from log2ck_spark.queries import register
+from log2ck_spark.sink import write_batch
+
+INVALID_MOD = 13  # event_id % 13 == 0 → rendered as a garbage line
+
+# Oracle-side derivation of the parsed columns, from events directly.
+_ORACLE_PARSED = """
+    SELECT DATE_TRUNC('second', ts) AS created_at,
+           'user_' || user_id AS logger,
+           UPPER(event_type) AS level,
+           'event ' || event_id AS message,
+           REPLACE(props, ' ', '') AS context,
+           '[]' AS extra
+    FROM events
+    WHERE event_id % 13 <> 0
+"""
+
+
+def monolog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → one monolog-format line per event; event_id%13==0 rows
+    become non-matching garbage (exercises A5 dead-letter)."""
+    ev = tbl(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("["),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit("] user_"),
+        F.col("user_id"),
+        F.lit("."),
+        F.upper("event_type"),
+        F.lit(": event "),
+        F.col("event_id"),
+        F.lit(" "),
+        F.regexp_replace("props", " ", ""),
+        F.lit(" []"),
+    )
+    garbage = F.concat(F.lit("!! not a log line "), F.col("event_id"))
+    return ev.select(
+        F.when(F.col("event_id") % INVALID_MOD == 0, garbage)
+        .otherwise(line)
+        .alias("value")
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 ingest_text_lines — text source round-trip through a real file
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ingest_text_lines",
+    oracle="SELECT COUNT(*) AS n_lines, COUNT(DISTINCT event_id) AS n_distinct FROM events",
+)
+def ingest_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 batch analog: write the corpus as real text files, read them
+    back with spark.read.text (the same source the streaming path
+    tails), count. Streaming variant covered in tests/test_streaming."""
+    path = scratch_dir(sf_dir, "monolog_corpus")
+    monolog_lines(spark, sf_dir).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("value").alias("n_distinct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 parse_monolog — regex extraction of every named group
+# --------------------------------------------------------------------------
+
+
+@register("parse_monolog", oracle=_ORACLE_PARSED)
+def parse_monolog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = monolog_lines(spark, sf_dir)
+    valid, _dead = split_valid(parse_lines(lines))
+    return valid.select(
+        "created_at", "logger", "level", "message", "context", "extra"
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 filter_valid — validity split + dead-letter counts
+# --------------------------------------------------------------------------
+
+
+@register(
+    "filter_valid",
+    oracle="""
+    SELECT COUNT(*) FILTER (WHERE event_id % 13 <> 0) AS n_valid,
+           COUNT(*) FILTER (WHERE event_id % 13 = 0) AS n_dead
+    FROM events
+    """,
+)
+def filter_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = parse_lines(monolog_lines(spark, sf_dir))
+    valid, dead = split_valid(parsed)
+    return valid.agg(F.count("*").alias("n_valid")).crossJoin(
+        dead.agg(F.count("*").alias("n_dead"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A8 enrich_constants — repo/name/host stamping
+# --------------------------------------------------------------------------
+
+
+@register(
+    "enrich_constants",
+    oracle="""
+    SELECT UPPER(event_type) AS level,
+           'demo-repo' AS repo, 'events-tail' AS name, 'host-1' AS host,
+           COUNT(*) AS n
+    FROM events WHERE event_id % 13 <> 0
+    GROUP BY 1
+    """,
+)
+def enrich_constants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    valid, _ = split_valid(parse_lines(monolog_lines(spark, sf_dir)))
+    enriched = enrich(valid, repo="demo-repo", name="events-tail", host="host-1")
+    return enriched.groupBy("level", "repo", "name", "host").agg(
+        F.count("*").alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 callback_transform — user transform as an Arrow-batched pandas fn
+# --------------------------------------------------------------------------
+
+_CALLBACK_SCHEMA = (
+    "created_at timestamp, level_lower string, k int, msg_len int"
+)
+
+
+def _callback(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The reference's per-row callback (`Worker.php:142-144`) — here an
+    Arrow-batched transform (never row-at-a-time Python)."""
+    for pdf in batches:
+        ks = []
+        for ctx in pdf["context"]:
+            try:
+                ks.append(int(json.loads(ctx).get("k")))
+            except (ValueError, TypeError):
+                ks.append(None)
+        yield pd.DataFrame(
+            {
+                "created_at": pdf["created_at"],
+                "level_lower": pdf["level"].str.lower(),
+                "k": pd.array(ks, dtype="Int32"),
+                "msg_len": pdf["message"].str.len().astype("int32"),
+            }
+        )
+
+
+@register(
+    "callback_transform",
+    oracle="""
+    SELECT DATE_TRUNC('second', ts) AS created_at,
+           event_type AS level_lower,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(LENGTH('event ' || event_id) AS INTEGER) AS msg_len
+    FROM events WHERE event_id % 13 <> 0
+    """,
+)
+def callback_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tail = TailSpec(
+        name="events-tail",
+        path="unused",
+        repo="demo-repo",
+        host="host-1",
+        pandas_callback=_callback,
+        pandas_callback_schema=_CALLBACK_SCHEMA,
+    )
+    rows, _dead = transform_chain(monolog_lines(spark, sf_dir), tail)
+    return rows.select("created_at", "level_lower", "k", "msg_len")
+
+
+# --------------------------------------------------------------------------
+# A6 raw passthrough — pattern=False hands raw lines to the callback
+# --------------------------------------------------------------------------
+
+
+@register(
+    "raw_passthrough",
+    oracle="""
+    SELECT CAST(LENGTH(CASE WHEN event_id % 13 = 0
+                  THEN '!! not a log line ' || event_id
+                  ELSE '[' || strftime(ts, '%Y-%m-%d %H:%M:%S') || '] user_' || user_id
+                       || '.' || UPPER(event_type) || ': event ' || event_id || ' '
+                       || REPLACE(props, ' ', '') || ' []' END) AS INTEGER) AS line_len,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: pattern=False skips the regex (`Worker.php:138-140`,
+    readme.md:81); the callback sees the raw line."""
+    tail = TailSpec(
+        name="raw-tail",
+        path="unused",
+        pattern=False,
+        callback=lambda df: df.select(
+            F.length("raw").cast("int").alias("line_len")
+        ),
+    )
+    rows, _ = transform_chain(monolog_lines(spark, sf_dir), tail)
+    return rows.groupBy("line_len").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# A10/B1/B2 sink_table — partitioned+sorted sink, read back and verified
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sink_table",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS log_date,
+           UPPER(event_type) AS level,
+           COUNT(*) AS n
+    FROM events WHERE event_id % 13 <> 0
+    GROUP BY 1, 2
+    """,
+)
+def sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference dataflow: parse → filter → enrich → write the
+    date-partitioned sorted sink (the MergeTree-layout analog) → read
+    it back and aggregate. What lands on disk is what's counted."""
+    valid, _ = split_valid(parse_lines(monolog_lines(spark, sf_dir)))
+    table = with_log_date(
+        enrich(valid, repo="demo-repo", name="events-tail", host="host-1")
+    )
+    sink = SinkConfig(path=scratch_dir(sf_dir, "sink_table"))
+    write_batch(table, sink)
+    back = spark.read.parquet(sink.path)
+    return back.groupBy(
+        F.date_format("log_date", "yyyy-MM-dd").alias("log_date"), F.col("level")
+    ).agg(F.count("*").alias("n"))

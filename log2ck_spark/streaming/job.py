@@ -1,0 +1,75 @@
+"""Structured Streaming jobs — the reference's Manager/Worker runtime
+(SURVEY.md §2 A1-A3, A9-A13) mapped onto engine primitives:
+
+* offset checkpointing (A2, `Worker.php:62,162-177`) → checkpointLocation
+* supervision/restart (A13, `Manager.php:29-47`) → restart-from-checkpoint
+* dual-trigger micro-batching (A9, `Worker.php:119-129`) →
+  trigger(processingTime) + maxFilesPerTrigger rate cap
+* graceful shutdown (A12) → query.stop() after commit-log flush
+* at-least-once insert-then-commit (A10, `Worker.php:123-124`) →
+  exactly-once via offset/commit logs + idempotent batch files
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from log2ck_spark.config import EngineConfig, TailSpec
+from log2ck_spark.functions.numeric import dsum
+from log2ck_spark.pipeline import stream_pipeline
+from log2ck_spark.sink import foreach_batch_writer
+
+
+def run_ingest_stream(
+    spark: SparkSession, config: EngineConfig, tail: TailSpec
+) -> StreamingQuery:
+    """One streaming query per tail (the reference's one-process-per-
+    tail, `Manager.php:95-108`, without the processes). Dead-letter rows
+    are appended next to the sink (A5 side output)."""
+    rows, _dead = stream_pipeline(spark, config, tail)
+    sink = config.sink_for(tail)
+    checkpoint = os.path.join(config.checkpoint_root, tail.name)
+    writer = foreach_batch_writer(sink)
+    return (
+        rows.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{config.trigger_seconds} seconds")
+        .start()
+    )
+
+
+def windowed_stream(
+    lines_or_events: DataFrame,
+    width: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time tumbling agg with watermark for late data (C5) — the
+    streaming twin of queries.streamq.tumbling_agg. Watermark bounds
+    state: windows older than max(event time) - watermark are finalized
+    and evicted."""
+    win = F.window(F.col("ts"), width)
+    return (
+        lines_or_events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful stream dedup (C6): dropDuplicatesWithinWatermark keeps
+    per-key state only within the watermark horizon — bounded state at
+    unbounded input."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -1,0 +1,58 @@
+"""Drive the public contract exactly as the round driver does:
+import __spark_entry__ from a fresh process, smoke entry() at sf0.001,
+then run every queries()[name] at sf0.01 and compare against
+oracle_sql()[name] via DuckDB (row count + columns + order-insensitive
+values). Usage: python scripts/driver_replica.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as contract  # noqa: E402
+from log2ck_spark.session import get_spark  # noqa: E402
+from tests.oracle_harness import compare, run_oracle  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("driver-replica")
+
+    t0 = time.time()
+    smoke = contract.entry(spark)
+    rows = smoke.collect()
+    print(f"entry(): {len(rows)} rows, schema={[f.name for f in smoke.schema]} "
+          f"({time.time()-t0:.1f}s)")
+    assert len(rows) >= 0
+
+    queries = contract.queries()
+    oracles = contract.oracle_sql()
+    print(f"{len(queries)} queries, {len(oracles)} with oracles")
+    n_fail = 0
+    for name in sorted(queries):
+        t0 = time.time()
+        try:
+            df = queries[name](spark, sf_dir)
+            if name in oracles:
+                problems = compare(df, run_oracle(oracles[name], sf_dir))
+                status = "OK " if not problems else "FAIL"
+                detail = "; ".join(problems)
+            else:
+                n = df.count()
+                status, detail = "OK*", f"rows-only n={n}"
+        except Exception as e:  # noqa: BLE001
+            status, detail = "ERR", f"{type(e).__name__}: {e}"
+        dt = time.time() - t0
+        if status not in ("OK ", "OK*"):
+            n_fail += 1
+        print(f"  [{status}] {name:28s} {dt:6.1f}s  {detail[:200]}")
+    print("RESULT:", "PASS" if n_fail == 0 else f"FAIL ({n_fail})")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

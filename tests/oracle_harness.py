@@ -1,0 +1,61 @@
+"""Local replica of the driver's DuckDB-oracle comparison: run a
+registered query on Spark and its oracle on DuckDB over the same
+parquet, compare row count + column names + order-insensitive values
+(columns sorted by name, rows sorted by all columns)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+
+from log2ck_spark.io import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con.execute(sql).fetch_df()
+
+
+def canonical(df_pandas):
+    """Sort columns by name, normalize values for comparison."""
+    pdf = df_pandas.copy()
+    pdf = pdf[sorted(pdf.columns)]
+
+    def norm(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "∅"
+            return repr(v)
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(norm(x) for x in v) + "]"
+        return str(v)
+
+    rows = sorted(tuple(norm(v) for v in row) for row in pdf.itertuples(index=False))
+    return list(pdf.columns), rows
+
+
+def compare(spark_df, oracle_pdf) -> list[str]:
+    """Returns list of mismatch descriptions (empty = pass)."""
+    problems = []
+    spark_pdf = spark_df.toPandas()
+    s_cols, s_rows = canonical(spark_pdf)
+    o_cols, o_rows = canonical(oracle_pdf)
+    if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:
+        problems.append(f"columns differ: spark={s_cols} oracle={o_cols}")
+        return problems
+    if len(s_rows) != len(o_rows):
+        problems.append(f"row count differ: spark={len(s_rows)} oracle={len(o_rows)}")
+    for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
+        if sr != orow:
+            problems.append(f"first diff at sorted row {i}: spark={sr} oracle={orow}")
+            break
+    return problems
