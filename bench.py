@@ -1,0 +1,84 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+collect cost). One tiny warmup action first so JVM/codegen startup
+isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from log2ck_spark.queries import QUERIES, load_all  # noqa: E402
+from log2ck_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # relational surface
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "agg_group_count",
+    "agg_time_bucket",
+    "topk_order_limit",
+    "json_extract",
+    "join_dim",
+    "window_rank",
+    "window_running",
+    "filter_predicate",
+    # ingestion dataflow
+    "parse_monolog",
+    "sink_table",
+    # LLM-pipeline extensions
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk",
+    "similarity_lsh",
+    "text_token_count",
+    "text_quality_score",
+    "multimodal_meta",
+    "stream_tumbling_agg",
+    "stream_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    load_all()
+    spark = get_spark("log2ck-bench")
+
+    # warmup: initialize JVM codegen/shuffle machinery off the clock
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

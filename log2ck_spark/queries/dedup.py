@@ -24,8 +24,8 @@ from pyspark.sql import functions as F
 from log2ck_spark.functions.text import (
     fingerprint,
     hamming64,
-    lsh_bands,
-    minhash_signature,
+    lsh_band_structs,
+    minhash_min_aggs,
     shingles,
     simhash_bit_votes,
     simhash_from_votes,
@@ -170,12 +170,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives 10^10 documents; its oracle is the exact-Jaccard SQL, so
     the driver check also proves the LSH recall on this corpus."""
     docs = _shingled(spark, sf_dir).filter(F.size("sh") > 0)
-    sig = docs.select(
-        "doc_id", "sh", minhash_signature(F.col("sh"), num_perm=128).alias("sig")
-    )
+    posting = docs.select("doc_id", F.explode("sh").alias("s"))
+    sig = posting.groupBy("doc_id").agg(*minhash_min_aggs("s", num_perm=128))
     banded = sig.select(
         "doc_id",
-        F.explode(lsh_bands(F.col("sig"), bands=32, rows_per_band=4)).alias("bb"),
+        F.explode(F.array(*lsh_band_structs(num_perm=128, bands=32))).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
