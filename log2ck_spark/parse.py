@@ -51,10 +51,15 @@ def parse_lines(
     for i, g in enumerate(groups, start=1):
         cols.append(F.regexp_extract(line, pattern, i).alias(g))
     out = df.select(*cols).withColumn("_valid", F.col("_raw").rlike(pattern))
-    if ts_group:
+    if ts_group and ts_group in groups:
+        # try_to_timestamp: unparseable datetimes yield NULL (→ dead
+        # letter) instead of failing the job under ANSI mode (Spark 4
+        # default) — the reference's drop-and-log semantics, not abort
         out = out.withColumn(
             ts_group,
-            F.when(F.col("_valid"), F.to_timestamp(F.col(ts_group), ts_format)),
+            F.when(
+                F.col("_valid"), F.try_to_timestamp(F.col(ts_group), F.lit(ts_format))
+            ),
         )
         # a line that matched the regex but carries an unparseable
         # datetime is invalid too (null created_at ⇒ dead-letter)

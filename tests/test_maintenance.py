@@ -1,0 +1,86 @@
+"""TTL retention (B3) + approx-distinct error bound + multimodal stub."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from log2ck_spark.maintenance import expired_partitions, ttl_expire_partitions
+
+
+def test_ttl_drops_only_expired_partitions(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-05", 2), ("2024-01-20", 3)],
+        "log_date string, v int",
+    )
+    path = str(tmp_path / "table")
+    df.write.partitionBy("log_date").parquet(path)
+
+    today = date(2024, 1, 21)
+    assert len(expired_partitions(path, ttl_days=10, today=today)) == 2
+    dropped = ttl_expire_partitions(path, ttl_days=10, today=today)
+    assert len(dropped) == 2
+    left = spark.read.parquet(path)
+    assert [str(r["log_date"]) for r in left.select("log_date").collect()] == [
+        "2024-01-20"
+    ]
+    # idempotent
+    assert ttl_expire_partitions(path, ttl_days=10, today=today) == []
+
+
+def test_ttl_missing_table_is_noop(tmp_path):
+    assert ttl_expire_partitions(str(tmp_path / "nope"), 10) == []
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """HLL++ estimate within 5% of exact (rsd=0.02 configured)."""
+    from log2ck_spark.queries import QUERIES, load_all
+    from log2ck_spark.io import tbl
+
+    load_all()
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in tbl(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n < 0.05, (et, approx[et], n)
+
+
+def test_multimodal_decode_stub_raises(spark, sf_dir):
+    """The real-codec path must fail loudly, not fake silently."""
+    from log2ck_spark.queries.multimodal import binary_docs, decode_image
+
+    df = binary_docs(spark, sf_dir).limit(1)
+    pdf_iter = iter([df.toPandas()])
+    with pytest.raises(NotImplementedError):
+        list(decode_image(pdf_iter, fake=False))
+
+
+def test_similarity_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH ANN recall@5 vs brute force — sanity bound, seed-stable."""
+    from log2ck_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = QUERIES["similarity_topk"](spark, sf_dir).collect()
+    approx = QUERIES["similarity_lsh"](spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = tot = 0
+    for r in approx:
+        tot += 1
+        if r["neighbor_id"] in exact_sets.get(r["query_id"], set()):
+            hit += 1
+    # random-hyperplane LSH on near-orthogonal random vectors is a weak
+    # filter; just require it returns non-trivial overlap and capped k
+    assert tot <= 5 * len(exact_sets)
+    assert hit >= 1

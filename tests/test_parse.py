@@ -1,0 +1,127 @@
+"""Part A semantics unit tests — the FIXTURES.md §4 monolog corpus
+edge cases, exercised through the real pipeline chain."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from log2ck_spark.config import EngineConfig, SinkConfig, TailSpec
+from log2ck_spark.parse import parse_lines, split_valid, enrich
+from log2ck_spark.pipeline import batch_pipeline, expand_date_macro, transform_chain
+
+VALID = [
+    '[2024-01-01 10:00:00] app.INFO: user logged in {"user":7,"ms":12} []',
+    '[2024-01-01 10:00:01] app.ERROR: boom {"user":8} []',
+    '[2024-01-02 00:00:00] worker.WARNING: slow job {"ms":9001} {"x":1}',
+]
+INVALID = [
+    "",  # empty line → skipped (Worker.php:112)
+    "not a log line at all",  # no match → dead-letter (Worker.php:154-156)
+    '[2024-01-01 10:00:00] my logger.INFO: spaces in logger {} []',  # readme.md:20
+    '[not-a-date] app.INFO: bad ts {} []',  # regex ok, timestamp unparseable
+]
+
+
+def _lines_df(spark, lines):
+    return spark.createDataFrame([(line,) for line in lines], "value string")
+
+
+def test_valid_lines_parse_all_groups(spark):
+    valid, dead = split_valid(parse_lines(_lines_df(spark, VALID)))
+    rows = {r["message"]: r for r in valid.collect()}
+    assert len(rows) == 3 and dead.count() == 0
+    r = rows["user logged in"]
+    assert r["logger"] == "app"
+    assert r["level"] == "INFO"
+    assert r["context"] == '{"user":7,"ms":12}'
+    assert r["extra"] == "[]"
+    assert r["created_at"].isoformat() == "2024-01-01T10:00:00"
+
+
+def test_invalid_lines_go_to_dead_letter(spark):
+    valid, dead = split_valid(parse_lines(_lines_df(spark, VALID + INVALID)))
+    assert valid.count() == 3
+    # empty line is also invalid input (reference skips it pre-parse;
+    # we route it to dead-letter — same rows land in the sink)
+    assert dead.count() == 4
+    dead_raws = {r["raw_line"] for r in dead.collect()}
+    assert "not a log line at all" in dead_raws
+    assert "[not-a-date] app.INFO: bad ts {} []" in dead_raws
+
+
+def test_enrich_overwrites_callback_columns(spark):
+    """Reference order: enrichment AFTER callback, overwriting it
+    (Worker.php:146-148)."""
+    valid, _ = split_valid(parse_lines(_lines_df(spark, VALID)))
+    with_fake = valid.withColumn("repo", F.lit("from-callback"))
+    out = enrich(with_fake, repo="real-repo", name="tail-1", host="h")
+    assert {r["repo"] for r in out.collect()} == {"real-repo"}
+
+
+def test_pattern_false_raw_passthrough(spark):
+    tail = TailSpec(
+        name="raw", path="x", pattern=False,
+        callback=lambda df: df.select(F.upper("raw").alias("shout")),
+    )
+    rows, dead = transform_chain(_lines_df(spark, ["hello world"]), tail)
+    got = rows.collect()
+    assert dead.count() == 0
+    assert got[0]["shout"] == "HELLO WORLD"
+    assert got[0]["repo"] == "default"  # enrichment still applied
+
+
+def test_custom_pattern_groups(spark):
+    tail = TailSpec(
+        name="csvish", path="x",
+        pattern=r"^(\w+),(\d+)$", groups=("word", "num"),
+    )
+    rows, dead = transform_chain(
+        _lines_df(spark, ["abc,42", "bad line"]), tail
+    )
+    assert [r["word"] for r in rows.collect()] == ["abc"]
+    assert dead.count() == 1
+
+
+def test_rotation_glob_reads_both_days(spark, tmp_path):
+    """Two rotated daily files ingested via glob — subsumes the
+    reference's kill-and-respawn rollover (Manager.php:72-89)."""
+    for day, n in [("2024-01-01", 3), ("2024-01-02", 2)]:
+        lines = "\n".join(
+            f"[{day} 0{i}:00:00] app.INFO: m{i} {{}} []" for i in range(n)
+        )
+        (tmp_path / f"app-{day}.log").write_text(lines + "\n")
+    config = EngineConfig(
+        tails=[TailSpec(name="t", path=str(tmp_path / "app-*.log"))],
+        sink=SinkConfig(path=str(tmp_path / "out")),
+    )
+    rows, dead = batch_pipeline(spark, config, config.tails[0])
+    assert rows.count() == 5
+    assert rows.select("log_date").distinct().count() == 2
+    assert dead.count() == 0
+
+
+def test_date_macro():
+    from datetime import date
+
+    assert (
+        expand_date_macro("/logs/app-{date}.log", date(2024, 3, 9))
+        == "/logs/app-2024-03-09.log"
+    )
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        EngineConfig(tails=[]).validate()
+    with pytest.raises(ValueError):
+        EngineConfig(tails=[TailSpec(name="", path="p")]).validate()
+    with pytest.raises(ValueError):
+        EngineConfig(
+            tails=[TailSpec(name="t", path="p", pandas_callback=lambda it: it)]
+        ).validate()
+    ok = EngineConfig(tails=[TailSpec(name="t", path="p")])
+    assert ok.validate() is ok
+    override = SinkConfig(path="/other")
+    t2 = TailSpec(name="u", path="q", sink=override)
+    assert ok.sink_for(t2) is override  # A11 per-tail override
+    assert ok.sink_for(ok.tails[0]) is ok.sink
