@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from log2ck_spark.functions.text import (
     fingerprint,
@@ -62,29 +63,57 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
-    """Inverted-index exact Jaccard join: explode shingles → self-join
-    on shingle → count common shingles per pair → filter. The join key
-    is the shingle, so only docs sharing a shingle ever meet — no
-    cross join. Input col: doc_id, sh (array<string>)."""
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
-    posting = docs.select("doc_id", F.explode("sh").alias("shingle"))
-    a = posting.alias("a")
-    b = posting.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
+    """Exact Jaccard similarity join with PPJoin-style prefix
+    filtering (Xiao et al., "Efficient Similarity Joins for Near
+    Duplicate Detection", WWW'08 — public algorithm).
+
+    A naive inverted-index self-join blows up on ubiquitous shingles:
+    a shingle present in d docs contributes d^2 candidate pairs, so
+    corpus-frequent shingles dominate the shuffle (measured 9s at sf0.1
+    here; at 10^10 docs it's fatal). Prefix filtering keeps the join
+    EXACT while only joining on each doc's rarest shingles: order
+    shingles by global document frequency; if J(A,B) >= t, the first
+    |X| - ceil(t*|X|) + 1 shingles (in that global order) of A and B
+    must intersect. Rare shingles have short posting lists, so the
+    candidate join is small; candidates are then verified with a full
+    array_intersect.
+
+    Input: doc_id, sh (array<string> distinct shingles).
+    Output: doc_a, doc_b, jaccard (exact)."""
+    posting = docs.select("doc_id", F.size("sh").alias("n_sh"),
+                          F.explode("sh").alias("shingle"))
+    # global shingle document-frequency (one partial-agg pass)
+    df_tbl = posting.groupBy("shingle").agg(F.count("*").alias("df"))
+    # rank each doc's shingles in the global (df, shingle) order and
+    # keep only the prefix
+    ranked = posting.join(df_tbl, "shingle")
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
+    prefix = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "shingle")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        common.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .withColumn(
             "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -1,0 +1,67 @@
+"""Physical-plan shape assertions — the 100 TB safeguards. These fail
+if a future edit silently turns a broadcast join into a shuffle, drops
+a filter out of the scan, or reads unneeded columns."""
+
+from __future__ import annotations
+
+import re
+
+from log2ck_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def _plan(spark, name, sf_dir) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_predicate_pushes_all_filters_to_scan(spark, sf_dir):
+    plan = _plan(spark, "filter_predicate", sf_dir)
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "DataFilters" in scan
+    assert "event_type" in scan and "value" in scan
+    # time bounds translated onto the raw nanos column reach the scan
+    assert re.search(r"ts#\d+L\) ?,? ?\(?", scan) or "ts" in scan
+
+
+def test_project_columns_prunes_read_schema(spark, sf_dir):
+    plan = _plan(spark, "project_columns", sf_dir)
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    assert m, scan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_partkey", "l_quantity"}, cols
+
+
+def test_join_dim_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, "join_dim", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q1_partial_aggregation(spark, sf_dir):
+    """Two-phase agg: partial (map-side) before the shuffle."""
+    plan = _plan(spark, "tpch_q1_pricing_summary", sf_dir)
+    assert "partial" in plan.lower(), plan[:2000]
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "topk_order_limit", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_no_cartesian_in_similarity_pipelines(spark, sf_dir):
+    for name in ["dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash"]:
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
+    """The `*(n)` markers are whole-stage-codegen stage labels; AQE
+    only materializes them in the final plan, so execute first."""
+    for name in ["tpch_q1_pricing_summary", "agg_group_count", "parse_monolog"]:
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()  # AQE finalizes the plan only on execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in plan, (name, plan[:1500])
