@@ -44,9 +44,16 @@ def load_all() -> None:
         ingest,
         multimodal,
         relational,
+        relational2,
         similarity,
         streamq,
         textops,
     )
+
+    # SURVEY.md §2 C2 declares the near-dup contract under the name
+    # `dedup_near`; alias it to the LSH implementation (same oracle).
+    if "dedup_near" not in QUERIES:
+        QUERIES["dedup_near"] = QUERIES["dedup_minhash_lsh"]
+        ORACLES["dedup_near"] = ORACLES["dedup_minhash_lsh"]
 
     _LOADED = True

@@ -1,0 +1,371 @@
+"""Extended relational surface — set operations, pivot, rollup,
+semi/anti joins, exact percentiles, sliding windows, typed JSON
+structs, JSON-lines source round-trip, and two more TPC-H shapes.
+
+Rounds out the Part B inventory to everything a log2ck/ClickHouse user
+would express over the ingested table. Same scale rules as
+relational.py: declarative plans, partial aggregation, broadcast dims,
+no cartesian products.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2ck_spark.functions.numeric import dsum, oracle_dsum
+from log2ck_spark.io import scratch_dir, tbl
+from log2ck_spark.queries import register
+
+# --------------------------------------------------------------------------
+# Set operations: EXCEPT / INTERSECT / UNION
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who clicked but never purchased. EXCEPT compiles to a
+    left-anti hash join on the distinct sets — no sort, one shuffle."""
+    ev = tbl(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.subtract(buyers)  # SQL set EXCEPT
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("user_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT user_id, 'error' AS src FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT user_id, 'signup' AS src FROM events WHERE event_type = 'signup'
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tbl(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.lit("error").alias("src")
+    )
+    b = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.lit("signup").alias("src")
+    )
+    return a.unionByName(b)
+
+
+# --------------------------------------------------------------------------
+# Pivot (wide counts per day x event_type)
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_agg",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit pivot values ⇒ single-pass conditional aggregation (no
+    value-discovery job, required for a deterministic schema at scale)."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP hierarchy totals
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cube_rollup",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+           COUNT(*) AS n,
+           {revenue}
+    FROM orders GROUP BY ROLLUP(y, m)
+    """.format(revenue=oracle_dsum("o_totalprice", "revenue")),
+)
+def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup(year, month): per-month, per-year and grand-total rows in
+    one pass (Expand + single aggregation — not three scans)."""
+    return (
+        tbl(spark, sf_dir, "orders")
+        .rollup(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "join_semi_anti",
+    oracle="""
+    SELECT 'with_orders' AS segment, COUNT(*) AS n_customers
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS segment, COUNT(*) AS n_customers
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS/NOT EXISTS as left_semi / left_anti joins — no
+    row-multiplication, the build side is just the distinct key set."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.lit("with_orders").alias("segment"), "n_customers")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.lit("without_orders").alias("segment"), "n_customers")
+    )
+    return semi.unionByName(anti)
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (quantile_cont semantics)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "percentile_agg",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS median_value,
+           quantile_cont(value, 0.9) AS p90_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition (verified
+    bit-identical). At 100 TB switch to `approx_percentile` (KLL/GK
+    sketch) — kept exact here so the oracle can check it."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("median_value"),
+            F.percentile("value", 0.9).alias("p90_value"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding event-time windows
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sliding_window_agg",
+    oracle="""
+    WITH base AS (
+      SELECT *,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS anchor
+      FROM events
+    ), expanded AS (
+      SELECT event_type, value,
+             anchor - 300 * i AS win_start_s
+      FROM base, (SELECT unnest([0, 1]) AS i)
+      WHERE epoch(ts) - (anchor - 300 * i) < 600
+    )
+    SELECT make_timestamp(win_start_s * 1000000) AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           {sum_value}
+    FROM expanded GROUP BY 1, 2
+    """.format(sum_value=oracle_dsum("value", "sum_value")),
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in 2
+    windows (Spark expands then aggregates; the oracle reproduces the
+    expansion with unnest)."""
+    win = F.window(F.col("ts"), "10 minutes", "5 minutes")
+    return (
+        tbl(spark, sf_dir, "events")
+        .groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Typed JSON: from_json into a struct (vs per-key get_json_object)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "from_json_struct",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    GROUP BY 1
+    """,
+)
+def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a declared schema: one parse per row into a
+    typed struct (vs one JSON scan per get_json_object call) — the
+    right shape when several keys are extracted."""
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "p", F.from_json("props", "k int")
+    )
+    return (
+        ev.filter(F.col("p.k") >= 50)
+        .groupBy(F.col("p.k").alias("k"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON-lines source round-trip (A1 variant for structured logs)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ingest_json_lines",
+    oracle="""
+    SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_ids, {sum_value}
+    FROM events
+    """.format(sum_value=oracle_dsum("value", "sum_value")),
+)
+def ingest_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-log ingestion: write events as JSON lines, read back
+    with an explicit schema (no inference job — mandatory at scale),
+    aggregate. Exercises the JSON source the streaming path shares."""
+    path = scratch_dir(sf_dir, "json_corpus")
+    ev = tbl(spark, sf_dir, "events")
+    ev.select(
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(path)
+    schema = "event_id bigint, user_id bigint, event_type string, value double"
+    back = spark.read.schema(schema).json(path)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        dsum("value", "sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 / Q5 shapes
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT {revenue}, COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24.0
+    """.format(revenue=oracle_dsum("l_extendedprice * l_discount", "revenue")),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure scan+filter+agg — every predicate pushes to the
+    scan; the whole query is one codegen'd stage with a scalar result."""
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.04, 0.06))
+        & (F.col("l_quantity") < 24.0)
+    )
+    return l.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle="""
+    SELECT n_name, {revenue}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """.format(revenue=oracle_dsum("l_extendedprice * (1 - l_discount)", "revenue")),
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 6-way join with a region filter. supplier/nation/
+    region broadcast; the only big shuffle is lineitem⋈orders on
+    orderkey. The c_nationkey = s_nationkey local-supplier condition
+    rides on the customer join."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    l = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+    )
