@@ -56,7 +56,21 @@ def main() -> None:
     load_all()
     spark = get_spark("log2ck-bench")
 
-    # warmup: initialize JVM codegen/shuffle machinery off the clock
+    # Warmup off the clock: JIT-compile the codegen paths the headline
+    # queries use (parquet scan, decimal hash agg, shuffle, regex,
+    # window) and spawn the Arrow Python workers — all at the tiny SF so
+    # the warm-up does negligible real work. Standard JVM-bench practice;
+    # per-query timings then reflect steady-state throughput.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for wq in ("tpch_q1_pricing_summary", "parse_monolog", "multimodal_meta",
+                   "window_rank", "dedup_minhash_lsh"):
+            try:
+                QUERIES[wq](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}

@@ -16,7 +16,9 @@ TABLES = (
 ).split()
 
 
-def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def tbl(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
+) -> DataFrame:
     """Load one test table. Forces UTC session time so timestamps read
     from (naive) parquet agree with the DuckDB oracle regardless of the
     caller's session defaults.
@@ -25,12 +27,23 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     vectorized reader rejects; we read it as raw nanos
     (`nanosAsLong`) and convert to a microsecond timestamp with exact
     integer division (`DIV` — a double division would lose precision
-    above 2^53), matching DuckDB's nanos→micros truncation."""
+    above 2^53), matching DuckDB's nanos→micros truncation.
+
+    ``fanout=True`` round-robin-repartitions to the session's default
+    parallelism right after the scan. The fixture files are single-
+    row-group parquet, so the file source cannot split them — without
+    this, a compute-heavy pipeline (regex parse, shingling, signature
+    hashing) runs its whole scan stage on ONE core. This is purely a
+    local-fixture compensation: a production table has many row
+    groups/files and parallelizes natively, so callers only set it
+    where per-row compute dominates the added narrow shuffle."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if fanout:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

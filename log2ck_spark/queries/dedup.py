@@ -43,8 +43,8 @@ _ORACLE_SHINGLE_PAIRS = """
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), sh AS (
       SELECT doc_id,
-             list_distinct([array_to_string(toks[i:i+2], ' ')
-                            for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS s
+             list_distinct([array_to_string(toks[i:i+4], ' ')
+                            for i in range(1, greatest(len(toks) - 4, 0) + 1)]) AS s
       FROM tok
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -57,8 +57,59 @@ _ORACLE_SHINGLE_PAIRS = """
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tbl(spark, sf_dir, "documents").select(
-        "doc_id", shingles("text", w=3).alias("sh")
+    return tbl(spark, sf_dir, "documents", fanout=True).select(
+        "doc_id", shingles("text", w=5).alias("sh")
+    )
+
+
+def _candidate_pairs(posting: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs of docs sharing a key — the
+    bucket-join primitive behind every similarity candidate generator.
+
+    Instead of a self-join (which computes the whole upstream pipeline
+    twice and shuffles it twice), group once per key, collect the
+    sorted doc-id set, and emit all i<j combinations with a codegen'd
+    nested-transform expression. One upstream pass, one shuffle; the
+    per-bucket expansion is exactly the d(d-1)/2 pairs the self-join
+    would produce."""
+    grouped = (
+        posting.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def _verify_jaccard(
+    candidates: DataFrame, docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the full
+    shingle arrays (two hash joins sized by |candidates|)."""
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -80,6 +131,10 @@ def _exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
 
     Input: doc_id, sh (array<string> distinct shingles).
     Output: doc_a, doc_b, jaccard (exact)."""
+    # the shingled docs feed three branches (df table, prefix ranking,
+    # verification) — persist so the shingling runs once, not 4x. On a
+    # cluster this is a MEMORY_AND_DISK cache of one array column.
+    docs = docs.persist()
     posting = docs.select("doc_id", F.size("sh").alias("n_sh"),
                           F.explode("sh").alias("shingle"))
     # global shingle document-frequency (one partial-agg pass)
@@ -94,30 +149,8 @@ def _exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "shingle")
     )
-    a = prefix.alias("a")
-    b = prefix.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn(
-            "jaccard",
-            inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    candidates = _candidate_pairs(prefix, ["shingle"])
+    return _verify_jaccard(candidates, docs, threshold)
 
 
 # --------------------------------------------------------------------------
@@ -176,7 +209,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_ngram_jaccard", oracle=_ORACLE_SHINGLE_PAIRS)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-shingle Jaccard pairs >= 0.7 via inverted-index join —
+    """Exact 5-shingle Jaccard pairs >= 0.7 via PPJoin prefix join —
     the ground truth the probabilistic variants are judged against."""
     return _exact_jaccard_pairs(_shingled(spark, sf_dir), JACCARD_THRESHOLD)
 
@@ -198,39 +231,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     computation is shuffle-free codegen. This is the shape that
     survives 10^10 documents; its oracle is the exact-Jaccard SQL, so
     the driver check also proves the LSH recall on this corpus."""
-    docs = _shingled(spark, sf_dir).filter(F.size("sh") > 0)
+    docs = _shingled(spark, sf_dir).filter(F.size("sh") > 0).persist()
     posting = docs.select("doc_id", F.explode("sh").alias("s"))
     sig = posting.groupBy("doc_id").agg(*minhash_min_aggs("s", num_perm=128))
     banded = sig.select(
         "doc_id",
         F.explode(F.array(*lsh_band_structs(num_perm=128, bands=32))).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn(
-            "jaccard",
-            inter.cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - inter),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    candidates = _candidate_pairs(banded, ["band", "bucket"])
+    return _verify_jaccard(candidates, docs, JACCARD_THRESHOLD)
 
 
 # --------------------------------------------------------------------------
@@ -248,7 +257,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregate computing all 64 bit-votes per doc in a single pass
     (vectorized partial agg; the shuffle carries 64 ints per doc)."""
     tok = (
-        tbl(spark, sf_dir, "documents")
+        tbl(spark, sf_dir, "documents", fanout=True)
         .select("doc_id", F.explode(tokens("text")).alias("t"))
         .select("doc_id", F.xxhash64("t").alias("h"))
     )
@@ -276,21 +285,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ck"),
     ).select("doc_id", "sim", "ck.chunk", "ck.key")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    candidates = _candidate_pairs(chunks.select("doc_id", "chunk", "key"),
+                                  ["chunk", "key"])
+    sim_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
+    sim_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        candidates.join(sim_a, "doc_a")
+        .join(sim_b, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+            "doc_a",
+            "doc_b",
+            hamming64(F.col("sim_a"), F.col("sim_b")).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= 3)
     )
 

@@ -44,7 +44,7 @@ _ORACLE_PARSED = """
 def monolog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → one monolog-format line per event; event_id%13==0 rows
     become non-matching garbage (exercises A5 dead-letter)."""
-    ev = tbl(spark, sf_dir, "events")
+    ev = tbl(spark, sf_dir, "events", fanout=True)
     line = F.concat(
         F.lit("["),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),

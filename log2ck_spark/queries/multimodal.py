@@ -36,7 +36,7 @@ DECODE_SCHEMA = (
 def binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text as an opaque binary payload column — the stand-in
     for an image/audio blob column at identical schema/partitioning."""
-    return tbl(spark, sf_dir, "documents").select(
+    return tbl(spark, sf_dir, "documents", fanout=True).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
 

@@ -558,7 +558,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: single-scan, two-phase hash aggregate over a
     2-value x 3-value grouping — the partial aggregate reduces each scan
     partition to ≤6 rows before the shuffle."""
-    l = tbl(spark, sf_dir, "lineitem").filter(
+    l = tbl(spark, sf_dir, "lineitem", fanout=True).filter(
         F.col("l_shipdate") <= "1998-09-02 00:00:00"
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
