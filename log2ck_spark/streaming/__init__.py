@@ -1,5 +1,7 @@
 from log2ck_spark.streaming.job import (  # noqa: F401
-    run_ingest_stream,
-    windowed_stream,
     dedup_stream,
+    run_ingest_stream,
+    stop_all,
+    windowed_stream,
 )
+from log2ck_spark.streaming.listener import OpsLogListener  # noqa: F401

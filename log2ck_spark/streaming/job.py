@@ -25,21 +25,50 @@ from log2ck_spark.sink import foreach_batch_writer
 
 
 def run_ingest_stream(
-    spark: SparkSession, config: EngineConfig, tail: TailSpec
-) -> StreamingQuery:
+    spark: SparkSession,
+    config: EngineConfig,
+    tail: TailSpec,
+    with_dead_letter: bool = False,
+) -> StreamingQuery | tuple[StreamingQuery, StreamingQuery]:
     """One streaming query per tail (the reference's one-process-per-
-    tail, `Manager.php:95-108`, without the processes). Dead-letter rows
-    are appended next to the sink (A5 side output)."""
-    rows, _dead = stream_pipeline(spark, config, tail)
+    tail, `Manager.php:95-108`, without the processes).
+
+    ``with_dead_letter=True`` additionally starts the A5 side output: a
+    second query (own checkpoint) appending rejected raw lines to
+    `<sink>/_dead_letter` — the engine-grade version of the reference's
+    log-and-drop (`Worker.php:154-156`), since the rejects stay
+    queryable."""
+    rows, dead = stream_pipeline(spark, config, tail)
     sink = config.sink_for(tail)
     checkpoint = os.path.join(config.checkpoint_root, tail.name)
     writer = foreach_batch_writer(sink)
-    return (
+    main_q = (
         rows.writeStream.foreachBatch(writer)
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime=f"{config.trigger_seconds} seconds")
         .start()
     )
+    if not with_dead_letter:
+        return main_q
+    dead_path = os.path.join(sink.path, "_dead_letter")
+    dead_q = (
+        dead.writeStream.format("parquet")
+        .option("path", dead_path)
+        .option("checkpointLocation", checkpoint + "-dead")
+        .trigger(processingTime=f"{config.trigger_seconds} seconds")
+        .start()
+    )
+    return main_q, dead_q
+
+
+def stop_all(spark: SparkSession, timeout_s: int = 30) -> None:
+    """Graceful shutdown of every active query (A12,
+    `ToolsTraits.php:48-54`): stop() lets the in-flight micro-batch
+    commit, so nothing replays on restart beyond the usual guarantees."""
+    for q in spark.streams.active:
+        q.stop()
+    for q in spark.streams.active:
+        q.awaitTermination(timeout_s)
 
 
 def windowed_stream(

@@ -1,0 +1,81 @@
+"""Dead-letter side output, ops listener, graceful stop-all."""
+
+from __future__ import annotations
+
+import time
+
+from log2ck_spark.config import EngineConfig, SinkConfig, TailSpec
+from log2ck_spark.streaming import OpsLogListener, run_ingest_stream, stop_all
+
+
+def _wait(pred, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pred():
+            return True
+        time.sleep(0.5)
+    return False
+
+
+def test_dead_letter_stream_and_listener(spark, tmp_path):
+    listener = OpsLogListener(log_dir=str(tmp_path / "oplogs"), echo=False)
+    spark.streams.addListener(listener)
+    try:
+        logs = tmp_path / "logs"
+        logs.mkdir()
+        (logs / "app.log").write_text(
+            "[2024-01-01 10:00:00] app.INFO: fine {} []\n"
+            "GARBAGE LINE\n"
+            "[2024-01-01 10:00:01] app.ERROR: also fine {} []\n"
+            "another bad one\n"
+        )
+        config = EngineConfig(
+            tails=[TailSpec(name="dl", path=str(logs / "*.log"))],
+            sink=SinkConfig(path=str(tmp_path / "table")),
+            checkpoint_root=str(tmp_path / "ckpt"),
+            trigger_seconds=1,
+        )
+        main_q, dead_q = run_ingest_stream(
+            spark, config, config.tails[0], with_dead_letter=True
+        )
+
+        def dead_count():
+            try:
+                return spark.read.parquet(
+                    str(tmp_path / "table" / "_dead_letter")
+                ).count()
+            except Exception:
+                return 0
+
+        def main_count():
+            try:
+                return spark.read.parquet(config.sink.path).count()
+            except Exception:
+                return 0
+
+        assert _wait(lambda: main_count() == 2 and dead_count() == 2), (
+            main_count(),
+            dead_count(),
+        )
+        dead_rows = {
+            r["raw_line"]
+            for r in spark.read.parquet(
+                str(tmp_path / "table" / "_dead_letter")
+            ).collect()
+        }
+        assert dead_rows == {"GARBAGE LINE", "another bad one"}
+
+        # graceful stop of everything (A12)
+        stop_all(spark)
+        assert spark.streams.active == []
+
+        # the ops listener wrote daily tab-separated lines (A14)
+        import os
+
+        logdir = tmp_path / "oplogs"
+        assert _wait(lambda: logdir.exists() and len(os.listdir(logdir)) > 0, 10)
+        some_file = next(iter(os.listdir(logdir)))
+        content = (logdir / some_file).read_text()
+        assert "\t" in content
+    finally:
+        spark.streams.removeListener(listener)
