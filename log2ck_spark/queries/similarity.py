@@ -80,6 +80,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _kmeans_centroids(
+    sample: np.ndarray, k: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means for the IVF coarse quantizer.
+    Runs on a driver-side SAMPLE (the standard IVF training recipe —
+    at 10^10 vectors you still train the quantizer on ~10^5 sampled
+    rows); assignment of the full corpus stays distributed."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = sample[assign == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids
+
+
 @register("similarity_lsh")
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: 4 tables x 8-bit signatures.
@@ -135,6 +154,76 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "query_id",
             "neighbor_id",
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+@register("similarity_ivf")
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer -> assign each
+    vector to its nearest centroid (one distributed pass, centroids as
+    broadcast literals) -> probe the nprobe closest centroid lists per
+    query -> exact cosine re-score within the probed lists.
+
+    Scale shape: the quantizer trains on a driver-side sample (16
+    centroids here; ~sqrt(n) in production); assignment and probing are
+    single-scan column expressions; each query touches nprobe/k of the
+    corpus instead of all of it. Approximate -> rows-only check; recall
+    vs brute force is asserted in tests."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    k, nprobe = 16, 4
+    dim = len(e.select("v").first()[0])
+    sample = np.array(
+        [r[0] for r in e.select("v").limit(512).collect()]
+    ).reshape(-1, dim)
+    centroids = _kmeans_centroids(sample, k)
+
+    # centroids as a k-row broadcast table: ONE distance expression for
+    # all k (vs k inlined literal-array expressions, which blow up the
+    # generated code). corpus x k rows is the standard IVF assignment
+    # cost; at 10^10 vectors you chunk the crossJoin by centroid block.
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [(j, [float(x) for x in centroids[j]]) for j in range(k)],
+            "list_id int, c array<double>",
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored_lists = e.crossJoin(cent).select("vec_id", "v", "list_id", d2.alias("d2"))
+    assigned = scored_lists.groupBy("vec_id").agg(
+        F.min_by("list_id", "d2").alias("list_id"), F.first("v").alias("v")
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "list_id")
+    probes = (
+        scored_lists.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            "list_id",
+            "d2",
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
             cosine(F.col("qv"), F.col("v")).alias("cos"),
         )
         .withColumn("rank", F.row_number().over(w))

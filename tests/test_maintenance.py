@@ -65,6 +65,25 @@ def test_multimodal_decode_stub_raises(spark, sf_dir):
         list(decode_image(pdf_iter, fake=False))
 
 
+def test_similarity_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with nprobe=4/16 lists must recover a solid fraction of the
+    true top-5 (random near-orthogonal vectors make ANN hard; we bound
+    recall loosely but non-trivially) and respect the k cap."""
+    from log2ck_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = QUERIES["similarity_topk"](spark, sf_dir).collect()
+    approx = QUERIES["similarity_ivf"](spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = sum(
+        1 for r in approx if r["neighbor_id"] in exact_sets.get(r["query_id"], set())
+    )
+    assert len(approx) <= 5 * len(exact_sets)
+    assert hit >= 3, f"IVF recall too low: {hit}"
+
+
 def test_similarity_lsh_recall_vs_exact(spark, sf_dir):
     """LSH ANN recall@5 vs brute force — sanity bound, seed-stable."""
     from log2ck_spark.queries import QUERIES, load_all

@@ -1,0 +1,60 @@
+"""Dual-trigger buffer (custom applyInPandasWithState operator)."""
+
+from __future__ import annotations
+
+import time
+
+from log2ck_spark.streaming.stateful import dual_trigger_flush
+
+
+def _wait(pred, timeout=90):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if pred():
+            return True
+        time.sleep(0.5)
+    return False
+
+
+def test_dual_trigger_count_and_wait(spark, tmp_path):
+    """Key 'bulk' exceeds max_count -> flushes with reason=count.
+    Key 'trickle' has few rows -> flushes via wait/timeout."""
+    src = tmp_path / "events"
+    src.mkdir()
+    lines = [f'{{"event_type": "bulk", "value": 1.0}}' for _ in range(25)]
+    lines += ['{"event_type": "trickle", "value": 2.0}'] * 2
+    (src / "p1.json").write_text("\n".join(lines))
+
+    stream = spark.readStream.schema("event_type string, value double").json(
+        str(src)
+    )
+    out = dual_trigger_flush(stream, max_count=10, max_wait_s=3.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("flushes")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        assert _wait(
+            lambda: spark.sql(
+                "select count(*) c from flushes where key='bulk'"
+            ).collect()[0]["c"]
+            >= 1
+        )
+        # trickle (2 rows < max_count) must flush via the time trigger
+        assert _wait(
+            lambda: spark.sql(
+                "select count(*) c from flushes where key='trickle'"
+            ).collect()[0]["c"]
+            >= 1
+        )
+    finally:
+        q.stop()
+    rows = {r["key"]: r for r in spark.sql("select * from flushes").collect()}
+    assert rows["bulk"]["n_rows"] == 25 and rows["bulk"]["reason"] == "count"
+    assert rows["trickle"]["n_rows"] == 2
+    assert rows["trickle"]["reason"] in ("timeout", "wait")
+    assert rows["trickle"]["sum_value"] == 4.0
