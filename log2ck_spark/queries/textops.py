@@ -161,3 +161,79 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe).alias("n_bpe_tokens"),
         F.size(tokens("text")).alias("n_ws_tokens"),
     )
+
+
+@register(
+    "pii_scrub",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(
+             regexp_replace('contact user' || user_id || '@example.com id=' || event_id,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'id=[0-9]+', 'id=<ID>', 'g') AS scrubbed
+    FROM events WHERE event_type = 'signup'
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the classic pre-training text hygiene pass:
+    regex redaction of emails/ids as pure column expressions (one
+    codegen'd scan; at 100 TB this is map-only, no shuffle). The
+    synthetic message embeds an email so the scrubber has real work."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    msg = F.concat(
+        F.lit("contact user"),
+        F.col("user_id"),
+        F.lit("@example.com id="),
+        F.col("event_id"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            msg, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+        ),
+        r"id=[0-9]+",
+        "id=<ID>",
+    )
+    return ev.select("event_id", scrubbed.alias("scrubbed"))
+
+
+@register(
+    "error_rate_alert",
+    oracle="""
+    WITH w AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 600) * 600000000 AS BIGINT)) AS win_start,
+             COUNT(*) AS n_total,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT win_start, n_total, n_errors,
+           CAST(n_errors AS DOUBLE) / n_total AS error_rate
+    FROM w
+    WHERE CAST(n_errors AS DOUBLE) / n_total > 0.25
+    """,
+)
+def error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed error-rate alerting — THE log-analytics query this
+    table shape exists for: tumbling windows, conditional aggregation,
+    rate threshold. Streaming twin: same plan + watermark in
+    streaming.windowed_stream."""
+    win = F.window(F.col("ts"), "10 minutes")
+    w = (
+        tbl(spark, sf_dir, "events")
+        .groupBy(win.alias("w"))
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+        )
+    )
+    rate = F.col("n_errors").cast("double") / F.col("n_total")
+    return (
+        w.select(
+            F.col("w.start").alias("win_start"),
+            "n_total",
+            "n_errors",
+            rate.alias("error_rate"),
+        )
+        .filter(F.col("error_rate") > 0.25)
+    )
