@@ -56,15 +56,18 @@ def main() -> None:
     load_all()
     spark = get_spark("log2ck-bench")
 
-    # Warmup off the clock: JIT-compile the codegen paths the headline
-    # queries use (parquet scan, decimal hash agg, shuffle, regex,
-    # window) and spawn the Arrow Python workers — all at the tiny SF so
-    # the warm-up does negligible real work. Standard JVM-bench practice;
-    # per-query timings then reflect steady-state throughput.
-    warm_dir = "/root/testdata/sf0.001"
+    # Warmup off the clock, JMH-style: run every headline query once at
+    # sf0.01 (1/10 of the measured SF). A tiny-SF warmup only compiles
+    # the janino codegen classes; the generated methods run a few dozen
+    # times — far below HotSpot's C2 thresholds — so the first measured
+    # run would still execute interpreted (measured 3-4x on the
+    # expression-heavy dedup pipelines). sf0.01 drives each codegen unit
+    # through enough rows to reach steady state while doing ~1/10 of the
+    # benchmarked work. Timings below then reflect sustained throughput,
+    # which is the number that extrapolates to a real cluster.
+    warm_dir = "/root/testdata/sf0.01"
     if os.path.isdir(warm_dir):
-        for wq in ("tpch_q1_pricing_summary", "parse_monolog", "multimodal_meta",
-                   "window_rank", "dedup_minhash_lsh"):
+        for wq in HEADLINE:
             try:
                 QUERIES[wq](spark, warm_dir).write.format("noop").mode(
                     "overwrite"

@@ -9,8 +9,11 @@ comparisons independent of FMA/association details.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def as_double(vec: Column | str) -> Column:
@@ -33,3 +36,29 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column, decimals: int = 6) -> Column:
     """Cosine similarity rounded to `decimals` (cross-engine stable)."""
     return F.round(dot(a, b) / (norm(a) * norm(b)), decimals)
+
+
+def plane_signatures(planes: list[list[float]], bits: int):
+    """Arrow-vectorized random-hyperplane signatures: one pandas UDF
+    mapping an embedding column to `array<bigint>` of per-table bucket
+    ids (bit b of table t = sign(v · plane[t*bits+b])).
+
+    Why a UDF here when `dot` above is codegen'd: the signature needs
+    n_tables×bits dot products PER ROW; as higher-order-function
+    expressions those run interpreted per element (measured ~2.5 s for
+    2k×32×256 at sf0.1). As one numpy matmul per Arrow batch the whole
+    batch is a single BLAS `(n, dim) @ (dim, n_planes)` call — this is
+    the textbook "vectorized Pandas UDF beats per-row expression" case,
+    and at 10^10 vectors the matmul shape per partition is unchanged."""
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, n_tables*bits)
+    n_tables = P.shape[1] // bits
+    weights = 1 << np.arange(bits, dtype=np.int64)  # (bits,)
+
+    @pandas_udf("array<bigint>")
+    def _sig(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())  # (n, dim)
+        signs = (mat @ P) > 0  # (n, n_tables*bits)
+        sigs = signs.reshape(len(mat), n_tables, bits) @ weights  # (n, n_tables)
+        return pd.Series(list(sigs))
+
+    return _sig

@@ -25,9 +25,9 @@ from pyspark.sql.window import Window
 from log2ck_spark.functions.text import (
     fingerprint,
     hamming64,
+    hashed_shingles,
     lsh_band_structs,
     minhash_min_aggs,
-    shingles,
     simhash_bit_votes,
     simhash_from_votes,
     tokens,
@@ -57,8 +57,17 @@ _ORACLE_SHINGLE_PAIRS = """
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tbl(spark, sf_dir, "documents", fanout=True).select(
-        "doc_id", shingles("text", w=5).alias("sh")
+    """doc_id + distinct 5-shingle set as array<bigint> (64-bit hashed;
+    see functions.text.hashed_shingles). Every downstream set operation
+    — posting-list explode, MinHash, df-ranking, array_intersect
+    verification — runs over fixed-width longs; Jaccard values are
+    identical to string shingles w.h.p., which is what the DuckDB
+    string-shingle oracle checks. Tokens are bound as a column before
+    shingling (see hashed_shingles docstring re codegen recompute)."""
+    return (
+        tbl(spark, sf_dir, "documents", fanout=True)
+        .select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", hashed_shingles("toks", w=5).alias("sh"))
     )
 
 

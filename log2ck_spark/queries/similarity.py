@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from log2ck_spark.functions.vectors import as_double, cosine, dot
+from log2ck_spark.functions.vectors import as_double, cosine, plane_signatures
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -105,37 +105,23 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig_t(v) = bits of sign(v·h_i); same (table, sig) ⇒ candidate.
     Exact cosine re-scored within buckets, top-k per query. Planes are
-    literal arrays (seeded numpy) folded into the plan — broadcast to
-    every task, no shuffle to build the index."""
-    e = tbl(spark, sf_dir, "embeddings").select(
+    seeded-numpy constants captured by the signature UDF — shipped to
+    every task with the closure, no shuffle to build the index; the
+    signatures themselves are one Arrow-batched matmul per task
+    (functions.vectors.plane_signatures)."""
+    e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
         "vec_id", as_double("embedding").alias("v")
     )
     dim = len(e.select("v").first()[0])
     n_tables, bits = 4, 8
     planes = _hyperplanes(dim, n_tables * bits)
 
-    def signature(v, table: int):
-        sig = F.lit(0)
-        for b in range(bits):
-            h = F.array(*[F.lit(x) for x in planes[table * bits + b]])
-            sig = sig + F.when(dot(v, h) > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        return sig
-
+    # all n_tables signatures in ONE Arrow-batched matmul per task
+    # (posexplode index = table id) — see functions.vectors.
+    sig_udf = plane_signatures(planes, bits)
     buckets = e.select(
-        "vec_id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        signature(F.col("v"), t).alias("sig"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "v", "tb.table", "tb.sig")
+        "vec_id", "v", F.posexplode(sig_udf("v")).alias("table", "sig")
+    )
 
     q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
