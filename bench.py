@@ -47,6 +47,11 @@ HEADLINE = [
     "multimodal_meta",
     "stream_tumbling_agg",
     "stream_session_window",
+    # pipeline operators (as-of / range / clustering / sampling)
+    "asof_join",
+    "range_join_bucketed",
+    "dedup_clusters",
+    "sample_hash_bernoulli",
 ]
 
 

@@ -43,6 +43,7 @@ def load_all() -> None:
         dedup,
         ingest,
         multimodal,
+        pipelineops,
         relational,
         relational2,
         similarity,
