@@ -65,3 +65,28 @@ def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
         df.collect()  # AQE finalizes the plan only on execution
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "*(" in plan, (name, plan[:1500])
+
+
+def test_asof_join_single_ordering_shuffle(spark, sf_dir):
+    """The as-of join must stay union + window — one Exchange for the
+    (user_id, ts) ordering (plus one for the click pre-dedup agg), and
+    never an inequality join (CartesianProduct / BNLJ)."""
+    plan = _plan(spark, "asof_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The interval join must run as a bucket equi-join, not a
+    nested-loop over the inequality predicate."""
+    plan = _plan(spark, "range_join_bucketed", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sample_is_scan_only(spark, sf_dir):
+    """Deterministic sampling is a narrow filter: no Exchange at all."""
+    plan = _plan(spark, "sample_hash_bernoulli", sf_dir)
+    assert "Exchange" not in plan, plan[:1500]
