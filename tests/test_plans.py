@@ -90,3 +90,27 @@ def test_sample_is_scan_only(spark, sf_dir):
     """Deterministic sampling is a narrow filter: no Exchange at all."""
     plan = _plan(spark, "sample_hash_bernoulli", sf_dir)
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_bucketed_join_no_exchange_before_join(spark, sf_dir):
+    """Both sides bucketed by the join key => the SortMergeJoin reads
+    co-located buckets with no Exchange upstream; the only Exchange
+    in the final plan is the downstream group-by re-partitioning."""
+    df = QUERIES["join_bucketed_colocated"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends "== Initial Plan ==" repeating the whole
+    # tree; only the final plan above it is what executed
+    plan = plan.split("== Initial Plan ==", 1)[0]
+    assert "SortMergeJoin" in plan, plan[:2000]
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_part, join_part[:2000]
+    assert "Bucketed: true" in join_part, join_part[:2000]
+
+
+def test_salted_agg_two_phase(spark, sf_dir):
+    """The salt phase must actually spread the hot key: plan contains
+    two distinct hashpartitioning exchanges (key+salt, then key)."""
+    plan = _plan(spark, "agg_skew_salted", sf_dir)
+    assert plan.count("Exchange hashpartitioning") >= 1, plan[:2000]
+    assert "_salt" in plan, plan[:2000]
