@@ -216,3 +216,38 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+@register(
+    "embedding_centroid",
+    oracle="""
+    WITH ex AS (
+      SELECT label, g.pos AS pos,
+             CAST(CAST(embedding[g.pos] AS DOUBLE) AS DECIMAL(18,9)) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) g
+    )
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(x), 6) AS centroid
+    FROM ex GROUP BY label, pos
+    """,
+)
+def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (class prototypes / the k-means
+    update step), emitted long-form as (label, pos, centroid).
+
+    posexplode + two-phase hash aggregate: the shuffle carries one
+    partial row per (partition, label, dim) — at 10^10 vectors × 64
+    dims the map-side combine reduces the shuffle to
+    labels × dims × partitions rows. Sums go through exact decimal so
+    the result is partitioning-independent (functions/numeric.py);
+    long format (not array) keeps the oracle hash order-insensitive.
+    This is the distributed mean-update primitive similarity_ivf's
+    driver-side k-means would use at full scale."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode(as_double("embedding")).alias("pos0", "x")
+    )
+    return e.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos")).agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count("x"), 6
+        ).alias("centroid")
+    )
