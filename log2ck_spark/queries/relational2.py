@@ -369,3 +369,78 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(revenue, "revenue"))
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS as a LEFT SEMI join (one pass
+    over lineitem filtered before the join — the discount predicate
+    prunes the build side ahead of the shuffle, and the semi join emits each order at most once without
+    deduplicating). This is the operator Catalyst rewrites EXISTS
+    subqueries into; expressing it directly keeps the plan obvious."""
+    o = tbl(spark, sf_dir, "orders")
+    late = (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.05)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, {sum_qty}
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300
+    )
+    SELECT c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           big.sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """.format(sum_qty=oracle_dsum("l_quantity", "sum_qty")),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join. The HAVING filter runs on
+    the aggregate BEFORE joining orders/customer, so the join probe
+    side is only the surviving big orders (tiny) — broadcast-able at
+    any corpus size, vs the naive join-then-aggregate plan whose
+    shuffle carries every lineitem row through both joins. Dates
+    formatted as strings (cross-engine-stable round-trip)."""
+    big = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "sum_qty",
+        )
+    )
