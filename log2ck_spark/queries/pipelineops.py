@@ -259,10 +259,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    # iterate ONLY over nodes that occur in an edge: at 10^10 docs the
+    # duplicate-pair graph touches a small fraction of the corpus, and
+    # propagating labels across isolated singletons would make every
+    # round a full-corpus join for nothing. Singletons rejoin as
+    # self-labeled clusters in one union at the end.
     docs = tbl(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("label")
-    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(16):  # diameter cap; near-dup clusters converge in 2-4
         neighbor_min = (
@@ -285,7 +293,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_changed == 0:
             break
 
-    return labels.select(
+    singletons = docs.join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("label"))
+    return labels.unionByName(singletons).select(
         "doc_id",
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).cast("int").alias("is_canonical"),
