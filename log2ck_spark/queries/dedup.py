@@ -294,19 +294,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ck"),
     ).select("doc_id", "sim", "ck.chunk", "ck.key")
-    candidates = _candidate_pairs(chunks.select("doc_id", "chunk", "key"),
-                                  ["chunk", "key"])
-    sim_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
-    sim_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
-    return (
-        candidates.join(sim_a, "doc_a")
-        .join(sim_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            hamming64(F.col("sim_a"), F.col("sim_b")).alias("hamming"),
+    # the 64-bit signature IS the payload the verification needs, so
+    # carry it through the bucket grouping instead of re-joining the
+    # signature table twice afterwards: collect (doc_id, sim) structs
+    # per bucket, emit i<j pairs with both sims attached, verify
+    # inline. Two fewer joins/shuffles than the generic
+    # candidates→join-payload shape (which minhash still needs because
+    # its payload — the full shingle array — is too wide to replicate
+    # into every band bucket).
+    grouped = (
+        chunks.groupBy("chunk", "key")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "sim"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    hamming64(x["sim"], y["sim"]).alias("hamming"),
+                ),
+            ),
         )
-        .filter(F.col("hamming") <= 3)
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.hamming") <= 3)
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .distinct()
     )
 
 
