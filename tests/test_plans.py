@@ -114,3 +114,11 @@ def test_salted_agg_two_phase(spark, sf_dir):
     plan = _plan(spark, "agg_skew_salted", sf_dir)
     assert plan.count("Exchange hashpartitioning") >= 1, plan[:2000]
     assert "_salt" in plan, plan[:2000]
+
+
+def test_q18_broadcasts_filtered_aggregate(spark, sf_dir):
+    """Aggregate-then-join: the HAVING-filtered big-orders side must
+    join by broadcast, not a full shuffle of orders/customer."""
+    plan = _plan(spark, "tpch_q18_large_orders", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
