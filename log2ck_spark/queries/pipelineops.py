@@ -373,3 +373,44 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _K)
         .select("event_type", "event_id", "value", "rnk")
     )
+
+
+@register(
+    "topk_per_group_twophase",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rnk
+      FROM events
+    )
+    SELECT event_type, event_id, value, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {_K}
+    """,
+)
+def topk_per_group_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k that survives a skewed group: phase 1 ranks within
+    (group, input-partition) — parallelism = #partitions even if one
+    group owns 99% of rows — and keeps k rows per (group, partition);
+    phase 2 re-ranks the surviving k×P rows per group. Result is
+    identical to the single-window formulation (`topk_per_group`, same
+    oracle): any global top-k row is necessarily a top-k row of its own
+    partition. This is the window-function analog of partial
+    aggregation — the global sort of a hot group never happens."""
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w1 = Window.partitionBy("event_type", "_pid").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    survivors = (
+        ev.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= _K)
+        .drop("_r1", "_pid")
+    )
+    w2 = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= _K)
+        .select("event_type", "event_id", "value", "rnk")
+    )
