@@ -46,6 +46,7 @@ def load_all() -> None:
         pipelineops,
         relational,
         relational2,
+        relational3,
         scaleops,
         similarity,
         streamq,

@@ -1,0 +1,771 @@
+"""Full TPC-H shape coverage — Q7-Q17, Q19, Q21, Q22 adapted to the
+fixture star schema (no partsupp table and no commit/receipt dates, so
+Q11/Q16 use the distinct (l_partkey, l_suppkey) pairs of lineitem as
+the partsupp surrogate and Q12/Q21 use ship-vs-order-date lateness).
+
+Together with relational2.py's Q1/Q3/Q4/Q5/Q6/Q18 this covers every
+join/aggregation shape in the TPC-H suite that the fixture schema can
+express: join-order selection across 6+ tables, disjunctive join
+predicates, correlated scalar subqueries (decorrelated to
+aggregate-then-join), EXISTS/NOT EXISTS chains, left-outer histograms,
+conditional-aggregate ratios, and global-scalar HAVING filters.
+
+Scale posture (same rules as relational.py — see SCALE.md): constant-
+size dims are broadcast explicitly, filtered fact-side aggregates are
+broadcast when provably small, everything else is left to AQE; ratios
+divide *decimal-exact* sums cast to double, so results are identical
+at any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2ck_spark.functions.numeric import DECIMAL, dsum, oracle_dsum
+from log2ck_spark.io import tbl
+from log2ck_spark.queries import register
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _csum(cond: F.Column, value, alias: str) -> F.Column:
+    """Order-independent conditional SUM (decimal cast before the sum,
+    like dsum) — the CASE WHEN ... THEN x ELSE 0 aggregation pattern."""
+    v = F.lit(value) if isinstance(value, (int, float)) else value
+    return (
+        F.sum(F.when(cond, v).otherwise(F.lit(0.0)).cast(DECIMAL))
+        .cast("double")
+        .alias(alias)
+    )
+
+
+def _oracle_csum(cond: str, expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(CASE WHEN {cond} THEN {expr} ELSE 0 END"
+        f" AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+           {revenue}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """.format(revenue=oracle_dsum(_REV, "revenue")),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume. The two nation aliases
+    are pre-filtered to the 2 relevant rows and broadcast, so the
+    nation-pair disjunction evaluates against 2×2 candidates after two
+    broadcast joins — the only real shuffle is lineitem⋈orders."""
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = (
+        tbl(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = (
+        tbl(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(_rev(), "revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share within a region
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH all_nations AS (
+      SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           {num} / {den} AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """.format(
+        num=_oracle_csum("supp_nation = 'NATION_3'", "volume", "num").rsplit(" AS ", 1)[0],
+        den=oracle_dsum("volume", "den").rsplit(" AS ", 1)[0],
+    ),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    import volume per year. The share is a conditional-sum / sum ratio
+    computed in a single aggregation pass (no second scan, no join of
+    two aggregates); both sums are decimal-exact before the double
+    division, so the ratio is bit-stable under any partitioning."""
+    l = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = tbl(spark, sf_dir, "customer")
+    n1 = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = tbl(spark, sf_dir, "supplier")
+    n2 = tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev().alias("volume"),
+            "supp_nation",
+        )
+    )
+    agg = joined.groupBy("o_year").agg(
+        _csum(F.col("supp_nation") == "NATION_3", F.col("volume"), "num"),
+        dsum("volume", "den"),
+    )
+    return agg.select("o_year", (F.col("num") / F.col("den")).alias("mkt_share"))
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-line profit by supplier nation and year
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+           {profit}
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """.format(profit=oracle_dsum(_REV, "profit")),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit term reduced to revenue — the fixture has
+    no partsupp.ps_supplycost): LIKE-filtered part dimension broadcast
+    into the lineitem scan, then one orderkey shuffle against orders.
+    The p_name filter lands parquet-side as a StringContains pushdown."""
+    l = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = tbl(spark, sf_dir, "supplier")
+    o = tbl(spark, sf_dir, "orders")
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dsum(_rev(), "profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — returned-item revenue by customer (top 20)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, {revenue}, c_acctbal, n_name
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """.format(revenue=oracle_dsum(_REV, "revenue")),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last quarter.
+    Group-then-top-k: the orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heaps, 20 rows to the driver —
+    no global sort). c_custkey tie-break makes the top-20 *set*
+    deterministic, which the oracle hash requires."""
+    l = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_rev(), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important part values vs a global-scalar threshold
+# --------------------------------------------------------------------------
+
+_Q11_NATIONS = "s_nationkey < 13"
+
+
+@register(
+    "tpch_q11_important_share",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_extendedprice
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE {nations}
+    )
+    SELECT l_partkey AS p_key, {value}
+    FROM ps
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                     * 0.001 FROM ps)
+    """.format(nations=_Q11_NATIONS, value=oracle_dsum("l_extendedprice", "value")),
+)
+def tpch_q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part traded value, keeping parts above a
+    fraction of the GLOBAL total (partsupp surrogate = lineitem ⋈
+    supplier restricted to half the nations). The global scalar is a
+    1-row aggregate cross-broadcast into the HAVING filter — two
+    aggregation passes over one shared, pre-filtered input; no
+    correlated re-scan per group. Both sums are decimal-exact, so the
+    threshold comparison is engine-stable."""
+    s = tbl(spark, sf_dir, "supplier").filter(F.expr(_Q11_NATIONS))
+    ps = (
+        tbl(spark, sf_dir, "lineitem")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "l_extendedprice")
+    )
+    per_part = ps.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        dsum("l_extendedprice", "value")
+    )
+    total = ps.agg((dsum("l_extendedprice") * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("p_key", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — late-shipment counts by priority class
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE datediff('day', o_orderdate, l_shipdate) > 60
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (lateness = shipped >60 days after order — the
+    fixture has no commit/receipt dates): join then conditional-count
+    aggregation. The year filter pushes to the lineitem scan; the
+    datediff predicate evaluates post-join inside the same codegen
+    stage. Integer conditional sums need no decimal guard."""
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = tbl(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.datediff("l_shipdate", "o_orderdate") > 60)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution (left-outer histogram)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed k orders. The
+    LEFT OUTER join keeps zero-order customers (COUNT of the null-
+    extended o_orderkey is 0); the join-side predicate lives in the ON
+    clause — moving it to WHERE would silently drop those customers.
+    Two shuffles total (custkey join+agg share one exchange, then the
+    tiny c_count histogram)."""
+    c = tbl(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — promotion revenue share for one month
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT 100.0 * {num} / {den} AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """.format(
+        num=_oracle_csum(
+            "p_type = 'PROMO'", _REV, "num"
+        ).rsplit(" AS ", 1)[0],
+        den=oracle_dsum(_REV, "den").rsplit(" AS ", 1)[0],
+    ),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: % of one month's revenue from PROMO parts.
+    One broadcast join + one scalar aggregation; the month filter
+    prunes the lineitem scan before the join."""
+    l = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_type")
+    agg = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            _csum(F.col("p_type") == "PROMO", _rev(), "num"),
+            dsum(_rev(), "den"),
+        )
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("num") / F.col("den")).alias("promo_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier(s) by quarterly revenue
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {total}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """.format(total=oracle_dsum(_REV, "total_revenue")),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the max quarterly
+    revenue. The MAX scalar subquery decorrelates to a 1-row aggregate
+    cross-broadcast against the (#suppliers)-row revenue aggregate —
+    both tiny at any corpus scale. MAX of doubles is order-independent,
+    so no decimal guard is needed on the second pass."""
+    rev = (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(_rev(), "total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = tbl(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier count per part attribute (NOT IN exclusion)
+# --------------------------------------------------------------------------
+
+_Q16_SIZES = [1, 5, 9, 14, 19, 23, 28, 36]
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN ({sizes})
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """.format(sizes=", ".join(str(s) for s in _Q16_SIZES)),
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute,
+    excluding a supplier blacklist (partsupp surrogate = distinct
+    lineitem pairs). The NOT IN subquery becomes a left-anti broadcast
+    join — no null-key trap because s_suppkey is non-null; the distinct
+    pair projection runs map-side before its shuffle."""
+    ps = tbl(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(_Q16_SIZES)
+    )
+    bad = tbl(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated avg, decorrelated)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    WITH target AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
+    ), lim AS (
+      SELECT l_partkey AS pk,
+             (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+              / COUNT(l_quantity)) * 0.5 AS qty_limit
+      FROM target GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM target JOIN lim ON l_partkey = pk
+    WHERE l_quantity < qty_limit
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost if sub-half-average-quantity
+    orders of one brand were dropped. The correlated per-part AVG
+    subquery decorrelates into aggregate-then-join: one pass computes
+    each part's threshold, broadcast back against the same filtered
+    fact slice — the naive plan re-scans lineitem per part. The avg is
+    decimal-exact/count so the `<` boundary is engine-stable."""
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL")
+    )
+    target = (
+        tbl(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    lim = target.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            (F.sum(F.col("l_quantity").cast(DECIMAL)).cast("double") / F.count("l_quantity"))
+            * F.lit(0.5)
+        ).alias("qty_limit")
+    )
+    return (
+        target.join(F.broadcast(lim), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DECIMAL)).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — disjunctive join predicates (brand × size × quantity bands)
+# --------------------------------------------------------------------------
+
+_Q19_DISJUNCTS = """
+      (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register(
+    "tpch_q19_disjunctive_join",
+    oracle="""
+    SELECT {revenue}, COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {disjuncts}
+    """.format(revenue=oracle_dsum(_REV, "revenue"), disjuncts=_Q19_DISJUNCTS),
+)
+def tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of conjunctive brand/size/quantity bands.
+    The join stays a pure equi-join on partkey (hashable, broadcast);
+    the disjunction evaluates as a post-join filter in the same codegen
+    stage. Folding the OR into the join condition would force a
+    nested-loop join — the classic Q19 trap. Catalyst also extracts
+    the common `p_brand IN (...)` prefix to prune the build side."""
+    l = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(dsum(_rev(), "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers solely responsible for returns on shared orders
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND o_orderstatus = 'F'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (lateness → returnflag: the fixture has no
+    receipt/commit dates): on finished multi-supplier orders, find the
+    supplier who was the ONLY one with a returned line. The EXISTS /
+    NOT EXISTS chain compiles to a semi then anti join against the
+    distinct (orderkey, suppkey) pair set — both carry two longs per
+    row, and both shuffles share the l_orderkey key with the main join,
+    so AQE can reuse the exchange. Top-10 via TakeOrderedAndProject
+    with an s_name tie-break for a deterministic result set."""
+    pairs = (
+        tbl(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("p_orderkey"),
+            F.col("l_suppkey").alias("p_suppkey"),
+        )
+        .distinct()
+    )
+    r_pairs = (
+        tbl(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("r_orderkey"),
+            F.col("l_suppkey").alias("r_suppkey"),
+        )
+        .distinct()
+    )
+    l1 = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = tbl(spark, sf_dir, "supplier")
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(
+            pairs,
+            (F.col("l_orderkey") == F.col("p_orderkey"))
+            & (F.col("l_suppkey") != F.col("p_suppkey")),
+            "left_semi",
+        )
+        .join(
+            r_pairs,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_suppkey") != F.col("r_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — dormant high-balance customers by country code
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(c_acctbal) AS v
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c_custkey % 7 AS INTEGER) AS cntrycode,
+           COUNT(*) AS numcust,
+           {total}
+    FROM customer
+    WHERE c_acctbal > (SELECT v FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+    """.format(total=oracle_dsum("c_acctbal", "totacctbal")),
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (country code → custkey mod 7: the fixture has
+    no c_phone): customers with above-average balances and no orders.
+    The AVG scalar decorrelates to a 1-row broadcast; NOT EXISTS is a
+    left-anti join against the distinct o_custkey projection (shuffle
+    carries one long per order). The decimal-exact average keeps the
+    `>` boundary engine-stable."""
+    c = tbl(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(DECIMAL)).cast("double")
+                / F.count("c_acctbal")
+            ).alias("v")
+        )
+    )
+    o = tbl(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 7).cast("int").alias("cntrycode"))
+        .agg(F.count("*").alias("numcust"), dsum("c_acctbal", "totacctbal"))
+    )
