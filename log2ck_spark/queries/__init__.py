@@ -51,6 +51,7 @@ def load_all() -> None:
         similarity,
         streamq,
         textops,
+        textops2,
     )
 
     # SURVEY.md §2 C2 declares the near-dup contract under the name

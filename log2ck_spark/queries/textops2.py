@@ -1,0 +1,355 @@
+"""Corpus-statistics operators over `documents` — the relevance /
+quality layer of a training-data pipeline: TF-IDF, BM25 retrieval
+scoring, bigram frequencies, token-distribution entropy, stratified
+sampling, heavy hitters, and length histograms.
+
+Everything is pure DataFrame expressions (JVM-side). Floating-point
+parity notes: transcendental results (ln/log2) are rounded or
+decimal-guarded before any aggregation or ranking, so the oracle
+comparison never rides on cross-engine ULP differences in summation
+order; scalar fan-in values (corpus size, avg doc length) are exact
+integer ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from log2ck_spark.functions.numeric import DECIMAL
+from log2ck_spark.functions.text import tokens
+from log2ck_spark.io import tbl
+from log2ck_spark.queries import register
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT doc_id, term,
+             ROUND(tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df),
+                   6) AS score
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, score
+    FROM (SELECT *, row_number()
+                    OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Three aggregation passes that
+    all share the (doc_id, term) exchange: tf, then the |vocab|-row df
+    table (left to AQE — broadcast while it fits, zipfian vocab never
+    skews a 64-bit term hash), then a per-doc window rank. Ranking
+    happens on the ROUNDED score (+ term tie-break), so the top-3 set
+    is identical cross-engine even if ln() differs in the last ulp."""
+    d = tbl(spark, sf_dir, "documents")
+    n_docs = d.count()  # O(1) metadata-ish scalar; folded as a literal
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score")
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval scoring for a term query
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "hash")
+
+
+@register(
+    "bm25_score",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM base
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+      WHERE term IN ('join', 'hash')
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base
+    ), parts AS (
+      SELECT tf.doc_id,
+             ROUND(ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))),
+                   6) AS part
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(part AS DECIMAL(18,6))) AS DOUBLE) AS score
+    FROM parts GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-20 documents for a 2-term query. The
+    posting lists (tf rows for the query terms only) are built by one
+    filtered explode — the scan discards non-query terms before any
+    shuffle, so cost scales with the query's posting size, not corpus
+    vocabulary. df and the (N, avgdl) scalars broadcast. Per-term
+    partials are rounded then decimal-summed, so the doc score is
+    order-independent."""
+    d = tbl(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens("text").alias("toks"))
+    stats = base.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = base.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / F.col("avgdl")))
+    )
+    parts = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", F.round(idf * tf_part, 6).alias("part"))
+    )
+    return (
+        parts.groupBy("doc_id")
+        .agg(F.sum(F.col("part").cast(DECIMAL)).cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram frequency (shuffle-free pair construction)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bigram_stats",
+    oracle="""
+    WITH base AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+    ), big AS (
+      SELECT list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+      FROM base
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM (SELECT unnest(bigrams) AS bigram FROM big)
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams. Adjacent pairs are built INSIDE the token
+    array (`zip_with` against the array shifted by one — the trailing
+    unpaired slot concats with null and drops), so pairing needs no
+    per-document window and therefore no shuffle at all before the
+    count aggregation: one scan stage, then the two-phase agg — 100 TB
+    of pairing stays embarrassingly parallel (a per-document lead()
+    window would add a full shuffle for nothing)."""
+    d = tbl(spark, sf_dir, "documents").select(tokens("text").alias("toks"))
+    shifted = F.slice(
+        F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))
+    )
+    pairs = F.zip_with(
+        F.col("toks"), shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+    )
+    return (
+        d.select(F.explode(pairs).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-distribution entropy per document
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_entropy",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS INTEGER) AS n_tokens,
+           ROUND(log2(CAST(SUM(tf) AS DOUBLE))
+                 - CAST(SUM(CAST(tf * log2(tf) AS DECIMAL(18,6))) AS DOUBLE)
+                   / SUM(tf),
+                 6) AS entropy
+    FROM tf GROUP BY doc_id
+    """,
+)
+def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's unigram distribution — a
+    repetitiveness signal (near-0 = one token repeated; high = diverse).
+    Uses the identity H = log2(n) − Σ tf·log2(tf) / n so a single
+    (doc_id, term) aggregation feeds a single per-doc aggregation —
+    no per-term probability join. The Σ tf·log2(tf) partials are
+    decimal-guarded: double summation order differs across engines and
+    partitionings, decimal addition doesn't."""
+    tf = (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = F.sum("tf")
+    s = F.sum((F.col("tf") * F.log2("tf")).cast(DECIMAL)).cast("double")
+    return tf.groupBy("doc_id").agg(
+        n.cast("int").alias("n_tokens"),
+        F.round(F.log2(n.cast("double")) - s / n, 6).alias("entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sample (k per stratum)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-language sample, ordered by a content-keyed md5 —
+    a uniform, deterministic, engine-portable draw (same contract as
+    `sample_hash_bernoulli`, but with a hard per-stratum quota, the
+    shape used for balanced eval-set carving). One shuffle on the
+    stratum key; within each stratum the window keeps a 20-row
+    running top — at scale, strata are processed independently so a
+    giant language doesn't serialize the job."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        tbl(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Heavy hitters (terms above a corpus-frequency threshold)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "heavy_hitters",
+    oracle="""
+    WITH tf AS (
+      SELECT term, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    )
+    SELECT term, n FROM tf
+    WHERE n > 0.005 * (SELECT SUM(n) FROM tf)
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms exceeding 0.5% of all token occurrences — the exact
+    variant of frequent-item detection (candidate stopword / boilerplate
+    lists). Two-phase hash agg collapses to |vocab| rows; the global
+    total re-aggregates those |vocab| rows (no second corpus scan) and
+    broadcasts as a 1-row scalar. The approximate path at extreme
+    cardinality is `approx_distinct`-style sketching; exact is kept
+    here so the oracle can check it."""
+    tf = (
+        tbl(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    total = tf.agg((F.sum("n") * F.lit(0.005)).alias("threshold"))
+    return (
+        tf.join(F.broadcast(total))
+        .filter(F.col("n") > F.col("threshold"))
+        .select("term", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Document-length histogram
+# --------------------------------------------------------------------------
+
+
+@register(
+    "length_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(n_chars / 50.0) AS INTEGER) * 50 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS INTEGER) AS min_chars,
+           CAST(MAX(n_chars) AS INTEGER) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (50-char) document length histogram — the standard
+    first look at a corpus before length filtering. Single scan,
+    two-phase agg on the bucket key; at 100 TB the histogram is
+    O(#buckets) rows regardless of corpus size."""
+    bucket = (F.floor(F.col("n_chars") / F.lit(50.0)).cast("int") * 50).alias(
+        "bucket_lo"
+    )
+    return (
+        tbl(spark, sf_dir, "documents")
+        .groupBy(bucket)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").cast("int").alias("min_chars"),
+            F.max("n_chars").cast("int").alias("max_chars"),
+        )
+    )

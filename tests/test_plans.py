@@ -122,3 +122,61 @@ def test_q18_broadcasts_filtered_aggregate(spark, sf_dir):
     plan = _plan(spark, "tpch_q18_large_orders", sf_dir)
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_stays_equi_join(spark, sf_dir):
+    """The Q19 trap: folding the OR bands into the join condition
+    forces a nested-loop join. Keeping partkey as the equi-key must
+    yield a hash join with the disjunction as a post-join filter."""
+    plan = _plan(spark, "tpch_q19_disjunctive_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q21_exists_chain_is_semi_and_anti(spark, sf_dir):
+    plan = _plan(spark, "tpch_q21_waiting_supplier", sf_dir)
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_left_outer_preserved(spark, sf_dir):
+    """The ON-clause predicate must not degrade the outer join to
+    inner (zero-order customers would silently vanish)."""
+    plan = _plan(spark, "tpch_q13_customer_distribution", sf_dir)
+    assert "LeftOuter" in plan, plan[:2000]
+
+
+def test_scalar_subqueries_broadcast(spark, sf_dir):
+    """Q11/Q15/Q22 decorrelate their scalar subqueries to 1-row
+    broadcast joins — never a shuffled join or nested loop over the
+    fact side. (A 1-row BNLJ broadcast is fine; a CartesianProduct
+    is not.)"""
+    for name in [
+        "tpch_q11_important_share",
+        "tpch_q15_top_supplier",
+        "tpch_q22_global_sales_opportunity",
+    ]:
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "Broadcast" in plan, name
+
+
+def test_bigram_pairing_has_no_window_shuffle(spark, sf_dir):
+    """Adjacent-pair construction happens inside the token array —
+    the plan must contain no Window operator and only the final
+    aggregation exchange."""
+    plan = _plan(spark, "bigram_stats", sf_dir)
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+
+
+def test_bm25_posting_filter_before_shuffle(spark, sf_dir):
+    """The query-term filter must run in the scan/generate stage so
+    the (doc, term) shuffle carries only the 2 posting lists."""
+    plan = _plan(spark, "bm25_score", sf_dir)
+    assert "CartesianProduct" not in plan
+    # the IN-list predicate on the exploded term column exists as a
+    # real Filter operator (post-explode, pre-aggregation)
+    assert re.search(r"Filter .*\bjoin\b.*\bhash\b", plan), plan[:2000]
