@@ -1,0 +1,218 @@
+"""Embedding-column operators beyond similarity search — the vector
+hygiene layer of a training pipeline: L2 normalization, scalar
+quantization, per-dimension corpus statistics, and kNN label
+prediction.
+
+All pure higher-order column expressions (zip_with / aggregate /
+transform) over `array<float>` cast to double — JVM-side, codegen'd,
+no UDFs. Float-derived outputs are rounded to 6 decimals before
+comparison/ranking so cross-engine ULP differences can't surface
+(same policy as similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from log2ck_spark.functions.vectors import as_double, cosine, norm
+from log2ck_spark.io import tbl
+from log2ck_spark.queries import register
+
+# --------------------------------------------------------------------------
+# L2 normalization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_normalize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    )
+    SELECT vec_id,
+           ROUND(nrm, 6) AS norm,
+           list_transform(v, x -> ROUND(x / nrm, 6)) AS unit
+    FROM n
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize every embedding (the precondition for treating
+    dot product as cosine — do it once at ingest, not per query).
+    Norm and division run as one codegen'd expression per row; zero
+    shuffles, embarrassingly parallel at any corpus size. The norm is
+    bound as a real column before the transform so it isn't
+    re-evaluated per element."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    bound = e.withColumn("nrm", norm(F.col("v")))
+    return bound.select(
+        "vec_id",
+        F.round("nrm", 6).alias("norm"),
+        F.transform("v", lambda x: F.round(x / F.col("nrm"), 6)).alias("unit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Min-max scalar quantization (8-bit)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e
+    )
+    SELECT vec_id,
+           ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi,
+           list_transform(v, x ->
+             CAST(ROUND(255.0 * (x - lo) / (hi - lo), 0) AS INTEGER)) AS q8
+    FROM b
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min-max quantization to 8-bit codes plus the
+    (lo, hi) dequantization range — 4x storage reduction for ANN
+    shortlists. Integer outputs sidestep float-hash fragility; the
+    scale params are bound as columns before the transform. Pure
+    map-side expression, no shuffle."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    b = e.withColumn("lo_r", F.array_min("v")).withColumn("hi_r", F.array_max("v"))
+    code = F.transform(
+        "v",
+        lambda x: F.round(
+            F.lit(255.0) * (x - F.col("lo_r")) / (F.col("hi_r") - F.col("lo_r")), 0
+        ).cast("int"),
+    )
+    return b.select(
+        "vec_id",
+        F.round("lo_r", 6).alias("lo"),
+        F.round("hi_r", 6).alias("hi"),
+        code.alias("q8"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension corpus statistics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH ex AS (
+      SELECT g.pos AS pos, CAST(embedding[g.pos] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) g
+    )
+    SELECT CAST(pos AS INTEGER) AS pos,
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x), 6)
+             AS mean,
+           ROUND(sqrt(greatest(
+             CAST(SUM(CAST(x * x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x)
+             - pow(CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x), 2),
+             0.0)), 6) AS std
+    FROM ex GROUP BY pos
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean and standard deviation across the corpus —
+    the whitening / feature-scaling statistics, and the drift check
+    between embedding batches. posexplode + ONE two-phase aggregation
+    computing Σx and Σx² together (E[x²]−E[x]² identity): the shuffle
+    carries dims × partitions partial rows. Both sums decimal-exact so
+    the stats are partitioning-independent."""
+    ex = tbl(spark, sf_dir, "embeddings").select(
+        F.posexplode(as_double("embedding")).alias("pos0", "x")
+    )
+    s = F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+    s2 = F.sum((F.col("x") * F.col("x")).cast("decimal(18,9)")).cast("double")
+    n = F.count("x")
+    mean = s / n
+    return ex.groupBy((F.col("pos0") + 1).cast("int").alias("pos")).agg(
+        F.round(mean, 6).alias("mean"),
+        F.round(
+            F.sqrt(F.greatest(s2 / n - F.pow(mean, 2), F.lit(0.0))), 6
+        ).alias("std"),
+    )
+
+
+# --------------------------------------------------------------------------
+# kNN label prediction (majority vote over exact top-k)
+# --------------------------------------------------------------------------
+
+_KNN_QUERIES = 10
+_KNN_K = 5
+
+
+@register(
+    "knn_classify",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.label,
+             ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos,
+             c.vec_id AS neighbor_id
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_KNN_QUERIES}
+    ), topk AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= {_KNN_K}
+    ), votes AS (
+      SELECT query_id, label, COUNT(*) AS n_votes FROM topk GROUP BY 1, 2
+    )
+    SELECT query_id, label AS pred_label, CAST(n_votes AS INTEGER) AS n_votes
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote kNN classification over the exact top-5 cosine
+    neighbors — the label-propagation / weak-annotation primitive.
+    Query batch broadcasts against one corpus scan (same skeleton as
+    similarity_topk, so the ANN variants drop in unchanged at scale);
+    ranking and voting use rounded cosines + deterministic tie-breaks
+    (neighbor_id, then smallest label) so the prediction set is
+    engine-stable."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    topk = scored.withColumn("rank", F.row_number().over(wk)).filter(
+        F.col("rank") <= _KNN_K
+    )
+    votes = topk.groupBy("query_id", "label").agg(
+        F.count("*").cast("int").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
