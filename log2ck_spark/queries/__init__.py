@@ -40,6 +40,7 @@ def load_all() -> None:
     if _LOADED:
         return
     from log2ck_spark.queries import (  # noqa: F401
+        curation,
         dedup,
         ingest,
         multimodal,
@@ -52,6 +53,7 @@ def load_all() -> None:
         streamq,
         textops,
         textops2,
+        vectorops,
     )
 
     # SURVEY.md §2 C2 declares the near-dup contract under the name

@@ -1,0 +1,112 @@
+"""Corpus curation operators — the incremental / cross-split hygiene
+steps of a training-data pipeline: deduplicating a NEW batch against an
+existing corpus, and detecting train/eval contamination via n-gram
+overlap.
+
+Both reuse the fingerprint and hashed-shingle primitives the dedup
+family is built on (functions/text.py): joins move 16-byte digests or
+8-byte shingle hashes, never document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2ck_spark.functions.text import hashed_shingles, tokens
+from log2ck_spark.io import tbl
+from log2ck_spark.queries import register
+
+# The fixture's `source` column stands in for batch/split membership:
+# src0 plays the eval split (decontamination) or the incoming batch
+# (incremental dedup); everything else is the existing corpus.
+_NEW = "src0"
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    SELECT n.doc_id
+    FROM documents n
+    WHERE n.source = '{_NEW}'
+      AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.source <> '{_NEW}' AND md5(c.text) = md5(n.text)
+      )
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: keep only the docs of an incoming
+    batch whose content is NOT already in the corpus — the daily-
+    ingest shape, where re-deduplicating the whole corpus per batch
+    (as `dedup_exact` would) is O(corpus) instead of O(batch).
+
+    Anti join on md5(text): the shuffle carries 16-byte digests, not
+    documents; at scale the corpus side is a pre-materialized
+    fingerprint table (written once by the previous run), so each
+    increment costs one batch scan + one digest join."""
+    d = tbl(spark, sf_dir, "documents")
+    new = d.filter(F.col("source") == _NEW).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    corpus = d.filter(F.col("source") != _NEW).select(F.md5("text").alias("cfp"))
+    return new.join(
+        corpus, new.fp == corpus.cfp, "left_anti"
+    ).select("doc_id")
+
+
+@register(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(toks[i:i+4], ' ')
+                            for i in range(1, greatest(len(toks) - 4, 0) + 1)])
+               AS s
+      FROM tok
+    ), eval_grams AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = '{_NEW}'
+    ), train_grams AS (
+      SELECT doc_id, unnest(s) AS g FROM sh WHERE source <> '{_NEW}'
+    )
+    SELECT t.doc_id, COUNT(*) AS n_shared
+    FROM train_grams t JOIN eval_grams e ON t.g = e.g
+    GROUP BY t.doc_id
+    HAVING COUNT(*) >= 2
+    """,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan: training docs sharing >= 2
+    distinct word 5-grams with ANY eval-split document, with the
+    shared-gram count as evidence — the decontamination step run
+    before training on scraped corpora.
+
+    Posting-list join on 64-bit hashed shingles (w.h.p. identical to
+    the oracle's string 5-grams): the eval side collapses to its
+    DISTINCT gram set first — it is the small side by construction
+    (eval sets are orders of magnitude smaller than training corpora)
+    and the join key is a uniform hash, so the probe is a skew-free
+    hash join against O(eval grams) keys; per-doc shingle sets are
+    distinct already, so COUNT(*) after the join IS the distinct
+    overlap size — no countDistinct shuffle expansion."""
+    sh = (
+        tbl(spark, sf_dir, "documents", fanout=True)
+        .select("doc_id", "source", tokens("text").alias("toks"))
+        .select("doc_id", "source", hashed_shingles("toks", w=5).alias("s"))
+    )
+    eval_grams = (
+        sh.filter(F.col("source") == _NEW)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    train_grams = sh.filter(F.col("source") != _NEW).select(
+        "doc_id", F.explode("s").alias("g")
+    )
+    return (
+        train_grams.join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
