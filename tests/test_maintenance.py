@@ -103,3 +103,43 @@ def test_similarity_lsh_recall_vs_exact(spark, sf_dir):
     # filter; just require it returns non-trivial overlap and capped k
     assert tot <= 5 * len(exact_sets)
     assert hit >= 1
+
+
+def test_compaction_rewrites_only_oversized_partitions(spark, tmp_path):
+    from log2ck_spark.maintenance import compact_partitions, small_file_partitions
+
+    path = str(tmp_path / "ctable")
+    # fragmented date: 12 files; healthy date: 1 file
+    frag = spark.createDataFrame(
+        [("2024-01-01", i, f"2024-01-01 00:00:{i:02d}") for i in range(24)],
+        "log_date string, v int, created_at string",
+    ).repartition(12)
+    frag.write.partitionBy("log_date").parquet(path)
+    ok = spark.createDataFrame(
+        [("2024-01-02", 99, "2024-01-02 00:00:00")],
+        "log_date string, v int, created_at string",
+    ).coalesce(1)
+    ok.write.mode("append").partitionBy("log_date").parquet(path)
+
+    before = spark.read.parquet(path)
+    before_rows = sorted((str(r["log_date"]), r["v"]) for r in before.collect())
+
+    todo = small_file_partitions(path, max_files=8)
+    assert [p.split("log_date=")[-1] for p in todo] == ["2024-01-01"]
+
+    import os
+
+    healthy_mtime = os.path.getmtime(os.path.join(path, "log_date=2024-01-02"))
+    compacted = compact_partitions(spark, path, max_files=8, target_files=1)
+    assert len(compacted) == 1
+
+    part = os.path.join(path, "log_date=2024-01-01")
+    n_files = sum(1 for f in os.listdir(part) if f.endswith(".parquet"))
+    assert n_files == 1
+    # healthy partition untouched, data identical after the rewrite
+    assert os.path.getmtime(os.path.join(path, "log_date=2024-01-02")) == healthy_mtime
+    after = spark.read.parquet(path)
+    after_rows = sorted((str(r["log_date"]), r["v"]) for r in after.collect())
+    assert after_rows == before_rows
+    # idempotent: nothing left oversized
+    assert compact_partitions(spark, path, max_files=8) == []
