@@ -40,6 +40,7 @@ def load_all() -> None:
     if _LOADED:
         return
     from log2ck_spark.queries import (  # noqa: F401
+        behavior,
         curation,
         dedup,
         ingest,

@@ -1,0 +1,185 @@
+"""Behavioral log analytics over `events` — sessionization, funnel
+conversion, and cohort retention. These are the queries a log2ck/
+ClickHouse deployment runs over the ingested event table (the
+reference's `ORDER BY (created_at, repo, host)` layout exists exactly
+to serve this neighbor-analytics family, `readme.md:122`), expressed
+as window + aggregation plans.
+
+Determinism: every window orders by (ts, event_id) so ties can't
+reorder across engines or partitionings; durations are integer
+seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from log2ck_spark.io import tbl
+from log2ck_spark.queries import register
+
+_GAP_S = 1800  # 30-minute inactivity ends a session
+
+
+@register(
+    "sessionize_gap",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             -- floor, not CAST: DuckDB CAST(double AS BIGINT) rounds
+             -- half-to-even while Spark's unix_timestamp truncates
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_s
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts_s,
+             CASE WHEN ts_s - lag(ts_s) OVER w > {_GAP_S}
+                  OR lag(ts_s) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ), sessions AS (
+      SELECT user_id, ts_s,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts_s, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(sess_idx AS INTEGER) AS sess_idx,
+           COUNT(*) AS n_events,
+           MAX(ts_s) - MIN(ts_s) AS duration_s
+    FROM sessions GROUP BY user_id, sess_idx
+    """,
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): the lag-flag /
+    running-sum pattern — the batch analog of `stream_session_window`.
+    ONE shuffle on user_id serves both windows and the final per-
+    session aggregation (same partitioning key); per-user state is a
+    sort within the partition, so a 10^12-event table sessionizes in
+    a single exchange."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ts_s") - F.lag("ts_s").over(w) > _GAP_S)
+            | F.lag("ts_s").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "sess_idx",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy(
+        "user_id", F.col("sess_idx").cast("int").alias("sess_idx")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_click_after,
+           (SELECT COUNT(*) FROM s3) AS n_purchase_after
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase: users counted at each
+    stage only if the stage event happened strictly AFTER their
+    previous stage entry. Each stage is min-timestamp aggregate +
+    semi-filtered re-join — all three shuffles share the user_id key,
+    and each stage's survivor set only shrinks, so the deepest joins
+    are the cheapest. The stage frontier (user, t_k) is two columns
+    per surviving user — broadcastable far into the funnel at scale."""
+    ev = tbl(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_signup"))
+        .join(s2.agg(F.count("*").alias("n_click_after")))
+        .join(s3.agg(F.count("*").alias("n_purchase_after")))
+    )
+
+
+@register(
+    "retention_cohort",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+      FROM events
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST((date_part('epoch', act_week)
+                 - date_part('epoch', cohort_week)) / 604800 AS INTEGER)
+             AS week_offset,
+           COUNT(*) AS n_users
+    FROM active JOIN firstw USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week,
+    counted in every later week they were active. The (user, week)
+    distinct projection collapses the event table before any join —
+    the join and both aggregations then operate on at most
+    users × weeks rows. Offsets are exact integer arithmetic on
+    week-truncated epochs. Cohort week emitted as a formatted string
+    (cross-engine-stable date round-trip)."""
+    ev = tbl(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    offset = (
+        (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("int")
+    return (
+        active.join(firstw, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
