@@ -110,3 +110,35 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+@register(
+    "profile_columns",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE lang IS NULL) AS null_lang,
+           COUNT(*) FILTER (WHERE source IS NULL) AS null_source,
+           COUNT(DISTINCT lang) AS d_lang,
+           COUNT(DISTINCT source) AS d_source,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling summary (the pre-ingest sanity check):
+    row count, per-column null counts, low-cardinality distinct
+    counts, numeric range. Spark expands the two COUNT(DISTINCT)s via
+    one Expand + single shuffle; at true high cardinality swap in
+    approx_count_distinct (HLL++) — kept exact here so the oracle can
+    check it."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("null_lang"),
+        F.count(F.when(F.col("source").isNull(), 1)).alias("null_source"),
+        F.countDistinct("lang").alias("d_lang"),
+        F.countDistinct("source").alias("d_source"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

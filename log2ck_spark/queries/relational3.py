@@ -769,3 +769,74 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy((F.col("c_custkey") % 7).cast("int").alias("cntrycode"))
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal", "totacctbal"))
     )
+
+
+# --------------------------------------------------------------------------
+# Supplementary: ranking-function windows (NTILE / percent_rank)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pr
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment + percentile position per event within its
+    type — the score-bucketing window family (NTILE / percent_rank)
+    rounding out the B15 surface. One shuffle on the partition key;
+    the (value, event_id) tie-break keeps bucket edges deterministic."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Supplementary: distribution moments (decimal-exact stddev)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stats_moments",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           {mean},
+           ROUND(sqrt(greatest(
+             (CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
+              - pow(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+                / COUNT(*))
+             / (COUNT(*) - 1), 0.0)), 6) AS std
+    FROM events GROUP BY event_type
+    """.format(
+        mean="ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+        " / COUNT(*), 6) AS mean"
+    ),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mean + sample stddev from decimal-exact Σx / Σx² in a
+    single aggregation pass. Built-in stddev_samp sums doubles in
+    partition order — correct but not bit-reproducible across
+    partitionings or engines; the decimal route is both, at the same
+    single-shuffle cost."""
+    ev = tbl(spark, sf_dir, "events")
+    s = F.sum(F.col("value").cast(DECIMAL)).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast(DECIMAL)).cast("double")
+    n = F.count("*")
+    var = (s2 - F.pow(s, 2) / n) / (n - 1)
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        F.round(s / n, 6).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std"),
+    )
