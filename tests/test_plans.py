@@ -180,3 +180,21 @@ def test_bm25_posting_filter_before_shuffle(spark, sf_dir):
     # the IN-list predicate on the exploded term column exists as a
     # real Filter operator (post-explode, pre-aggregation)
     assert re.search(r"Filter .*\bjoin\b.*\bhash\b", plan), plan[:2000]
+
+
+def test_sessionize_single_user_exchange(spark, sf_dir):
+    """Both windows and the session aggregate must reuse ONE user_id
+    hash exchange (hashpartitioning(user_id) satisfies the clustered
+    distribution of groupBy(user_id, sess_idx))."""
+    plan = _plan(spark, "sessionize_gap", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2500]
+
+
+def test_funnel_stage_joins_share_user_key(spark, sf_dir):
+    plan = _plan(spark, "funnel_conversion", sf_dir)
+    assert "CartesianProduct" not in plan
+    # stage scalars combine via 1-row broadcast nested loop (fine);
+    # the per-user stage joins themselves must be hash-based
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan[:2000]
