@@ -1,14 +1,16 @@
-"""Full TPC-H shape coverage — Q7-Q17, Q19, Q21, Q22 adapted to the
-fixture star schema (no partsupp table and no commit/receipt dates, so
-Q11/Q16 use the distinct (l_partkey, l_suppkey) pairs of lineitem as
-the partsupp surrogate and Q12/Q21 use ship-vs-order-date lateness).
+"""Full TPC-H shape coverage — Q2, Q7-Q17, Q19-Q22 adapted to the
+fixture star schema (no partsupp table and no commit/receipt dates:
+Q2/Q11/Q16/Q20 derive a partsupp surrogate from lineitem's
+(l_partkey, l_suppkey) pairs, Q12/Q21 use ship-vs-order-date
+lateness).
 
-Together with relational2.py's Q1/Q3/Q4/Q5/Q6/Q18 this covers every
-join/aggregation shape in the TPC-H suite that the fixture schema can
-express: join-order selection across 6+ tables, disjunctive join
-predicates, correlated scalar subqueries (decorrelated to
-aggregate-then-join), EXISTS/NOT EXISTS chains, left-outer histograms,
-conditional-aggregate ratios, and global-scalar HAVING filters.
+Together with relational2.py's Q1/Q3/Q4/Q5/Q6/Q18 this covers the
+join/aggregation shape of every query in the TPC-H suite:
+join-order selection across 6+ tables, disjunctive join predicates,
+correlated scalar subqueries (decorrelated to aggregate-then-join),
+argmin-per-group, nested IN chains, EXISTS/NOT EXISTS chains,
+left-outer histograms, conditional-aggregate ratios, and
+global-scalar HAVING filters.
 
 Scale posture (same rules as relational.py — see SCALE.md): constant-
 size dims are broadcast explicitly, filtered fact-side aggregates are
@@ -839,4 +841,145 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"),
         F.round(s / n, 6).alias("mean"),
         F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 — min-cost supplier per part (argmin-per-group, join-back)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS cost
+      FROM lineitem GROUP BY 1, 2
+    ), target AS (
+      SELECT l_partkey, l_suppkey, cost
+      FROM ps JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'LARGE' AND p_size < 15
+    ), mins AS (
+      SELECT l_partkey AS mk, MIN(cost) AS min_cost FROM target GROUP BY 1
+    )
+    SELECT t.l_partkey AS p_key, s_name, n_name, t.cost AS min_cost
+    FROM target t
+    JOIN mins ON t.l_partkey = mk AND t.cost = min_cost
+    JOIN supplier ON t.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp surrogate: observed avg unit price per
+    (part, supplier) from lineitem): the supplier(s) achieving each
+    part's minimum cost — the correlated-MIN-subquery pattern,
+    decorrelated to argmin-per-group via aggregate-then-join-back on
+    (key, extremum). Both sides of the equality come from the same
+    decimal-exact expression, so the double comparison is safe. The
+    min table is one row per qualifying part — broadcastable; dims
+    broadcast."""
+    ps = (
+        tbl(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(DECIMAL)).cast("double")
+                / F.sum(F.col("l_quantity").cast(DECIMAL)).cast("double")
+            ).alias("cost")
+        )
+    )
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 15)
+    )
+    target = ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey", "l_suppkey", "cost"
+    )
+    mins = target.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        target.join(
+            F.broadcast(mins),
+            (F.col("l_partkey") == F.col("mk"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_partkey").alias("p_key"), "s_name", "n_name",
+            F.col("cost").alias("min_cost"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — dominant suppliers of a part family (nested IN chain)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q20_excess_supplier",
+    oracle="""
+    WITH blue AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'
+    ), sq AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+      FROM lineitem JOIN blue ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE) AS total,
+             COUNT(*) AS nsupp
+      FROM sq GROUP BY 1
+    ), dominant AS (
+      SELECT DISTINCT l_suppkey FROM sq JOIN tot ON l_partkey = pk
+      WHERE qty > 2.0 * total / nsupp
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+    """,
+)
+def tpch_q20_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty surrogate: shipped-quantity share):
+    suppliers moving more than 2x the average per-supplier share of
+    any 'blue' part — the nested IN-subquery chain (part family →
+    qualifying (part, supplier) volumes → supplier set), compiled as
+    two aggregations sharing the part key plus a final LEFT SEMI join
+    into the supplier dimension. The share threshold is relative, so
+    the shape is scale-factor-invariant. Every intermediate is
+    aggregate-sized (parts, then suppliers) — nothing row-level
+    crosses a second shuffle."""
+    blue = (
+        tbl(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("blue"))
+        .select("p_partkey")
+    )
+    sq = (
+        tbl(spark, sf_dir, "lineitem")
+        .join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DECIMAL)).cast("double").alias("qty"))
+    )
+    tot = sq.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("qty").cast(DECIMAL)).cast("double").alias("total"),
+        F.count("*").alias("nsupp"),
+    )
+    dominant = (
+        sq.join(F.broadcast(tot), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("qty") > 2.0 * F.col("total") / F.col("nsupp"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
     )
