@@ -983,3 +983,48 @@ def tpch_q20_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Supplementary: time-RANGE window frame (trailing 1-hour sum)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_1h
+    FROM events
+    """,
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user sum via a RANGE frame over event-time
+    seconds — the moving-aggregate window family (B15's frame half;
+    the rows-frame half is `window_running`). RANGE frames are bounded
+    by the ORDER-BY value, so ties contribute symmetrically and no
+    row tie-break is needed. The framed sum is decimal-cast: window
+    engines accumulate frames in different associations (segment
+    trees vs sliding), which double addition would expose. One shuffle
+    on user_id."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "ts_s", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DECIMAL)).over(w).cast("double").alias(
+            "trailing_1h"
+        ),
+    )
