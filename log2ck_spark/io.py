@@ -23,11 +23,19 @@ def tbl(
     from (naive) parquet agree with the DuckDB oracle regardless of the
     caller's session defaults.
 
-    events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as raw nanos
-    (`nanosAsLong`) and convert to a microsecond timestamp with exact
-    integer division (`DIV` — a double division would lose precision
-    above 2^53), matching DuckDB's nanos→micros truncation.
+    events.ts has shipped under two physical types across fixture
+    generations, and we normalize both to a plain (UTC) TIMESTAMP so
+    every downstream query sees one logical type:
+
+    * parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it,
+      so we read raw nanos (`nanosAsLong`) and convert with exact
+      integer division (`DIV` — a double division would lose precision
+      above 2^53), matching DuckDB's nanos→micros truncation.
+    * parquet timestamp[us] without a timezone (isAdjustedToUTC=false):
+      Spark reads TIMESTAMP_NTZ, which `unix_micros`/`window` & friends
+      reject. Under the forced-UTC session zone an NTZ→TIMESTAMP cast
+      is a pure re-tag (identical micros value), and it matches DuckDB,
+      whose TIMESTAMP is also naive.
 
     ``fanout=True`` round-robin-repartitions to the session's default
     parallelism right after the scan. The fixture files are single-
@@ -39,9 +47,16 @@ def tbl(
     where per-row compute dominates the added narrow shuffle."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Read naive parquet timestamps as TIMESTAMP (not TIMESTAMP_NTZ) at
+    # the scan itself: predicates on ts then push down to parquet
+    # natively instead of hiding behind a post-scan NTZ->LTZ cast.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if fanout:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df

@@ -147,30 +147,19 @@ def ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical log query: WHERE level='error' AND time range.
 
-    The fixture's ts is physically INT64 nanos (see io.tbl), and Spark
-    won't invert `timestamp_micros(ts DIV 1000) >= lit` into a scan
-    filter — so we translate the time bounds onto the raw nanos column
-    ourselves. All three predicates then reach the parquet scan as
-    PushedFilters and prune row groups via min/max stats (on a
-    properly-typed production table the translation is unnecessary —
-    Catalyst pushes timestamp predicates natively)."""
-    import datetime as _dt
-
-    lo = int(_dt.datetime(2024, 1, 10, tzinfo=_dt.timezone.utc).timestamp()) * 10**9
-    hi = int(_dt.datetime(2024, 1, 20, tzinfo=_dt.timezone.utc).timestamp()) * 10**9
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import os as _os
-
-    raw = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
+    The fixture's ts reads as a plain TIMESTAMP under io.tbl()'s UTC
+    session zone (inferTimestampNTZ disabled), so Catalyst pushes all
+    three predicates — equality, timestamp range, numeric — straight
+    into the parquet scan (PushedFilters) and prunes row groups via
+    min/max stats. No manual literal translation needed."""
     return (
-        raw.filter(
+        tbl(spark, sf_dir, "events")
+        .filter(
             (F.col("event_type") == "error")
-            & (F.col("ts") >= lo)
-            & (F.col("ts") < hi)
+            & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00").cast("timestamp"))
             & (F.col("value") > 5.0)
         )
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         .select("event_id", "ts", "user_id", "value")
     )
 
