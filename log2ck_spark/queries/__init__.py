@@ -63,4 +63,80 @@ def load_all() -> None:
         QUERIES["dedup_near"] = QUERIES["dedup_minhash_lsh"]
         ORACLES["dedup_near"] = ORACLES["dedup_minhash_lsh"]
 
+    _apply_rotation()
     _LOADED = True
+
+
+# The round driver hash-checks only the FIRST 50 names it sees from
+# ``__spark_entry__.queries()``; with 107 registered queries, coverage
+# has to rotate. Names listed here are surfaced first this round (see
+# ROTATION.md for the schedule); everything else keeps registration
+# order behind them. Python dicts preserve insertion order, so a plain
+# rebuild is enough.
+ROTATION_FIRST: tuple[str, ...] = (
+    "dedup_near",
+    # similarity / vectors
+    "similarity_topk",
+    "similarity_lsh",
+    "embedding_normalize",
+    "embedding_quantize",
+    "embedding_dim_stats",
+    # streaming
+    "stream_tumbling_agg",
+    "stream_dedup",
+    # text analysis
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "token_count_bpe",
+    "pii_scrub",
+    "error_rate_alert",
+    "tfidf_top_terms",
+    "bm25_score",
+    "bigram_stats",
+    "doc_entropy",
+    "stratified_sample",
+    "heavy_hitters",
+    "length_histogram",
+    # scale patterns
+    "agg_skew_salted",
+    "join_bucketed_colocated",
+    # relational2 tail (first 4 set-ops were checked in r1/r2)
+    "cube_rollup",
+    "join_semi_anti",
+    "percentile_agg",
+    "sliding_window_agg",
+    "from_json_struct",
+    "ingest_json_lines",
+    "tpch_q6_forecast_revenue",
+    "tpch_q5_local_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q18_large_orders",
+    # relational3: the rest of TPC-H + window extensions
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_share",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_join",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q20_excess_supplier",
+)
+
+
+def _apply_rotation() -> None:
+    ordered = [n for n in ROTATION_FIRST if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in ROTATION_FIRST]
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in ordered if n in snapshot})
