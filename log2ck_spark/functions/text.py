@@ -27,10 +27,16 @@ def shingles(text: Column | str, w: int = 3) -> Column:
     Returns array<string>; empty array for texts shorter than w."""
     toks = tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(w - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, w), " "))
-    )
+    # Guard short docs explicitly: sequence(1, 0) is DESCENDING in
+    # Spark ([1, 0]), so the old greatest(n-w+1, 0) bound fed slice()
+    # a 0 start index and threw on any doc shorter than w tokens.
+    idx = F.sequence(F.lit(1), n - F.lit(w - 1))
+    return F.when(
+        n >= F.lit(w),
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, w), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def hashed_shingles(toks_col: Column | str, w: int = 5) -> Column:
@@ -53,12 +59,19 @@ def hashed_shingles(toks_col: Column | str, w: int = 5) -> Column:
     split would run w×positions times per row — measured 5× slower)."""
     toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(w - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx, lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(w)])
-        )
-    )
+    # Same short-doc guard as `shingles`: without it, sequence(1, 0)
+    # yields [1, 0] and element_at(toks, 0) (plus past-the-end reads
+    # under ANSI mode) aborts the whole job on one sub-w-token doc.
+    idx = F.sequence(F.lit(1), n - F.lit(w - 1))
+    return F.when(
+        n >= F.lit(w),
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(w)]),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def fingerprint(text: Column | str) -> Column:
