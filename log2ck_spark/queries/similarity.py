@@ -112,28 +112,37 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
         "vec_id", as_double("embedding").alias("v")
     )
-    dim = len(e.select("v").first()[0])
+    dim = e.select(F.size("v").alias("d")).first().d
     n_tables, bits = 4, 8
     planes = _hyperplanes(dim, n_tables * bits)
 
     # all n_tables signatures in ONE Arrow-batched matmul per task
-    # (posexplode index = table id) — see functions.vectors.
+    # (posexplode index = table id) — see functions.vectors. Only the
+    # IDS flow into the bucket join: the candidate dedup used to run
+    # .distinct() over full 64-double payloads, doubling the candidate
+    # shuffle width — now distinct is over two longs and the payloads
+    # are re-attached afterwards.
     sig_udf = plane_signatures(planes, bits)
-    buckets = e.select(
-        "vec_id", "v", F.posexplode(sig_udf("v")).alias("table", "sig")
-    )
+    buckets = e.select("vec_id", F.posexplode(sig_udf("v")).alias("table", "sig"))
 
-    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        "table",
-        "sig",
+    q_sigs = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table", "sig"
+    )
+    cand_ids = (
+        buckets.join(F.broadcast(q_sigs), ["table", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    # candidate set is bounded by |queries| x bucket occupancy — small;
+    # broadcast it into ONE corpus scan for the payloads, then attach
+    # the (broadcastable) query vectors.
+    qvecs = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     cand = (
-        buckets.join(q, ["table", "sig"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
-        .distinct()
+        e.join(F.broadcast(cand_ids), e.vec_id == cand_ids.neighbor_id)
+        .join(F.broadcast(qvecs), "query_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -164,10 +173,20 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("v")
     )
     k, nprobe = 16, 4
-    dim = len(e.select("v").first()[0])
-    sample = np.array(
-        [r[0] for r in e.select("v").limit(512).collect()]
-    ).reshape(-1, dim)
+    # Quantizer training sample: take the 512 rows with the SMALLEST
+    # xxhash64(vec_id) — a deterministic hash-sample whose membership
+    # is independent of file/partition layout (a bare limit() drains
+    # the first partition and trains the quantizer on one shard's
+    # distribution). orderBy+limit compiles to TakeOrderedAndProject:
+    # each task keeps a 512-row heap, the driver merges — no full sort,
+    # no full shuffle, bounded collect.
+    sample_rows = (
+        e.select("v", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h")
+        .limit(512)
+        .collect()
+    )
+    sample = np.array([r.v for r in sample_rows])
     centroids = _kmeans_centroids(sample, k)
 
     # centroids as a k-row broadcast table: ONE distance expression for

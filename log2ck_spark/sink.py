@@ -13,8 +13,14 @@ from __future__ import annotations
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from log2ck_spark.config import SinkConfig
+
+# Writers per date partition: one date spreads across this many tasks
+# instead of serializing onto one. Bounded so a write still produces
+# few large files per date, not shuffle.partitions tiny ones.
+WRITE_BUCKETS = 8
 
 
 def write_batch(df: DataFrame, sink: SinkConfig) -> None:
@@ -23,12 +29,17 @@ def write_batch(df: DataFrame, sink: SinkConfig) -> None:
     if sink.partition_col in df.columns:
         sort_cols = [c for c in sink.sort_cols if c in df.columns]
         if sort_cols:
-            # repartition on the partition column so each date lands in
-            # few large files (avoids the many-small-files explosion a
-            # 1000-task write would cause), then sort within partitions
-            # for row-group stats. At 100 TB add a bucketing column to
-            # spread a single hot date over N writers.
-            out = out.repartition(sink.partition_col).sortWithinPartitions(*sort_cols)
+            # Repartition on (date, hash-bucket): plain repartition
+            # (date) collapsed each date onto ONE task, so a hot date
+            # serialized the whole write. The bucket expression spreads
+            # every date over WRITE_BUCKETS writers while keeping the
+            # file count per date bounded; sortWithinPartitions still
+            # gives each output file parquet min/max row-group stats
+            # (ranges may overlap across a date's files — skipping
+            # stays effective within each file).
+            bucket = F.pmod(F.xxhash64(*sort_cols), F.lit(WRITE_BUCKETS))
+            out = out.repartition(F.col(sink.partition_col), bucket)
+            out = out.sortWithinPartitions(*sort_cols)
         out.write.mode("overwrite").partitionBy(sink.partition_col).parquet(sink.path)
     else:
         out.write.mode("overwrite").parquet(sink.path)

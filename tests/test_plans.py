@@ -57,6 +57,19 @@ def test_no_cartesian_in_similarity_pipelines(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_dedup_embedding_anchor_probe_not_all_pairs(spark, sf_dir):
+    """The anchor-probe shape: bounded anchor set broadcast against ONE
+    corpus scan. The corpus must never shuffle corpus×corpus (no
+    SortMergeJoin / CartesianProduct), and the nested-loop's build side
+    must be the `% 20` anchor filter, not the full table."""
+    plan = _plan(spark, "dedup_embedding", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan, plan[:2000]
+    # the broadcast build side carries the anchor predicate
+    assert re.search(r"%\s*20\)?\s*=\s*0", plan), plan[:2000]
+
+
 def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
     """The `*(n)` markers are whole-stage-codegen stage labels; AQE
     only materializes them in the final plan, so execute first."""
