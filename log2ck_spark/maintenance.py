@@ -63,6 +63,45 @@ def small_file_partitions(
     return out
 
 
+_TMP_SUFFIX = ".compact_tmp"
+_OLD_SUFFIX = ".compact_old"
+
+
+def _hidden_sibling(part: str, suffix: str) -> str:
+    """A dot-prefixed sibling path: Spark's file index skips names
+    starting with '.' or '_', so in-flight compaction state is
+    invisible to partition discovery AND cannot be parsed as a bogus
+    `log_date=...` partition value (the old `part + '._compact_tmp'`
+    naming kept the `log_date=` prefix and leaked into reads)."""
+    parent, name = os.path.split(part)
+    return os.path.join(parent, f".{name}{suffix}")
+
+
+def recover_compaction(table_path: str) -> list[str]:
+    """Roll back any half-finished swap from a crashed compaction run.
+
+    Invariant of compact_partitions' rename sequence: at every crash
+    point either the live dir or its `.…compact_old` sibling holds the
+    full pre-compaction data. Recovery: if the live dir is missing,
+    rename the old dir back; then delete every leftover hidden
+    tmp/old dir. Returns the paths restored."""
+    restored = []
+    if not os.path.isdir(table_path):
+        return restored
+    for entry in sorted(os.listdir(table_path)):
+        full = os.path.join(table_path, entry)
+        if entry.startswith(".") and entry.endswith(_OLD_SUFFIX):
+            live = os.path.join(table_path, entry[1 : -len(_OLD_SUFFIX)])
+            if not os.path.isdir(live):
+                os.rename(full, live)
+                restored.append(live)
+            else:
+                shutil.rmtree(full)
+        elif entry.startswith(".") and entry.endswith(_TMP_SUFFIX):
+            shutil.rmtree(full)
+    return restored
+
+
 def compact_partitions(
     spark,
     table_path: str,
@@ -78,15 +117,20 @@ def compact_partitions(
     healthy partitions are never touched, so a daily compaction pass
     over a 100 TB table rewrites just the most recent date(s). Each
     partition is rewritten independently (repartition(target) +
-    sortWithinPartitions to restore the B2 data-skipping layout), and
-    the swap is directory-atomic per partition: write to a sibling
-    temp dir, then replace — a crash mid-compact leaves either the old
-    or the new directory, never a mix. On object storage the same job
-    runs against prefixes; transactional table formats (Delta/Iceberg)
-    would replace the swap with a metadata commit."""
+    sortWithinPartitions to restore the B2 data-skipping layout).
+
+    Crash safety: the rewrite lands in a HIDDEN sibling dir (ignored
+    by partition discovery), then a two-rename swap (live→.old,
+    .tmp→live) publishes it. A crash at any point leaves the full data
+    in either the live dir or the hidden .old dir — never a mix, never
+    a half-visible partition — and `recover_compaction` (run first,
+    idempotent) rolls the table back to a clean state. On object
+    storage the same job runs against prefixes; transactional formats
+    (Delta/Iceberg) replace the swap with a metadata commit."""
+    recover_compaction(table_path)
     compacted = []
     for part in small_file_partitions(table_path, max_files, partition_col):
-        tmp = part + "._compact_tmp"
+        tmp = _hidden_sibling(part, _TMP_SUFFIX)
         (
             spark.read.parquet(part)
             .repartition(target_files)
@@ -94,7 +138,7 @@ def compact_partitions(
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        old = part + "._compact_old"
+        old = _hidden_sibling(part, _OLD_SUFFIX)
         os.rename(part, old)
         os.rename(tmp, part)
         shutil.rmtree(old)

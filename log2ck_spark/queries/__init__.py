@@ -75,6 +75,8 @@ def load_all() -> None:
 # rebuild is enough.
 ROTATION_FIRST: tuple[str, ...] = (
     "dedup_near",
+    # re-check: newly oracle-backed this round (was rows-only in r1/r2)
+    "dedup_simhash",
     # similarity / vectors
     "similarity_topk",
     "similarity_lsh",
@@ -98,7 +100,6 @@ ROTATION_FIRST: tuple[str, ...] = (
     "doc_entropy",
     "stratified_sample",
     "heavy_hitters",
-    "length_histogram",
     # scale patterns
     "agg_skew_salted",
     "join_bucketed_colocated",

@@ -256,19 +256,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("dedup_simhash")
+# SimHash oracle: DuckDB recomputes the ENTIRE pipeline — portable
+# 60-bit token hash (first 15 hex chars of md5, parseable by both
+# engines), per-bit vote sums, signature assembly, and an all-pairs
+# hamming<=3 join (all-pairs is fine at oracle scale; the Spark side
+# uses the chunk pigeonhole to avoid it at corpus scale).
+_SIMHASH_BITS = 60  # 15 hex chars; bits 60-63 are always 0
+_ORACLE_SIMHASH = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+      FROM tok
+    ), votes AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+                 for b in range(_SIMHASH_BITS)
+             )}
+      FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id,
+             {" + ".join(
+                 f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+                 " ELSE CAST(0 AS BIGINT) END)"
+                 for b in range(_SIMHASH_BITS)
+             )} AS sim
+      FROM votes
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=_ORACLE_SIMHASH)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash; pairs within Hamming distance 3 found via the
+    """SimHash near-dup; pairs within Hamming distance 3 found via the
     4-chunk pigeonhole scheme (hamming<=3 ⇒ at least one identical
     16-bit chunk ⇒ join only on chunk matches — no cross join).
 
-    Signature build: explode tokens → xxhash64 once per token → one
-    hash-aggregate computing all 64 bit-votes per doc in a single pass
-    (vectorized partial agg; the shuffle carries 64 ints per doc)."""
+    Signature build: explode tokens → one portable hash per token → one
+    hash-aggregate computing all bit-votes per doc in a single pass
+    (vectorized partial agg; the shuffle carries 64 ints per doc).
+
+    The token hash is the first 60 bits of md5 rather than xxhash64 so
+    DuckDB can replay the whole pipeline as the oracle (xxhash64 isn't
+    portable); 60-vs-64 signature bits changes nothing structurally —
+    the top chunk just carries 12 effective bits."""
     tok = (
         tbl(spark, sf_dir, "documents", fanout=True)
         .select("doc_id", F.explode(tokens("text")).alias("t"))
-        .select("doc_id", F.xxhash64("t").alias("h"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
     )
     votes = tok.groupBy("doc_id").agg(
         *[F.sum(v).alias(f"v{b}") for b, v in enumerate(simhash_bit_votes(F.col("h")))]

@@ -272,6 +272,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for _ in range(16):  # diameter cap; near-dup clusters converge in 2-4
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -291,7 +292,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.select("doc_id", "label")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # Returning labels from a non-converged propagation would emit
+        # SPLIT clusters as if they were final — fail loudly instead.
+        # 16 rounds = component diameter 2^? no: plain min-label moves
+        # one hop/round, so this trips on a >16-hop duplicate chain —
+        # pathological for near-dup graphs, and the right response is a
+        # bigger cap or hash-to-min doubling, not silent truncation.
+        raise RuntimeError(
+            "dedup_clusters: label propagation did not converge within "
+            "16 rounds (duplicate-chain diameter too large)"
+        )
 
     singletons = docs.join(
         labels.select("doc_id"), "doc_id", "left_anti"

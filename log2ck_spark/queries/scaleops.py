@@ -71,11 +71,15 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("pn"),
         F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("pqty"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("pprice"),
+        # AVG's denominator must be the NON-NULL count (SQL AVG
+        # semantics, what the oracle's COUNT(expr) computes) — dividing
+        # by the row count pn would silently drift on nullable columns.
+        F.count("l_extendedprice").alias("pc"),
     )
     return partial.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n"),
         F.sum("pqty").cast("double").alias("sum_qty"),
-        (F.sum("pprice").cast("double") / F.sum("pn")).alias("avg_price"),
+        (F.sum("pprice").cast("double") / F.sum("pc")).alias("avg_price"),
     )
 
 

@@ -74,7 +74,9 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi,
            list_transform(v, x ->
-             CAST(ROUND(255.0 * (x - lo) / (hi - lo), 0) AS INTEGER)) AS q8
+             CASE WHEN hi = lo THEN 0
+                  ELSE CAST(ROUND(255.0 * (x - lo) / (hi - lo), 0) AS INTEGER)
+             END) AS q8
     FROM b
     """,
 )
@@ -88,11 +90,21 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("v")
     )
     b = e.withColumn("lo_r", F.array_min("v")).withColumn("hi_r", F.array_max("v"))
+    # Constant vectors have hi == lo: the scale divides by zero and
+    # every code would come out NaN->null. Emit code 0 (lo==hi carries
+    # the exact value for dequantization) — mirrored in the oracle.
     code = F.transform(
         "v",
-        lambda x: F.round(
-            F.lit(255.0) * (x - F.col("lo_r")) / (F.col("hi_r") - F.col("lo_r")), 0
-        ).cast("int"),
+        lambda x: F.when(
+            F.col("hi_r") == F.col("lo_r"), F.lit(0)
+        ).otherwise(
+            F.round(
+                F.lit(255.0)
+                * (x - F.col("lo_r"))
+                / (F.col("hi_r") - F.col("lo_r")),
+                0,
+            ).cast("int")
+        ),
     )
     return b.select(
         "vec_id",

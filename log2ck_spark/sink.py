@@ -68,6 +68,31 @@ def foreach_batch_writer(
     return _write
 
 
+CK_INSERT_BATCH = 10_000
+
+
+def insert_in_batches(
+    client: Any, table: str, rows, batch_size: int = CK_INSERT_BATCH
+) -> int:
+    """Buffer rows and flush every `batch_size` — the reference's
+    batch-insert loop (`Worker.php:71-80`: accumulate lines, insert in
+    one call, only then advance the offset). Factored out of the
+    executor closure so the batching contract is unit-testable with a
+    fake client. Returns rows inserted."""
+    buf: list[list] = []
+    n = 0
+    for row in rows:
+        buf.append(list(row))
+        if len(buf) >= batch_size:
+            client.insert(table, buf)
+            n += len(buf)
+            buf = []
+    if buf:
+        client.insert(table, buf)
+        n += len(buf)
+    return n
+
+
 def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
     """ClickHouse sink (reference A10: native-TCP batch insert,
     `Worker.php:71-80,:123`). Gated on an optional client lib; inserts
@@ -75,7 +100,7 @@ def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
     Spark-shaped analog of the reference's persistent connection."""
     try:
         import clickhouse_connect  # type: ignore  # noqa: F401
-    except ImportError as e:  # pragma: no cover - lib not in this env
+    except ImportError as e:
         raise NotImplementedError(
             "clickhouse-connect not installed; use the parquet sink "
             "(default) or install a ClickHouse client"
@@ -87,14 +112,10 @@ def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
 
         def _insert_partition(rows):
             client = clickhouse_connect.get_client(**opts)
-            buf = []
-            for row in rows:
-                buf.append(row)
-                if len(buf) >= 10000:
-                    client.insert(table, [list(r) for r in buf])
-                    buf.clear()
-            if buf:
-                client.insert(table, [list(r) for r in buf])
+            try:
+                insert_in_batches(client, table, rows)
+            finally:
+                client.close()
 
         batch_df.rdd.foreachPartition(_insert_partition)
 

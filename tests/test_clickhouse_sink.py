@@ -1,0 +1,67 @@
+"""ClickHouse sink contract (A10) against a fake client — the real
+lib isn't in this environment, but the batching/lifecycle logic
+(reference Worker.php:71-80,123: buffer, one insert call per batch,
+connection reused across batches) must hold regardless."""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+from log2ck_spark.config import SinkConfig
+from log2ck_spark.sink import CK_INSERT_BATCH, clickhouse_writer, insert_in_batches
+
+
+class FakeClient:
+    def __init__(self):
+        self.calls: list[tuple[str, int]] = []
+        self.closed = False
+
+    def insert(self, table, rows):
+        assert not self.closed, "insert after close"
+        self.calls.append((table, len(rows)))
+
+    def close(self):
+        self.closed = True
+
+
+def test_insert_in_batches_flushes_at_batch_size():
+    client = FakeClient()
+    n = insert_in_batches(client, "logs", iter([(i, "x")] for i in range(25_000)))
+    assert n == 25_000
+    assert [c[1] for c in client.calls] == [CK_INSERT_BATCH, CK_INSERT_BATCH, 5_000]
+    assert {c[0] for c in client.calls} == {"logs"}
+
+
+def test_insert_in_batches_small_and_empty():
+    client = FakeClient()
+    assert insert_in_batches(client, "t", iter([[1], [2]])) == 2
+    assert [c[1] for c in client.calls] == [2]
+    client2 = FakeClient()
+    assert insert_in_batches(client2, "t", iter([])) == 0
+    assert client2.calls == []
+
+
+def test_insert_in_batches_exact_multiple_no_trailing_flush():
+    client = FakeClient()
+    n = insert_in_batches(client, "t", iter([[i] for i in range(200)]), batch_size=100)
+    assert n == 200
+    assert [c[1] for c in client.calls] == [100, 100]
+
+
+def test_clickhouse_writer_raises_without_lib():
+    sys.modules.pop("clickhouse_connect", None)
+    with pytest.raises(NotImplementedError):
+        clickhouse_writer(SinkConfig(path="", options={"table": "logs"}))
+
+
+def test_clickhouse_writer_constructs_with_fake_lib(monkeypatch):
+    fake = types.ModuleType("clickhouse_connect")
+    fake.get_client = lambda **kw: FakeClient()
+    monkeypatch.setitem(sys.modules, "clickhouse_connect", fake)
+    writer = clickhouse_writer(
+        SinkConfig(path="", options={"table": "logs", "host": "h"})
+    )
+    assert callable(writer)

@@ -105,6 +105,56 @@ def test_similarity_lsh_recall_vs_exact(spark, sf_dir):
     assert hit >= 1
 
 
+def test_compaction_crash_recovery_and_hidden_state(spark, tmp_path):
+    """Simulate every crash window of the compaction swap: the table
+    must read back complete at each point, in-flight state must be
+    invisible to Spark's partition discovery, and recover_compaction
+    must restore a clean layout."""
+    import os
+
+    from log2ck_spark.maintenance import (
+        _hidden_sibling,
+        compact_partitions,
+        recover_compaction,
+    )
+
+    path = str(tmp_path / "ctable")
+    frag = spark.createDataFrame(
+        [("2024-01-01", i, f"2024-01-01 00:00:{i:02d}") for i in range(24)],
+        "log_date string, v int, created_at string",
+    ).repartition(12)
+    frag.write.partitionBy("log_date").parquet(path)
+    part = os.path.join(path, "log_date=2024-01-01")
+    expected = sorted(r["v"] for r in spark.read.parquet(path).collect())
+
+    # crash window 1: tmp fully written, swap not started
+    tmp = _hidden_sibling(part, ".compact_tmp")
+    spark.read.parquet(part).coalesce(1).write.parquet(tmp)
+    # hidden dir is invisible: read sees only the live partition
+    assert sorted(r["v"] for r in spark.read.parquet(path).collect()) == expected
+    restored = recover_compaction(path)
+    assert restored == [] and not os.path.exists(tmp)
+
+    # crash window 2: live renamed away, new dir not yet published
+    spark.read.parquet(part).coalesce(1).write.parquet(tmp)
+    old = _hidden_sibling(part, ".compact_old")
+    os.rename(part, old)
+    assert recover_compaction(path) == [part]  # old restored to live
+    assert os.path.isdir(part) and not os.path.exists(old)
+    assert not os.path.exists(tmp)
+    assert sorted(r["v"] for r in spark.read.parquet(path).collect()) == expected
+
+    # full run from the recovered state still compacts to one file
+    assert compact_partitions(spark, path, max_files=8, target_files=1) == [part]
+    n_files = sum(1 for f in os.listdir(part) if f.endswith(".parquet"))
+    assert n_files == 1
+    assert sorted(r["v"] for r in spark.read.parquet(path).collect()) == expected
+    # no hidden compaction state left behind
+    assert [
+        e for e in os.listdir(path) if e.endswith((".compact_tmp", ".compact_old"))
+    ] == []
+
+
 def test_compaction_rewrites_only_oversized_partitions(spark, tmp_path):
     from log2ck_spark.maintenance import compact_partitions, small_file_partitions
 
