@@ -55,6 +55,13 @@ class TailSpec:
     pandas_callback: Optional[PandasCallback] = None
     pandas_callback_schema: Optional[str] = None  # DDL string, required with ^
     sink: Optional[SinkConfig] = None  # per-tail override (A11)
+    # True ⇒ tail growing files byte-by-byte via the `tailf` source
+    # (A1, Worker.php:101-107); False ⇒ closed/rotated files are the
+    # ingestion unit (Spark's file source).
+    follow: bool = False
+    # Only with follow=True: start pre-existing files at EOF, like the
+    # reference with no offset cache (A2, Worker.php:176).
+    skip_history: bool = True
 
 
 @dataclass

@@ -69,13 +69,32 @@ def batch_pipeline(
 def stream_pipeline(
     spark: SparkSession, config: EngineConfig, tail: TailSpec
 ) -> tuple[DataFrame, DataFrame]:
-    """Streaming source for one tail (A1/A3): the file source discovers
-    newly closed/rotated files; `maxFilesPerTrigger` is the
-    max_sent_count analog (A9). True tail-a-growing-file is out of
-    scope for v1 (SURVEY.md §7 traps) — rotated files are the unit."""
+    """Streaming source for one tail (A1/A3).
+
+    Default (`follow=False`): the file source discovers newly
+    closed/rotated files; `maxFilesPerTrigger` is the max_sent_count
+    analog (A9) — the high-throughput bulk path.
+
+    `follow=True`: the `tailf` custom source tails GROWING files with
+    per-file byte offsets, partial-line buffering and start-at-EOF —
+    the reference Worker's exact semantics (Worker.php:101-107,176);
+    see log2ck_spark/sources/tailsource.py."""
     config.validate()
-    lines = (
-        spark.readStream.option("maxFilesPerTrigger", config.max_files_per_trigger)
-        .text(expand_date_macro(tail.path))
-    )
+    if tail.follow:
+        from log2ck_spark.sources import register_tail_source
+
+        register_tail_source(spark)
+        lines = (
+            spark.readStream.format("tailf")
+            .option("path", expand_date_macro(tail.path))
+            .option("skiphistory", "true" if tail.skip_history else "false")
+            .load()
+            .select("value")
+        )
+    else:
+        lines = (
+            spark.readStream.option(
+                "maxFilesPerTrigger", config.max_files_per_trigger
+            ).text(expand_date_macro(tail.path))
+        )
     return transform_chain(lines, tail)

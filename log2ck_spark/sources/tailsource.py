@@ -1,0 +1,181 @@
+"""True tail-a-growing-file streaming source (SURVEY.md §2 A1/A2/A3).
+
+The reference worker tails one file with byte offsets: seek to the
+stored offset, read complete lines, BUFFER any trailing partial line
+until more bytes arrive, and persist the offset only after a
+successful sink insert (`/root/reference/src/Worker.php:101-107,
+123-124`); with no cached offset it starts at the file's END, skipping
+history (`Worker.php:176`).
+
+Spark's built-in file stream can't do any of that — it only ingests
+whole closed files. This module supplies the missing semantics as a
+Python Data Source (`spark.readStream.format("tailf")`) so the rest of
+the engine stays declarative:
+
+* per-file BYTE offsets, checkpointed through Spark's own offset log —
+  resume/replay (A2) is handled by the engine, not by us;
+* partial-line buffering expressed as "the offset only ever advances
+  past the last complete newline", so a half-written line is re-read
+  on the next micro-batch instead of being emitted broken;
+* `skiphistory` (default true, the reference default): the initial
+  offset of every pre-existing file is its current size;
+* glob re-expansion every micro-batch: a rotated/new daily file (A3)
+  is picked up mid-stream at offset 0;
+* copytruncate rotation: a file that SHRANK below its stored offset
+  restarts from 0.
+
+Scale posture: a SimpleDataSourceStreamReader runs on the driver —
+correct for tailing (the reference is likewise one process per tail;
+the OS page cache serves the reads), and each tail is one lightweight
+stream. Fan-out across thousands of files belongs to the closed-file
+bulk path (`spark.readStream.text`), not a tailer.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+SCHEMA = StructType(
+    [
+        StructField("path", StringType(), nullable=False),
+        StructField("value", StringType(), nullable=False),
+    ]
+)
+
+
+def _complete_span(path: str, start: int) -> tuple[bytes, int]:
+    """Bytes of COMPLETE lines in `path` from offset `start`, plus the
+    new offset (start + bytes consumed). A trailing partial line is not
+    consumed — the offset parks just past the last newline, so the
+    fragment is re-read once the writer finishes it."""
+    size = os.path.getsize(path)
+    if size < start:  # truncated in place (copytruncate rotation)
+        start = 0
+    if size == start:
+        return b"", start
+    with open(path, "rb") as f:
+        f.seek(start)
+        chunk = f.read(size - start)
+    last_nl = chunk.rfind(b"\n")
+    if last_nl < 0:
+        return b"", start  # only a partial line so far — buffer it
+    return chunk[: last_nl + 1], start + last_nl + 1
+
+
+def _lines(raw: bytes, path: str) -> Iterator[tuple[str, str]]:
+    for line in raw.decode("utf-8", errors="replace").splitlines():
+        yield (path, line)
+
+
+class TailStreamReader(SimpleDataSourceStreamReader):
+    """Offset = {file path: byte position of the next unread byte}."""
+
+    def __init__(self, options: dict):
+        self.pattern = options.get("path", "")
+        if not self.pattern:
+            raise ValueError("tailf requires a 'path' option (file or glob)")
+        self.skip_history = (
+            str(options.get("skiphistory", "true")).lower() != "false"
+        )
+
+    def _files(self) -> list[str]:
+        return sorted(p for p in glob.glob(self.pattern) if os.path.isfile(p))
+
+    def initialOffset(self) -> dict:
+        if self.skip_history:
+            return {p: os.path.getsize(p) for p in self._files()}
+        return {p: 0 for p in self._files()}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple[str, str]], dict]:
+        # Rows are MATERIALIZED (not a generator): the engine's
+        # prefetch cache pickles the returned iterator to ship it to
+        # the executor side, and generators don't pickle. Memory is
+        # bounded by bytes appended since the previous trigger.
+        end = dict(start)
+        rows: list[tuple[str, str]] = []
+        for p in self._files():
+            raw, new_off = _complete_span(p, int(start.get(p, 0)))
+            end[p] = new_off
+            if raw:
+                rows.extend(_lines(raw, p))
+        return iter(rows), end
+
+    def readBetweenOffsets(
+        self, start: dict, end: dict
+    ) -> Iterator[tuple[str, str]]:
+        """Deterministic replay for recovery: re-read exactly the byte
+        ranges the committed offsets span."""
+        rows: list[tuple[str, str]] = []
+        for p, stop in sorted(end.items()):
+            begin = int(start.get(p, 0))
+            stop = int(stop)
+            if stop <= begin or not os.path.isfile(p):
+                continue
+            with open(p, "rb") as f:
+                f.seek(begin)
+                raw = f.read(stop - begin)
+            rows.extend(_lines(raw, p))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        # Offsets live in Spark's checkpoint offset/commit logs (the
+        # engine calls commit after the sink batch succeeds — the same
+        # "advance only after insert" contract as Worker.php:123-124).
+        pass
+
+
+class TailBatchReader(DataSourceReader):
+    """Batch analog: whole current contents of every matched file,
+    including a final unterminated line (a batch read is a snapshot,
+    not a tail)."""
+
+    def __init__(self, options: dict):
+        self.pattern = options.get("path", "")
+        if not self.pattern:
+            raise ValueError("tailf requires a 'path' option (file or glob)")
+
+    def read(self, partition) -> Iterator[tuple[str, str]]:
+        for p in sorted(glob.glob(self.pattern)):
+            if not os.path.isfile(p):
+                continue
+            with open(p, "rb") as f:
+                yield from _lines(f.read(), p)
+
+
+class TailFileDataSource(DataSource):
+    """`spark.read/readStream.format("tailf").option("path", glob)`.
+
+    Options: `path` (file or glob, required), `skiphistory`
+    ("true"/"false", streaming only, default "true" — matches the
+    reference's no-offset-cache behavior, Worker.php:176)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tailf"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema) -> TailBatchReader:
+        return TailBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> TailStreamReader:
+        return TailStreamReader(self.options)
+
+
+def register_tail_source(spark) -> None:
+    """Idempotent registration of the `tailf` format on a session."""
+    try:
+        spark.dataSource.register(TailFileDataSource)
+    except Exception as e:  # already registered → keep going
+        if "already" not in str(e).lower():
+            raise

@@ -1,0 +1,169 @@
+"""The `tailf` custom streaming source — the reference Worker's
+tail-a-growing-file semantics (A1/A2/A3): byte offsets, partial-line
+buffering, start-at-EOF, mid-stream rotation pickup, truncation."""
+
+from __future__ import annotations
+
+import time
+
+from log2ck_spark.sources import register_tail_source
+from log2ck_spark.sources.tailsource import TailStreamReader, _complete_span
+
+
+def _wait(predicate, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(0.3)
+    return False
+
+
+# ---------------------------------------------------------------- unit
+
+
+def test_complete_span_buffers_partial_line(tmp_path):
+    f = tmp_path / "a.log"
+    f.write_bytes(b"one\ntwo\npar")
+    raw, off = _complete_span(str(f), 0)
+    assert raw == b"one\ntwo\n" and off == 8  # fragment not consumed
+
+    # writer finishes the line: next read starts at the parked offset
+    f.write_bytes(b"one\ntwo\npartial\nthree\n")
+    raw, off = _complete_span(str(f), off)
+    assert raw == b"partial\nthree\n" and off == 22
+
+
+def test_complete_span_truncation_resets(tmp_path):
+    f = tmp_path / "a.log"
+    f.write_bytes(b"a long first generation\n")
+    _, off = _complete_span(str(f), 0)
+    f.write_bytes(b"new\n")  # copytruncate: size < stored offset
+    raw, off2 = _complete_span(str(f), off)
+    assert raw == b"new\n" and off2 == 4
+
+
+def test_complete_span_no_newline_yet(tmp_path):
+    f = tmp_path / "a.log"
+    f.write_bytes(b"no-newline-yet")
+    raw, off = _complete_span(str(f), 0)
+    assert raw == b"" and off == 0
+
+
+def test_stream_reader_offsets(tmp_path):
+    f = tmp_path / "app.log"
+    f.write_bytes(b"old1\nold2\n")
+    r = TailStreamReader({"path": str(tmp_path / "*.log")})
+    assert r.initialOffset() == {str(f): 10}  # skiphistory default
+
+    r0 = TailStreamReader({"path": str(tmp_path / "*.log"), "skiphistory": "false"})
+    start = r0.initialOffset()
+    assert start == {str(f): 0}
+    rows, end = r0.read(start)
+    assert list(rows) == [(str(f), "old1"), (str(f), "old2")]
+    assert end == {str(f): 10}
+    # deterministic replay of the same range
+    assert list(r0.readBetweenOffsets(start, end)) == [
+        (str(f), "old1"),
+        (str(f), "old2"),
+    ]
+    # new file appears mid-stream -> read from 0 even with skiphistory
+    g = tmp_path / "rotated.log"
+    g.write_bytes(b"fresh\n")
+    rows, end2 = r0.read(end)
+    assert list(rows) == [(str(g), "fresh")]
+    assert end2[str(g)] == 6 and end2[str(f)] == 10
+
+
+# ------------------------------------------------------------- batch
+
+
+def test_batch_read_snapshot_includes_unterminated_line(spark, tmp_path):
+    (tmp_path / "a.log").write_bytes(b"x\ny\ntail-no-nl")
+    register_tail_source(spark)
+    df = (
+        spark.read.format("tailf")
+        .option("path", str(tmp_path / "*.log"))
+        .load()
+    )
+    assert [r.value for r in df.collect()] == ["x", "y", "tail-no-nl"]
+
+
+# --------------------------------------------------------- streaming
+
+
+def test_stream_pipeline_follow_mode_parses_tailed_lines(spark, tmp_path):
+    """follow=True routes stream_pipeline through the tailf source and
+    the normal parse chain: appended monolog lines come out parsed."""
+    from log2ck_spark.config import EngineConfig, TailSpec
+    from log2ck_spark.pipeline import stream_pipeline
+
+    f = tmp_path / "app.log"
+    f.write_bytes(b"")
+    tail = TailSpec(
+        name="t1",
+        path=str(tmp_path / "*.log"),
+        repo="r1",
+        follow=True,
+        skip_history=False,
+    )
+    rows, _dead = stream_pipeline(spark, EngineConfig(tails=[tail]), tail)
+    q = (
+        rows.writeStream.format("memory")
+        .queryName("tailf_pipe")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        with open(f, "ab") as fh:
+            fh.write(b"[2024-01-01 10:00:00] app.INFO: hello {} []\n")
+            fh.flush()
+        got = lambda: spark.sql(
+            "SELECT message, level, repo FROM tailf_pipe"
+        ).collect()
+        assert _wait(lambda: len(got()) == 1), got()
+        (r,) = got()
+        assert (r.message, r.level, r.repo) == ("hello", "INFO", "r1")
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
+def test_stream_tail_growing_file_end_to_end(spark, tmp_path):
+    """Start at EOF (history skipped), append complete + partial lines,
+    see only complete ones; finish the partial line, see it arrive."""
+    f = tmp_path / "app.log"
+    f.write_bytes(b"history1\nhistory2\n")
+    register_tail_source(spark)
+    q = (
+        spark.readStream.format("tailf")
+        .option("path", str(tmp_path / "*.log"))
+        .load()
+        .writeStream.format("memory")
+        .queryName("tailf_e2e")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        seen = lambda: {r.value for r in spark.sql("SELECT * FROM tailf_e2e").collect()}
+
+        # initialOffset (the EOF pin) is computed at the FIRST trigger;
+        # appending before that would legitimately be skipped as
+        # history. Wait until the stream has made progress.
+        assert _wait(lambda: q.lastProgress is not None)
+
+        with open(f, "ab") as fh:
+            fh.write(b"live1\nlive2\nhalf")
+            fh.flush()
+        assert _wait(lambda: {"live1", "live2"} <= seen())
+        time.sleep(1.0)  # a few triggers: the fragment must NOT appear
+        assert "half" not in seen() and "history1" not in seen()
+
+        with open(f, "ab") as fh:
+            fh.write(b"done\nlive3\n")
+            fh.flush()
+        assert _wait(lambda: {"halfdone", "live3"} <= seen()), seen()
+        assert "half" not in seen()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
