@@ -54,6 +54,7 @@ def load_all() -> None:
         streamq,
         textops,
         textops2,
+        textops3,
         vectorops,
     )
 

@@ -1,0 +1,162 @@
+"""Corpus-filtering operators round 3 (SURVEY.md §2 C4 extension):
+the Gopher/C4-style document quality rules a pretraining data pipeline
+applies before dedup (Rae et al. 2021 "Scaling Language Models" App. A
+— public method). All pure column expressions over one `documents`
+scan; both queries are fully DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2ck_spark.functions.text import shingles, tokens
+from log2ck_spark.io import tbl
+from log2ck_spark.queries import register
+
+# Thresholds sized to the fixture distribution (10-99 tokens/doc) the
+# way Gopher's were sized to web text; the SHAPE of the rules is what
+# this operator demonstrates.
+_MIN_WORDS, _MAX_WORDS = 15, 90
+_MAX_DUP_TOKEN_FRAC = 0.55
+_MIN_MEAN_WORD_LEN, _MAX_MEAN_WORD_LEN = 3.0, 8.0
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, toks, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             len(list_distinct([array_to_string(toks[i:i+1], ' ')
+                                for i in range(1, greatest(len(toks) - 1, 0) + 1)]))
+               AS n_distinct_bigrams
+      FROM tok
+    ), freq AS (
+      SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+        SELECT doc_id, t, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+        GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS INTEGER) AS n_tokens,
+           1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS dup_token_frac,
+           CAST(f.top_cnt AS DOUBLE) / b.n_tokens AS top_token_frac,
+           CASE WHEN b.n_tokens > 1
+                THEN 1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / (b.n_tokens - 1)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM base b JOIN freq f USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher repetition filters):
+    duplicate-token fraction, most-frequent-token fraction, duplicate-
+    bigram fraction.
+
+    Shape: the distinct/bigram fractions are single-scan array math;
+    the top-token fraction needs one explode + two-phase hash agg
+    keyed by (doc_id, token) — the shuffle carries one row per distinct
+    (doc, token), map-side combined, then a per-doc MAX. No windows, no
+    per-row Python; at 10^10 docs this is two partial-agg passes."""
+    d = tbl(spark, sf_dir, "documents", fanout=True)
+    toks = tokens("text")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(shingles("text", w=2)).alias("n_distinct_bigrams"),
+    )
+    freq = (
+        d.select("doc_id", F.explode(toks).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    return base.join(freq, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+        (F.col("top_cnt").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+        F.when(
+            F.col("n_tokens") > 1,
+            F.lit(1.0)
+            - F.col("n_distinct_bigrams").cast("double") / (F.col("n_tokens") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, lang, source,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             CAST(len(array_to_string(toks, '')) AS DOUBLE) / len(toks)
+               AS mean_word_len,
+             len(list_filter(toks, t -> t IN ('a', 'the'))) AS n_stop
+      FROM s
+    )
+    SELECT doc_id, lang, source,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(n_tokens BETWEEN {_MIN_WORDS} AND {_MAX_WORDS} AS INTEGER)
+             AS ok_word_count,
+           CAST(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens
+                <= {_MAX_DUP_TOKEN_FRAC} AS INTEGER) AS ok_repetition,
+           CAST(mean_word_len BETWEEN {_MIN_MEAN_WORD_LEN}
+                AND {_MAX_MEAN_WORD_LEN} AS INTEGER) AS ok_word_len,
+           CAST(n_stop > 0 AS INTEGER) AS ok_stopwords,
+           CAST(n_tokens BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+            AND 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens
+                <= {_MAX_DUP_TOKEN_FRAC}
+            AND mean_word_len BETWEEN {_MIN_MEAN_WORD_LEN}
+                AND {_MAX_MEAN_WORD_LEN}
+            AND n_stop > 0 AS INTEGER) AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: each rule emitted as its own flag
+    (so a pipeline can audit WHICH rule dropped a doc — the standard
+    practice) plus the conjunctive `keep`. One scan, pure column math;
+    as a filter at 100 TB this is a codegen'd predicate the scan
+    evaluates in place."""
+    d = tbl(spark, sf_dir, "documents")
+    toks_bound = d.select("doc_id", "lang", "source", tokens("text").alias("toks"))
+    m = toks_bound.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        (
+            F.length(F.array_join("toks", "")).cast("double") / F.size("toks")
+        ).alias("mean_word_len"),
+        F.size(F.filter("toks", lambda t: t.isin("a", "the"))).alias("n_stop"),
+    )
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    ok_wc = F.col("n_tokens").between(_MIN_WORDS, _MAX_WORDS)
+    ok_rep = dup_frac <= _MAX_DUP_TOKEN_FRAC
+    ok_wl = F.col("mean_word_len").between(_MIN_MEAN_WORD_LEN, _MAX_MEAN_WORD_LEN)
+    ok_stop = F.col("n_stop") > 0
+    return m.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        ok_wc.cast("int").alias("ok_word_count"),
+        ok_rep.cast("int").alias("ok_repetition"),
+        ok_wl.cast("int").alias("ok_word_len"),
+        ok_stop.cast("int").alias("ok_stopwords"),
+        (ok_wc & ok_rep & ok_wl & ok_stop).cast("int").alias("keep"),
+    )
