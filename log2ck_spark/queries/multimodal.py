@@ -103,6 +103,105 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_docs(spark, sf_dir).mapInPandas(extract_meta, schema=META_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_digest string"
+RESIZE_SCHEMA = "doc_id bigint, orig_bytes int, thumb_bytes int, thumb_digest string"
+
+_FRAME_BYTES = 32  # fake codec: one "frame" per 32 payload bytes
+_FRAME_STRIDE = 4  # uniform sampling: keep every 4th frame
+_RESIZE_FACTOR = 4  # fake resize: keep every 4th byte
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Video frame-sampling plumbing: one input payload fans out to
+    ceil(frames/stride) frame rows. A real implementation would call
+    ffmpeg per payload here; the deterministic stand-in derives each
+    frame's digest from (payload, frame_idx) so the full fan-out is
+    byte-for-byte checkable from SQL."""
+    for pdf in batches:
+        doc_ids: list = []
+        idxs: list[int] = []
+        digs: list[str] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = max(len(b) // _FRAME_BYTES, 1)
+            for idx in range(0, n_frames, _FRAME_STRIDE):
+                doc_ids.append(doc_id)
+                idxs.append(idx)
+                digs.append(hashlib.md5(b + b":%d" % idx).hexdigest())
+        yield pd.DataFrame(
+            {"doc_id": doc_ids, "frame_idx": idxs, "frame_digest": digs}
+        )
+
+
+def resize_thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize/thumbnail plumbing: payload shrinks by _RESIZE_FACTOR
+    (fake resize = every 4th byte; a real one decodes + bilinear-
+    downsamples). Emits old/new sizes + digest of the resized bytes."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            thumb = b[::_RESIZE_FACTOR]
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "orig_bytes": len(b),
+                    "thumb_bytes": len(thumb),
+                    "thumb_digest": hashlib.md5(thumb).hexdigest(),
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(idx AS INTEGER) AS frame_idx,
+           md5(text || ':' || idx) AS frame_digest
+    FROM documents, LATERAL (
+      SELECT unnest(range(0,
+                          greatest(CAST(len(text) AS BIGINT) // {_FRAME_BYTES}, 1),
+                          {_FRAME_STRIDE})) AS idx
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads via mapInPandas — the
+    one-row-in / many-rows-out Arrow batch shape a video pipeline
+    needs (schema declared, fan-out inside the batch, no driver
+    involvement). Deterministic fake codec ⇒ fully oracle-checked."""
+    return binary_docs(spark, sf_dir).mapInPandas(
+        sample_frames, schema=FRAME_SCHEMA
+    )
+
+
+@register(
+    "multimodal_resize_fake",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             array_to_string([substr(text, CAST(i AS INTEGER), 1)
+                              for i in range(1, len(text) + 1, {_RESIZE_FACTOR})],
+                             '') AS thumb
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(text) AS INTEGER) AS orig_bytes,
+           CAST(len(thumb) AS INTEGER) AS thumb_bytes,
+           md5(thumb) AS thumb_digest
+    FROM t
+    """,
+)
+def multimodal_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize step plumbing (1:1 row mapping, payload-shrinking) via
+    mapInPandas; deterministic byte-decimation stand-in for the codec,
+    digests oracle-checked."""
+    return binary_docs(spark, sf_dir).mapInPandas(
+        resize_thumb, schema=RESIZE_SCHEMA
+    )
+
+
 @register("multimodal_decode_fake")
 def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full decode pipeline with the deterministic fake codec, then a
