@@ -287,7 +287,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("label"),
                 (F.col("nmin") < F.col("label")).alias("changed"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count right below is the
+            # materializing action, so each round runs ONE job, not
+            # two (eager checkpoint + count was 2 jobs/round).
+            .localCheckpoint(eager=False)
         )
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.select("doc_id", "label")
