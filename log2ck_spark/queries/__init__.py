@@ -69,10 +69,14 @@ def load_all() -> None:
 
 
 # The round driver hash-checks only the FIRST 50 names it sees from
-# ``__spark_entry__.queries()``; with 107 registered queries, coverage
-# has to rotate. Names listed here are surfaced first this round (see
-# ROTATION.md for the schedule); everything else keeps registration
-# order behind them. Python dicts preserve insertion order, so a plain
+# ``__spark_entry__.queries()``; with 100+ registered queries, coverage
+# has to rotate. Ordering is automatic: `_apply_rotation` reads the
+# driver's own CORRECTNESS_r*.json records and surfaces never-checked
+# names first, then the stalest (oldest last-checked round), so every
+# round maximizes fresh external evidence with no manual list edits.
+# ROTATION_FIRST remains as a manual PIN on top of the automatic order
+# (e.g. re-surfacing a query whose oracle was just upgraded); see
+# ROTATION.md. Python dicts preserve insertion order, so a plain
 # rebuild is enough.
 ROTATION_FIRST: tuple[str, ...] = (
     "dedup_near",
@@ -135,9 +139,42 @@ ROTATION_FIRST: tuple[str, ...] = (
 )
 
 
+def _last_checked_rounds() -> dict[str, int]:
+    """name -> latest round number whose CORRECTNESS_r{N}.json contains
+    a row for it (any row, green or err, counts as external evidence
+    that round). Missing/unreadable files are simply skipped."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    repo_root = _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    last: dict[str, int] = {}
+    for path in sorted(_glob.glob(_os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
 def _apply_rotation() -> None:
-    ordered = [n for n in ROTATION_FIRST if n in QUERIES]
-    ordered += [n for n in QUERIES if n not in ROTATION_FIRST]
+    last = _last_checked_rounds()
+    reg_index = {n: i for i, n in enumerate(QUERIES)}
+    pinned = [n for n in ROTATION_FIRST if n in QUERIES]
+    rest = sorted(
+        (n for n in QUERIES if n not in set(pinned)),
+        key=lambda n: (last.get(n, -1), reg_index[n]),
+    )
+    ordered = pinned + rest
     for reg in (QUERIES, ORACLES):
         snapshot = dict(reg)
         reg.clear()
