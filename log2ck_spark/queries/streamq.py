@@ -95,6 +95,39 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(tbl(spark, sf_dir, "events"))
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch hash-joins
+    against the (broadcast) static dimension — Spark re-reads the dim
+    per batch, so a slowly-changing dim is picked up without restarts.
+    Used by both the batch query below and the streaming test."""
+    return (
+        events.join(F.broadcast(dim), events.user_id % 25 == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n, {sum_value}
+    FROM events e JOIN customer c ON e.user_id % 25 = c.c_custkey
+    GROUP BY 1, 2
+    """.format(sum_value=oracle_dsum("e.value", "sum_value")),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (the streaming-ingest analog of A8's
+    literal enrichment, but against a lookup TABLE): micro-batches
+    broadcast-join a dimension, then window/agg as usual. Batch analog
+    here (identical plan semantics); the true readStream execution is
+    exercised in tests/test_streaming_extras.py. The surrogate join
+    key (user_id % 25) maps fixture users onto customer keys."""
+    ev = tbl(spark, sf_dir, "events")
+    dim = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return enrich_with_dim(ev, dim)
+
+
 @register(
     "stream_dedup",
     oracle="""

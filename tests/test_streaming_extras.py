@@ -17,6 +17,48 @@ def _wait(pred, timeout=60):
     return False
 
 
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """stream_static_join's TRUE streaming execution: a rate-less file
+    stream of events micro-batch-joins the broadcast customer dim and
+    lands the aggregated enrichment in a memory sink."""
+    from pyspark.sql import functions as F
+
+    from log2ck_spark.io import tbl
+    from log2ck_spark.queries.streamq import enrich_with_dim
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = str(tmp_path / "evstream")
+    tbl(spark, sf_dir, "events").limit(500).coalesce(1).write.parquet(src)
+    dim = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        enrich_with_dim(stream, dim)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enriched")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        expected = (
+            enrich_with_dim(tbl(spark, sf_dir, "events").limit(0), dim).columns
+        )
+
+        def rows():
+            return spark.sql("SELECT * FROM enriched").collect()
+
+        assert _wait(lambda: len(rows()) > 0)
+        got = rows()
+        assert set(got[0].asDict()) == set(expected)
+        # every batch row joined a real segment value
+        assert all(r["c_mktsegment"] is not None and r["n"] > 0 for r in got)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
 def test_dead_letter_stream_and_listener(spark, tmp_path):
     listener = OpsLogListener(log_dir=str(tmp_path / "oplogs"), echo=False)
     spark.streams.addListener(listener)
