@@ -129,6 +129,59 @@ def test_stream_pipeline_follow_mode_parses_tailed_lines(spark, tmp_path):
         q.awaitTermination(30)
 
 
+def test_tailf_checkpoint_restart_resumes_offsets(spark, tmp_path):
+    """A2 for the custom source: stop a tailf query, append more bytes,
+    restart from the same checkpoint — appended lines arrive exactly
+    once, nothing is re-emitted, nothing is lost."""
+    f = tmp_path / "app.log"
+    f.write_bytes(b"")
+    register_tail_source(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("tailf")
+            .option("path", str(tmp_path / "*.log"))
+            .option("skiphistory", "false")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    def values():
+        try:
+            return sorted(r.value for r in spark.read.parquet(out).collect())
+        except Exception:
+            return []
+
+    q = start()
+    try:
+        with open(f, "ab") as fh:
+            fh.write(b"a1\na2\n")
+        assert _wait(lambda: values() == ["a1", "a2"]), values()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    # offline append while no query runs
+    with open(f, "ab") as fh:
+        fh.write(b"b1\nb2\n")
+
+    q = start()
+    try:
+        assert _wait(lambda: values() == ["a1", "a2", "b1", "b2"]), values()
+        # a few extra triggers must not duplicate anything
+        time.sleep(1.0)
+        assert values() == ["a1", "a2", "b1", "b2"]
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
 def test_stream_tail_growing_file_end_to_end(spark, tmp_path):
     """Start at EOF (history skipped), append complete + partial lines,
     see only complete ones; finish the partial line, see it arrive."""
