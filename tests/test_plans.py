@@ -70,6 +70,26 @@ def test_dedup_embedding_anchor_probe_not_all_pairs(spark, sf_dir):
     assert re.search(r"%\s*20\)?\s*=\s*0", plan), plan[:2000]
 
 
+def test_stream_static_join_broadcasts_dim(spark, sf_dir):
+    plan = _plan(spark, "stream_static_join", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan
+    assert "partial" in plan.lower()  # map-side combine after the join
+
+
+def test_gopher_rules_single_scan_no_shuffle(spark, sf_dir):
+    """The quality gate is pure per-row column math — the plan must be
+    one scan stage with zero exchanges."""
+    plan = _plan(spark, "text_gopher_rules", sf_dir)
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_repetition_stats_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "text_repetition_stats", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
     """The `*(n)` markers are whole-stage-codegen stage labels; AQE
     only materializes them in the final plan, so execute first."""
