@@ -84,6 +84,53 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           {avg_disc}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """.format(avg_disc=oracle_davg("l.l_discount", "avg_discount")),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicate join — the manual fix for a hot join key when the
+    small side is still too big to broadcast (or the engine predates
+    AQE skew splitting; Spark's AQE handles sort-merge skew, but a
+    replicated salt is the portable technique streaming joins and
+    older stacks still need).
+
+    Probe side (lineitem) tags each row with salt =
+    xxhash64(row-unique) % S; build side (orders) replicates every row
+    S times via posexplode. The join key becomes (orderkey, salt): a
+    key owning 30% of the probe rows now spreads over S reducers, at
+    the cost of an S× build-side blowup — which is why S stays small
+    and why this pairs with an aggregation that collapses the result
+    immediately. Result is EXACTLY the plain join (oracle-checked)."""
+    S = 8
+    li = tbl(spark, sf_dir, "lineitem").withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_partkey", "l_suppkey"), F.lit(S)),
+    )
+    od = (
+        tbl(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("_salt"))
+    )
+    joined = li.hint("shuffle_hash").join(
+        od,
+        (li.l_orderkey == od.o_orderkey) & (li._salt == od._salt),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+            / F.count("l_discount")
+        ).alias("avg_discount"),
+    )
+
+
+@register(
     "join_bucketed_colocated",
     oracle="""
     SELECT o.o_orderpriority,

@@ -141,6 +141,16 @@ def test_bucketed_join_no_exchange_before_join(spark, sf_dir):
     assert "Bucketed: true" in join_part, join_part[:2000]
 
 
+def test_salted_join_spreads_key_over_salt(spark, sf_dir):
+    """The join key must be the (orderkey, salt) composite — i.e. the
+    exchange hashes on both — and no broadcast may collapse the demo
+    back to a single-reducer-per-key plan."""
+    plan = _plan(spark, "join_skew_salted", sf_dir)
+    assert "_salt" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_salted_agg_two_phase(spark, sf_dir):
     """The salt phase must actually spread the hot key: plan contains
     two distinct hashpartitioning exchanges (key+salt, then key)."""

@@ -75,6 +75,27 @@ def test_stream_reader_offsets(tmp_path):
     assert end2[str(g)] == 6 and end2[str(f)] == 10
 
 
+def test_stream_reader_survives_delete_and_recreate(tmp_path):
+    """Log deletion mid-stream must not crash the reader; a recreated
+    (smaller) file restarts from 0 via the truncation check."""
+    import os
+
+    f = tmp_path / "app.log"
+    f.write_bytes(b"gen1-line\n")
+    r = TailStreamReader({"path": str(tmp_path / "*.log"), "skiphistory": "false"})
+    rows, off = r.read(r.initialOffset())
+    assert [v for _, v in rows] == ["gen1-line"]
+
+    os.remove(f)
+    rows, off2 = r.read(off)  # no file -> no rows, offsets retained
+    assert list(rows) == [] and off2 == off
+
+    f.write_bytes(b"gen2\n")  # logrotate create-mode: same name, new file
+    rows, off3 = r.read(off2)
+    assert [v for _, v in rows] == ["gen2"]
+    assert off3[str(f)] == 5
+
+
 # ------------------------------------------------------------- batch
 
 
