@@ -97,3 +97,58 @@ class EngineConfig:
 
 
 DEFAULT_PATTERN = MONOLOG_PATTERN
+
+
+def load_config(path: str) -> EngineConfig:
+    """Load an EngineConfig from a file — the analog of the reference
+    loading its PHP config array (`ToolsTraits.php:17-27`).
+
+    * ``.json``: declarative fields only (no callbacks) — tails, sink,
+      checkpoint/trigger settings. Unknown keys are rejected so typos
+      fail at load time, like the reference's assert-on-load.
+    * ``.py``: executed; must define ``CONFIG = EngineConfig(...)`` —
+      the closure-capable form matching the reference's ability to
+      embed callbacks in config (`readme.md:82-85`).
+    """
+    if path.endswith(".py"):
+        import runpy
+
+        ns = runpy.run_path(path)
+        cfg = ns.get("CONFIG")
+        if not isinstance(cfg, EngineConfig):
+            raise ValueError(f"{path} must define CONFIG = EngineConfig(...)")
+        return cfg.validate()
+    if path.endswith(".json"):
+        import json
+
+        with open(path) as f:
+            raw = json.load(f)
+
+        def _sink(d: dict) -> SinkConfig:
+            known = {f.name for f in SinkConfig.__dataclass_fields__.values()}
+            bad = set(d) - known
+            if bad:
+                raise ValueError(f"unknown sink keys: {sorted(bad)}")
+            if "sort_cols" in d:
+                d["sort_cols"] = tuple(d["sort_cols"])
+            return SinkConfig(**d)
+
+        def _tail(d: dict) -> TailSpec:
+            known = {f.name for f in TailSpec.__dataclass_fields__.values()}
+            bad = set(d) - known
+            if bad:
+                raise ValueError(f"unknown tail keys: {sorted(bad)}")
+            if "sink" in d and d["sink"] is not None:
+                d["sink"] = _sink(dict(d["sink"]))
+            if "groups" in d:
+                d["groups"] = tuple(d["groups"])
+            return TailSpec(**d)
+
+        known = {f.name for f in EngineConfig.__dataclass_fields__.values()}
+        bad = set(raw) - known
+        if bad:
+            raise ValueError(f"unknown config keys: {sorted(bad)}")
+        tails = [_tail(dict(t)) for t in raw.pop("tails", [])]
+        sink = _sink(dict(raw.pop("sink", {})))
+        return EngineConfig(tails=tails, sink=sink, **raw).validate()
+    raise ValueError(f"unsupported config format: {path} (use .json or .py)")
