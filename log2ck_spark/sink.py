@@ -93,6 +93,49 @@ def insert_in_batches(
     return n
 
 
+# In-process memory sink (kind="memory"): rows land in a named list —
+# for tests and interactive debugging, mirroring Spark's own memory
+# format but usable from foreachBatch.
+_MEMORY_SINKS: dict[str, list] = {}
+
+
+def memory_rows(name: str = "default") -> list:
+    return _MEMORY_SINKS.get(name, [])
+
+
+def writer_for(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
+    """Dispatch on SinkConfig.kind — parquet (default) | clickhouse |
+    delta | memory. Optional backends fail loudly at CONFIG time (here)
+    rather than mid-stream."""
+    if sink.kind == "parquet":
+        return foreach_batch_writer(sink)
+    if sink.kind == "clickhouse":
+        return clickhouse_writer(sink)
+    if sink.kind == "memory":
+        name = str(sink.options.get("name", "default"))
+
+        def _write_mem(batch_df: DataFrame, batch_id: int) -> None:
+            _MEMORY_SINKS.setdefault(name, []).extend(batch_df.collect())
+
+        return _write_mem
+    if sink.kind == "delta":
+        try:
+            import delta  # type: ignore  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "delta-spark not installed; use the parquet sink"
+            ) from e
+
+        def _write_delta(batch_df: DataFrame, batch_id: int) -> None:  # pragma: no cover
+            w = batch_df.write.format("delta").mode("append")
+            if sink.partition_col in batch_df.columns:
+                w = w.partitionBy(sink.partition_col)
+            w.save(sink.path)
+
+        return _write_delta
+    raise ValueError(f"unknown sink kind: {sink.kind!r}")
+
+
 def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
     """ClickHouse sink (reference A10: native-TCP batch insert,
     `Worker.php:71-80,:123`). Gated on an optional client lib; inserts

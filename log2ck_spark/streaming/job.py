@@ -21,7 +21,7 @@ from pyspark.sql.streaming import StreamingQuery
 from log2ck_spark.config import EngineConfig, TailSpec
 from log2ck_spark.functions.numeric import dsum
 from log2ck_spark.pipeline import stream_pipeline
-from log2ck_spark.sink import foreach_batch_writer
+from log2ck_spark.sink import writer_for
 
 
 def run_ingest_stream(
@@ -41,7 +41,7 @@ def run_ingest_stream(
     rows, dead = stream_pipeline(spark, config, tail)
     sink = config.sink_for(tail)
     checkpoint = os.path.join(config.checkpoint_root, tail.name)
-    writer = foreach_batch_writer(sink)
+    writer = writer_for(sink)  # dispatch on sink.kind (A10/A11)
     main_q = (
         rows.writeStream.foreachBatch(writer)
         .option("checkpointLocation", checkpoint)

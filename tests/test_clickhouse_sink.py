@@ -57,6 +57,33 @@ def test_clickhouse_writer_raises_without_lib():
         clickhouse_writer(SinkConfig(path="", options={"table": "logs"}))
 
 
+def test_writer_for_dispatches_on_kind():
+    from log2ck_spark.sink import foreach_batch_writer, writer_for
+
+    pq = writer_for(SinkConfig(path="/x", kind="parquet"))
+    assert callable(pq) and pq.__qualname__ == (
+        foreach_batch_writer(SinkConfig(path="/x")).__qualname__
+    )
+    with pytest.raises(NotImplementedError):  # no clickhouse lib here
+        writer_for(SinkConfig(path="", kind="clickhouse", options={"table": "t"}))
+    with pytest.raises(NotImplementedError):  # no delta lib here
+        writer_for(SinkConfig(path="/x", kind="delta"))
+    with pytest.raises(ValueError, match="unknown sink kind"):
+        writer_for(SinkConfig(path="/x", kind="kafka"))
+
+
+def test_memory_sink_collects_rows(spark):
+    from log2ck_spark.sink import memory_rows, writer_for
+    from log2ck_spark.sink import _MEMORY_SINKS
+
+    _MEMORY_SINKS.pop("t1", None)
+    w = writer_for(SinkConfig(kind="memory", options={"name": "t1"}))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    w(df, 0)
+    w(df.filter("id = 1"), 1)
+    assert [(r.id, r.s) for r in memory_rows("t1")] == [(1, "a"), (2, "b"), (1, "a")]
+
+
 def test_clickhouse_writer_constructs_with_fake_lib(monkeypatch):
     fake = types.ModuleType("clickhouse_connect")
     fake.get_client = lambda **kw: FakeClient()
