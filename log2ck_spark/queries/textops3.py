@@ -93,6 +93,92 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KGRAM = 5  # winnowing: k-gram width (tokens)
+_WINNOW_W = 4  # window of consecutive k-gram hashes; one min kept per window
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), kh AS (
+      SELECT doc_id,
+             [CAST(('0x' || substr(md5(array_to_string(
+                  toks[i:i+{_KGRAM - 1}], ' ')), 1, 15)) AS BIGINT)
+              for i in range(1, greatest(len(toks) - {_KGRAM - 1}, 0) + 1)] AS h
+      FROM tok
+    ), win AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               [list_min(h[i:i+{_WINNOW_W - 1}])
+                for i in range(1, greatest(len(h) - {_WINNOW_W - 1}, 0) + 1)]
+             )) AS fp
+      FROM kh
+    )
+    SELECT doc_id,
+           CAST(len(fp) AS INTEGER) AS n_fingerprints,
+           md5(array_to_string(fp, ',')) AS fp_digest
+    FROM win
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm, public): hash every token k-gram
+    with a portable 60-bit md5-derived hash, slide a window of
+    _WINNOW_W consecutive hashes, keep each window's minimum. The
+    selected set is position-robust — two documents sharing a long
+    span share fingerprints regardless of offset — which is what makes
+    it the standard containment/overlap detector (vs `text_fingerprint`
+    which hashes the whole doc).
+
+    All codegen'd array expressions over one scan: k-gram hashes and
+    window minima are transform(sequence(...)) with the arrays BOUND
+    between selects (projection collapse would otherwise re-evaluate
+    the hash array once per window). Emitted as (count, digest of the
+    sorted set) per doc so the oracle compares the exact set without
+    hashing array-typed columns."""
+    d = tbl(spark, sf_dir, "documents", fanout=True)
+    toksed = d.select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks")
+    kidx = F.sequence(F.lit(1), n - F.lit(_KGRAM - 1))
+    kgram_hash = lambda i: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.array_join(F.slice("toks", i, _KGRAM), " ")), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+    )
+    hashed = toksed.select(
+        "doc_id",
+        F.when(n >= _KGRAM, F.transform(kidx, kgram_hash))
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("h"),
+    )
+    nh = F.size("h")
+    widx = F.sequence(F.lit(1), nh - F.lit(_WINNOW_W - 1))
+    winnowed = hashed.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.when(
+                    nh >= _WINNOW_W,
+                    F.transform(
+                        widx, lambda i: F.array_min(F.slice("h", i, _WINNOW_W))
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            )
+        ).alias("fp"),
+    )
+    return winnowed.select(
+        "doc_id",
+        F.size("fp").cast("int").alias("n_fingerprints"),
+        F.md5(F.array_join(F.col("fp").cast("array<string>"), ",")).alias(
+            "fp_digest"
+        ),
+    )
+
+
 @register(
     "text_gopher_rules",
     oracle=f"""
