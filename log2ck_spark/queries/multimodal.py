@@ -202,11 +202,28 @@ def multimodal_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_fake")
+@register(
+    "multimodal_decode_fake",
+    oracle="""
+    WITH d AS (
+      SELECT 16 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 16
+               AS width,
+             16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 16
+               AS height
+      FROM documents
+    )
+    SELECT width, height,
+           COUNT(*) AS n_docs,
+           CAST(SUM(width * height) AS BIGINT) AS total_pixels
+    FROM d GROUP BY width, height
+    """,
+)
 def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full decode pipeline with the deterministic fake codec, then a
-    typed aggregate over the decoded stats (rows-only check: the fake
-    codec's md5-derived dims aren't SQL-expressible)."""
+    typed aggregate over the decoded stats. The fake dims derive from
+    the payload's md5 bytes (digest[0]/digest[1] = first two hex byte
+    pairs), which DuckDB reproduces — so even the STUBBED decode path
+    is value-checked end-to-end, not rows-only."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return decode_image(batches, fake=True)
