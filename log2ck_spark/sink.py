@@ -48,19 +48,36 @@ def write_batch(df: DataFrame, sink: SinkConfig) -> None:
 def foreach_batch_writer(
     sink: SinkConfig, dead_letter_path: str | None = None
 ) -> Callable[[DataFrame, int], None]:
-    """foreachBatch function for streaming writes (A10). Appends each
-    micro-batch to the partitioned table; exactly-once comes from the
-    checkpoint's commit log + idempotent file naming per batch.
+    """foreachBatch function for streaming writes (A10).
 
-    The reference commits its line offset only after a successful
-    insert (`Worker.php:123-124`) ⇒ at-least-once; Structured
-    Streaming's offset/commit logs give the same replay guarantee with
-    engine-managed checkpoints (SURVEY.md §2 A2).
+    Delivery guarantee — stated precisely: the engine's offset/commit
+    logs re-run a micro-batch only if it never committed, so the
+    normal path executes each batch once. A crash MID-batch (files
+    written, commit log not) replays the batch and re-appends ⇒
+    **at-least-once**, exactly the reference's insert-then-save-offset
+    contract (`Worker.php:123-124`). For exactly-once, set
+    `options={"idempotent": True}`: each batch then OVERWRITES its own
+    `batch_id=<id>` subdirectory, so a replayed batch replaces its
+    half-written files instead of duplicating them; `batch_id` simply
+    becomes the table's outer partition column (partition discovery
+    handles the extra level). Transactional formats (Delta/Iceberg)
+    subsume this with a commit protocol.
     """
+    idempotent = bool(sink.options.get("idempotent", False))
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_df
-        if sink.partition_col in batch_df.columns:
+        if idempotent:
+            import os
+
+            target = os.path.join(sink.path, f"batch_id={batch_id}")
+            if sink.partition_col in batch_df.columns:
+                out.write.mode("overwrite").partitionBy(sink.partition_col).parquet(
+                    target
+                )
+            else:
+                out.write.mode("overwrite").parquet(target)
+        elif sink.partition_col in batch_df.columns:
             out.write.mode("append").partitionBy(sink.partition_col).parquet(sink.path)
         else:
             out.write.mode("append").parquet(sink.path)

@@ -84,6 +84,32 @@ def test_memory_sink_collects_rows(spark):
     assert [(r.id, r.s) for r in memory_rows("t1")] == [(1, "a"), (2, "b"), (1, "a")]
 
 
+def test_idempotent_batch_writer_replay_does_not_duplicate(spark, tmp_path):
+    """Simulate a mid-batch crash replay: running the same batch_id
+    twice must leave exactly one copy (overwrite), while the plain
+    append mode duplicates — the documented at-least-once difference."""
+    from log2ck_spark.sink import foreach_batch_writer
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2)], "log_date string, v int"
+    )
+
+    idem = foreach_batch_writer(
+        SinkConfig(path=str(tmp_path / "idem"), options={"idempotent": True})
+    )
+    idem(df, 7)
+    idem(df, 7)  # replay of the same micro-batch
+    idem(df, 8)
+    got = spark.read.parquet(str(tmp_path / "idem"))
+    assert got.count() == 4  # batch 7 once + batch 8 once
+    assert {r.batch_id for r in got.select("batch_id").distinct().collect()} == {7, 8}
+
+    plain = foreach_batch_writer(SinkConfig(path=str(tmp_path / "plain")))
+    plain(df, 7)
+    plain(df, 7)
+    assert spark.read.parquet(str(tmp_path / "plain")).count() == 4  # duplicated
+
+
 def test_clickhouse_writer_constructs_with_fake_lib(monkeypatch):
     fake = types.ModuleType("clickhouse_connect")
     fake.get_client = lambda **kw: FakeClient()
