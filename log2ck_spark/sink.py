@@ -32,11 +32,15 @@ def write_batch(df: DataFrame, sink: SinkConfig) -> None:
             # Repartition on (date, hash-bucket): plain repartition
             # (date) collapsed each date onto ONE task, so a hot date
             # serialized the whole write. The bucket expression spreads
-            # every date over WRITE_BUCKETS writers while keeping the
-            # file count per date bounded; sortWithinPartitions still
-            # gives each output file parquet min/max row-group stats
-            # (ranges may overlap across a date's files — skipping
-            # stays effective within each file).
+            # every date over up to WRITE_BUCKETS writers; because the
+            # repartition carries no explicit partition count, AQE
+            # remains free to COALESCE the buckets of small dates back
+            # together — cold dates still produce one file, only dates
+            # bigger than the advisory partition size actually fan out
+            # (asserted in tests). sortWithinPartitions still gives
+            # each output file parquet min/max row-group stats (ranges
+            # may overlap across a hot date's files — skipping stays
+            # effective within each file).
             bucket = F.pmod(F.xxhash64(*sort_cols), F.lit(WRITE_BUCKETS))
             out = out.repartition(F.col(sink.partition_col), bucket)
             out = out.sortWithinPartitions(*sort_cols)

@@ -84,6 +84,40 @@ def test_memory_sink_collects_rows(spark):
     assert [(r.id, r.s) for r in memory_rows("t1")] == [(1, "a"), (2, "b"), (1, "a")]
 
 
+def test_write_batch_spreads_hot_date_over_writers(spark, tmp_path):
+    """One hot date must land in MULTIPLE files (bucketed writers), not
+    serialize onto a single task's single file."""
+    import os
+
+    from log2ck_spark.sink import write_batch
+
+    df = spark.createDataFrame(
+        [("2024-01-01", i, f"2024-01-01 00:{i % 60:02d}:{i % 60:02d}") for i in range(4000)],
+        "log_date string, v int, created_at string",
+    ).repartition(16)
+    sink = SinkConfig(path=str(tmp_path / "t"))
+    # At fixture size AQE rightly coalesces everything to one writer
+    # (no small-file explosion for cold dates). Simulate a HOT date by
+    # shrinking the advisory partition size so the buckets exceed it —
+    # the production condition under which the spread must kick in.
+    confs = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        write_batch(df, sink)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    part = os.path.join(str(tmp_path / "t"), "log_date=2024-01-01")
+    n_files = sum(1 for f in os.listdir(part) if f.endswith(".parquet"))
+    assert 1 < n_files <= 8, n_files  # spread, but bounded by WRITE_BUCKETS
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 4000
+
+
 def test_idempotent_batch_writer_replay_does_not_duplicate(spark, tmp_path):
     """Simulate a mid-batch crash replay: running the same batch_id
     twice must leave exactly one copy (overwrite), while the plain
