@@ -157,6 +157,54 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_embedding_lsh")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-CORPUS embedding near-dup at scale: hyperplane-LSH bucket
+    the whole table, generate candidate pairs only WITHIN buckets,
+    exact-cosine verify the candidates (precision 1.0 by construction;
+    recall vs the exact join is seed-dependent and asserted in tests).
+
+    This is the scale path `queries.dedup.dedup_embedding` (exact,
+    anchor-bounded) points at: no corpus×corpus join anywhere — the
+    only shuffles are the bucket grouping (uniform 64-bit-ish keys)
+    and the candidate-payload joins sized by |candidates|. With
+    t tables × b bits, a bucket holds ~n/2^b vectors; per-bucket pair
+    expansion is the classic LSH candidate cost. Rows-only check
+    (seeded-numpy planes aren't SQL-expressible); DuckDB ground truth
+    drives the recall test instead."""
+    from log2ck_spark.queries.dedup import _candidate_pairs
+
+    threshold = 0.4
+    e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    dim = e.select(F.size("v").alias("d")).first().d
+    # Recall-first banding: the 0.4 threshold sits at a wide angle
+    # (66°), so per-bit agreement is only ~0.63 — few bits per table,
+    # many tables (16×4 ⇒ theoretical recall ≈ 0.94, measured ~0.9 at
+    # sf0.01; 8×6 measured 0.41). Coarser buckets cost candidate
+    # expansion (n/16 per bucket), the price of a low threshold.
+    n_tables, bits = 16, 4
+    sig_udf = plane_signatures(_hyperplanes(dim, n_tables * bits, seed=7), bits)
+    buckets = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.posexplode(sig_udf("v")).alias("table", "sig"),
+    )
+    cand = _candidate_pairs(buckets, ["table", "sig"]).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    pa = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    pb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(pa, "vec_a")
+        .join(pb, "vec_b")
+        .select(
+            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 @register("similarity_ivf")
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer -> assign each

@@ -105,6 +105,40 @@ def test_similarity_lsh_recall_vs_exact(spark, sf_dir):
     assert hit >= 1
 
 
+def test_dedup_embedding_lsh_recall_and_precision(spark, sf_dir):
+    """Full-corpus LSH near-dup vs brute-force ground truth: precision
+    must be 1.0 (exact verify step), recall high (16x4 banding)."""
+    from pyspark.sql import functions as F
+
+    from log2ck_spark.functions.vectors import as_double, cosine
+    from log2ck_spark.io import tbl
+    from log2ck_spark.queries import QUERIES, load_all
+
+    load_all()
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    truth = {
+        (r.x, r.y)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("x"),
+            F.col("b.vec_id").alias("y"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.4)
+        .collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["dedup_embedding_lsh"](spark, sf_dir).collect()
+    }
+    assert got <= truth, got - truth  # precision 1.0 by construction
+    assert truth, "fixture should contain near-dup pairs"
+    assert len(got & truth) / len(truth) >= 0.8, (len(got), len(truth))
+
+
 def test_compaction_crash_recovery_and_hidden_state(spark, tmp_path):
     """Simulate every crash window of the compaction swap: the table
     must read back complete at each point, in-flight state must be
