@@ -153,6 +153,51 @@ def resize_thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows)
 
 
+FEATURE_SCHEMA = "doc_id bigint, pos int, feat double"
+_N_FEATURES = 8
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature-extraction plumbing: payload -> small float vector
+    (a real pipeline would run an image/audio encoder here). The
+    deterministic stand-in maps the payload digest's first bytes to
+    [0, 1] floats; emitted LONG-FORM (doc_id, pos, feat) so the exact
+    values are hash-comparable cross-engine without array columns."""
+    for pdf in batches:
+        doc_ids: list = []
+        poss: list[int] = []
+        feats: list[float] = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            digest = hashlib.md5(bytes(payload)).digest()
+            for i in range(_N_FEATURES):
+                doc_ids.append(doc_id)
+                poss.append(i + 1)
+                feats.append(round(digest[i] / 255.0, 6))
+        yield pd.DataFrame({"doc_id": doc_ids, "pos": poss, "feat": feats})
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS pos,
+           ROUND(CAST(('0x' || substr(md5(text), 2 * i - 1, 2)) AS INTEGER)
+                 / 255.0, 6) AS feat
+    FROM documents, LATERAL (
+      SELECT unnest(range(1, {_N_FEATURES + 1})) AS i
+    )
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> feature vector via mapInPandas (the encoder
+    slot of an embedding pipeline; deterministic fake encoder keeps it
+    fully value-checked — each md5 byte i is hex pair 2i-1..2i, which
+    DuckDB reproduces)."""
+    return binary_docs(spark, sf_dir).mapInPandas(
+        extract_features, schema=FEATURE_SCHEMA
+    )
+
+
 @register(
     "multimodal_frame_sample",
     oracle=f"""
