@@ -169,9 +169,18 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffles are the bucket grouping (uniform 64-bit-ish keys)
     and the candidate-payload joins sized by |candidates|. With
     t tables × b bits, a bucket holds ~n/2^b vectors; per-bucket pair
-    expansion is the classic LSH candidate cost. Rows-only check
-    (seeded-numpy planes aren't SQL-expressible); DuckDB ground truth
-    drives the recall test instead."""
+    expansion is the classic LSH candidate cost.
+
+    Scale honesty: bits must grow with log(n) to keep buckets bounded,
+    and how many tables that costs is THRESHOLD-driven. The fixture's
+    0.4 threshold sits at a 66° angle (per-bit agreement 0.63), forcing
+    coarse 4-bit buckets — fine at test scale, O(n²/2^b) beyond it.
+    Production near-dup thresholds (cos ≥ 0.9, 26°, per-bit 0.86) keep
+    recall ≈ 0.94 at 16 bits × 32 tables with tiny buckets — that
+    configuration scales to 10^9 vectors; for wide-angle thresholds use
+    IVF (similarity_ivf's shape) or an ANN graph instead of LSH.
+    Rows-only check (seeded-numpy planes aren't SQL-expressible);
+    brute-force ground truth drives the recall test instead."""
     from log2ck_spark.queries.dedup import _candidate_pairs
 
     threshold = 0.4
