@@ -142,3 +142,50 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM assigned GROUP BY 1
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-
+    independent key hash — THE property a training split needs: stable
+    under reruns, re-partitioning, and corpus growth (a doc never
+    migrates between splits when new docs arrive, unlike randomSplit
+    or row_number ranges). md5(doc_id)'s first 32 bits mod 100 is
+    engine-portable, so the oracle reproduces the exact assignment.
+    Narrow map + one partial-agg shuffle; as a filter (split='train')
+    it's a codegen'd predicate in the scan."""
+    d = tbl(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
