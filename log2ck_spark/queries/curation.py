@@ -189,3 +189,81 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+@register(
+    "curate_pipeline",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, n_chars, string_split(text, ' ') AS t FROM documents
+    ), kept AS (
+      SELECT doc_id, text, n_chars FROM toks
+      WHERE len(t) BETWEEN 15 AND 90
+        AND 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) <= 0.55
+        AND CAST(len(array_to_string(t, '')) AS DOUBLE) / len(t)
+            BETWEEN 3.0 AND 8.0
+        AND len(list_filter(t, x -> x IN ('a', 'the'))) > 0
+    ), dedup AS (
+      SELECT MIN(doc_id) AS doc_id, ANY_VALUE(n_chars) AS n_chars
+      FROM kept GROUP BY md5(text)
+    ), assigned AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM dedup
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM assigned GROUP BY 1
+    """,
+)
+def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation flow as ONE composed Spark plan:
+    Gopher quality gate (codegen'd scan predicate) → exact dedup
+    (md5 groupBy, min-doc_id canonical) → deterministic 80/10/10
+    split → per-split accounting. Demonstrates that the operator
+    library composes: Catalyst fuses the filter into the scan, the
+    dedup is the only wide shuffle (16-byte digests), and the split
+    assignment rides the dedup output map-side. This is the shape a
+    nightly corpus build runs at 100 TB — filter early (cheapest),
+    shuffle digests once, never shuffle text twice."""
+    from log2ck_spark.queries.textops3 import (
+        _MAX_DUP_TOKEN_FRAC,
+        _MAX_MEAN_WORD_LEN,
+        _MAX_WORDS,
+        _MIN_MEAN_WORD_LEN,
+        _MIN_WORDS,
+    )
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", tokens("text").alias("t")
+    )
+    n = F.size("t")
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("t")).cast("double") / n
+    mean_wl = F.length(F.array_join("t", "")).cast("double") / n
+    n_stop = F.size(F.filter("t", lambda x: x.isin("a", "the")))
+    kept = d.filter(
+        n.between(_MIN_WORDS, _MAX_WORDS)
+        & (dup_frac <= _MAX_DUP_TOKEN_FRAC)
+        & mean_wl.between(_MIN_MEAN_WORD_LEN, _MAX_MEAN_WORD_LEN)
+        & (n_stop > 0)
+    )
+    dedup = kept.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"), F.first("n_chars").alias("n_chars")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        dedup.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
