@@ -815,11 +815,13 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, COUNT(*) AS n,
            {mean},
-           ROUND(sqrt(greatest(
-             (CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
-              - pow(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
-                / COUNT(*))
-             / (COUNT(*) - 1), 0.0)), 6) AS std
+           CASE WHEN COUNT(*) > 1 THEN
+             ROUND(sqrt(greatest(
+               (CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
+                - pow(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+                  / COUNT(*))
+               / (COUNT(*) - 1), 0.0)), 6)
+           END AS std
     FROM events GROUP BY event_type
     """.format(
         mean="ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
@@ -840,7 +842,12 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         n.alias("n"),
         F.round(s / n, 6).alias("mean"),
-        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std"),
+        # sample stddev is undefined for n=1 (the n-1 denominator):
+        # NULL, like stddev_samp — under ANSI mode the unguarded
+        # division aborts the whole job on any single-row group.
+        F.when(
+            n > 1, F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+        ).alias("std"),
     )
 
 

@@ -244,6 +244,11 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     sample = np.array([r.v for r in sample_rows])
+    # a corpus smaller than k lists: one list per vector is the
+    # degenerate-but-correct quantizer (choice(replace=False) would
+    # throw); nprobe shrinks with it.
+    k = min(k, len(sample))
+    nprobe = min(nprobe, k)
     centroids = _kmeans_centroids(sample, k)
 
     # centroids as a k-row broadcast table: ONE distance expression for

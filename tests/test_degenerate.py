@@ -1,0 +1,46 @@
+"""Degenerate-data sweep: EVERY registered query must run (possibly to
+an empty result) against a minimal fixture — single rows, short
+documents, lone embeddings. This is the class of breakage a fixture
+regeneration caused in round 2 (and the short-doc shingle crash): the
+engine's contract is "empty result", never "exception", on thin data.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from log2ck_spark.io import TABLES, tbl
+from log2ck_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+@pytest.fixture(scope="module")
+def mini_sf_dir(spark, tmp_path_factory):
+    """1-3 rows per table sampled from the smoke fixture, plus
+    deliberately nasty documents (sub-shingle-width, single token)."""
+    root = tmp_path_factory.mktemp("mini_sf")
+    src = "/root/testdata/sf0.001"
+    for name in TABLES:
+        df = tbl(spark, src, name).limit(3)
+        if name == "documents":
+            extra = spark.createDataFrame(
+                [
+                    (90001, "one two", "en", "src0", 7),
+                    (90002, "x", "zh", "src1", 1),
+                ],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            )
+            df = df.unionByName(extra)
+        df.coalesce(1).write.parquet(str(root / f"{name}.parquet"))
+    return str(root)
+
+
+def test_every_query_survives_minimal_data(spark, mini_sf_dir):
+    failures = []
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, mini_sf_dir).collect()
+        except Exception as e:  # noqa: BLE001 - we report them all at once
+            failures.append((name, str(e).splitlines()[0][:120]))
+    assert not failures, failures
