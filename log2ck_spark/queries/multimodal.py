@@ -35,9 +35,17 @@ DECODE_SCHEMA = (
 
 def binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text as an opaque binary payload column — the stand-in
-    for an image/audio blob column at identical schema/partitioning."""
-    return tbl(spark, sf_dir, "documents", fanout=True).select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    for an image/audio blob column at identical schema/partitioning.
+
+    NULL payloads are dropped HERE, at the source: a null blob has no
+    decodable content (schema-level reject, the multimodal analog of
+    the dead-letter split), and letting it reach the codecs would
+    crash every Arrow batch it rides in. Mirrored as
+    `WHERE text IS NOT NULL` in the oracles."""
+    return (
+        tbl(spark, sf_dir, "documents", fanout=True)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
 
 
@@ -93,7 +101,7 @@ def decode_image(
            CAST(LENGTH(text) AS INTEGER) AS n_bytes,
            md5(text) AS digest,
            'text/plain' AS kind
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,7 +191,7 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            CAST(i AS INTEGER) AS pos,
            ROUND(CAST(('0x' || substr(md5(text), 2 * i - 1, 2)) AS INTEGER)
                  / 255.0, 6) AS feat
-    FROM documents, LATERAL (
+    FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents, LATERAL (
       SELECT unnest(range(1, {_N_FEATURES + 1})) AS i
     )
     """,
@@ -204,7 +212,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(idx AS INTEGER) AS frame_idx,
            md5(text || ':' || idx) AS frame_digest
-    FROM documents, LATERAL (
+    FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents, LATERAL (
       SELECT unnest(range(0,
                           greatest(CAST(len(text) AS BIGINT) // {_FRAME_BYTES}, 1),
                           {_FRAME_STRIDE})) AS idx
@@ -229,7 +237,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              array_to_string([substr(text, CAST(i AS INTEGER), 1)
                               for i in range(1, len(text) + 1, {_RESIZE_FACTOR})],
                              '') AS thumb
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id,
            CAST(len(text) AS INTEGER) AS orig_bytes,
@@ -255,7 +263,7 @@ def multimodal_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS width,
              16 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 16
                AS height
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT width, height,
            COUNT(*) AS n_docs,

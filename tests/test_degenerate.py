@@ -28,8 +28,16 @@ def mini_sf_dir(spark, tmp_path_factory):
                 [
                     (90001, "one two", "en", "src0", 7),
                     (90002, "x", "zh", "src1", 1),
+                    (90003, None, None, "src2", 0),  # null text/lang
                 ],
                 "doc_id long, text string, lang string, source string, n_chars long",
+            )
+            df = df.unionByName(extra)
+        if name == "events":
+            extra = spark.createDataFrame(
+                [(990001, None, None, "error", None, None)],
+                "event_id long, ts timestamp, user_id long, event_type string,"
+                " value double, props string",
             )
             df = df.unionByName(extra)
         df.coalesce(1).write.parquet(str(root / f"{name}.parquet"))
