@@ -260,3 +260,31 @@ def sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(
         F.date_format("log_date", "yyyy-MM-dd").alias("log_date"), F.col("level")
     ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "ingest_tail_snapshot",
+    oracle="SELECT COUNT(*) AS n_lines, COUNT(DISTINCT event_id) AS n_distinct"
+    " FROM events",
+)
+def ingest_tail_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 via the `tailf` custom source's BATCH reader: write the
+    corpus as real log files, read them back with
+    spark.read.format('tailf'), count — the same contract as
+    ingest_text_lines but through the tailing source, so the custom
+    DataSource's read path gets its own driver-checked row (the
+    streaming path is exercised in tests/test_tail_source.py)."""
+    from log2ck_spark.sources import register_tail_source
+
+    path = scratch_dir(sf_dir, "tail_snapshot_corpus")
+    monolog_lines(spark, sf_dir).write.mode("overwrite").text(path)
+    register_tail_source(spark)
+    lines = (
+        spark.read.format("tailf")
+        .option("path", path + "/*.txt")
+        .load()
+    )
+    return lines.agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("value").alias("n_distinct"),
+    )
