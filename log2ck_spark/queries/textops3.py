@@ -96,11 +96,11 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KGRAM = 5  # winnowing: k-gram width (tokens)
 _WINNOW_W = 4  # window of consecutive k-gram hashes; one min kept per window
 
-
-@register(
-    "text_winnow_fingerprint",
-    oracle=f"""
-    WITH tok AS (
+# Shared CTE: per-doc sorted distinct winnowed fingerprint set (see
+# text_winnow_fingerprint for the algorithm) — reused by the
+# fingerprint query and the containment join oracle.
+_ORACLE_WINNOW_SETS = f"""
+    tok AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ), kh AS (
       SELECT doc_id,
@@ -116,28 +116,14 @@ _WINNOW_W = 4  # window of consecutive k-gram hashes; one min kept per window
              )) AS fp
       FROM kh
     )
-    SELECT doc_id,
-           CAST(len(fp) AS INTEGER) AS n_fingerprints,
-           md5(array_to_string(fp, ',')) AS fp_digest
-    FROM win
-    """,
-)
-def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
-    SIGMOD'03 — the MOSS algorithm, public): hash every token k-gram
-    with a portable 60-bit md5-derived hash, slide a window of
-    _WINNOW_W consecutive hashes, keep each window's minimum. The
-    selected set is position-robust — two documents sharing a long
-    span share fingerprints regardless of offset — which is what makes
-    it the standard containment/overlap detector (vs `text_fingerprint`
-    which hashes the whole doc).
+"""
 
-    All codegen'd array expressions over one scan: k-gram hashes and
-    window minima are transform(sequence(...)) with the arrays BOUND
-    between selects (projection collapse would otherwise re-evaluate
-    the hash array once per window). Emitted as (count, digest of the
-    sorted set) per doc so the oracle compares the exact set without
-    hashing array-typed columns."""
+
+def _winnow_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp: array<bigint>) — each doc's distinct sorted
+    winnowed fingerprint set, as codegen'd array expressions with the
+    intermediate arrays BOUND between selects (projection collapse
+    would otherwise re-evaluate the hash array once per window)."""
     d = tbl(spark, sf_dir, "documents", fanout=True)
     toksed = d.select("doc_id", tokens("text").alias("toks"))
     n = F.size("toks")
@@ -157,7 +143,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nh = F.size("h")
     widx = F.sequence(F.lit(1), nh - F.lit(_WINNOW_W - 1))
-    winnowed = hashed.select(
+    return hashed.select(
         "doc_id",
         F.array_sort(
             F.array_distinct(
@@ -170,12 +156,95 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     )
-    return winnowed.select(
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH {_ORACLE_WINNOW_SETS}
+    SELECT doc_id,
+           CAST(len(fp) AS INTEGER) AS n_fingerprints,
+           md5(array_to_string(fp, ',')) AS fp_digest
+    FROM win
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm, public): hash every token k-gram
+    with a portable 60-bit md5-derived hash, slide a window of
+    _WINNOW_W consecutive hashes, keep each window's minimum. The
+    selected set is position-robust — two documents sharing a long
+    span share fingerprints regardless of offset — which is what makes
+    it the standard containment/overlap detector (vs `text_fingerprint`
+    which hashes the whole doc).
+
+    Construction details live in `_winnow_sets` (bound arrays, short-
+    doc guards). Emitted as (count, digest of the sorted set) per doc
+    so the oracle compares the exact set without hashing array-typed
+    columns."""
+    return _winnow_sets(spark, sf_dir).select(
         "doc_id",
         F.size("fp").cast("int").alias("n_fingerprints"),
         F.md5(F.array_join(F.col("fp").cast("array<string>"), ",")).alias(
             "fp_digest"
         ),
+    )
+
+
+_MIN_SHARED = 2  # containment: pairs sharing at least this many fingerprints
+
+
+@register(
+    "dedup_winnow_containment",
+    oracle=f"""
+    WITH {_ORACLE_WINNOW_SETS}
+    , posting AS (
+      SELECT doc_id, unnest(fp) AS h FROM win
+    ), rare AS (
+      SELECT * FROM posting
+      WHERE h NOT IN (SELECT h FROM posting GROUP BY h HAVING COUNT(*) > 50)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS shared
+    FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_MIN_SHARED}
+    """,
+)
+def dedup_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS MATCH step: document pairs sharing >= {m} winnowed
+    fingerprints — the containment/partial-overlap detector that
+    set-level near-dup (Jaccard) misses when a long span hides inside
+    an otherwise-different document.
+
+    Shape: one posting-list self-join on 60-bit fingerprint hashes —
+    exactly the inverted-index pattern of dedup_ngram_jaccard but over
+    the winnowed ~1/w-sampled set, so the posting table is a fraction
+    of the full shingle index. Ubiquitous fingerprints (boilerplate
+    spans) are the skew risk at corpus scale; the df cut below drops
+    hashes appearing in more than _MAX_DF docs — the stop-shingle cut,
+    applied before any pair expansion."""
+    max_df = 50
+    posting = _winnow_sets(spark, sf_dir).select(
+        "doc_id", F.explode("fp").alias("h")
+    )
+    df_tbl = posting.groupBy("h").agg(F.count("*").alias("df"))
+    rare = posting.join(
+        F.broadcast(df_tbl.filter(F.col("df") > max_df)), "h", "left_anti"
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= _MIN_SHARED)
     )
 
 
