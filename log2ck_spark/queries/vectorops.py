@@ -36,7 +36,12 @@ from log2ck_spark.queries import register
     )
     SELECT vec_id,
            ROUND(nrm, 6) AS norm,
-           list_transform(v, x -> ROUND(x / nrm, 6)) AS unit
+           md5(array_to_string(
+             list_transform(v, x ->
+               CAST(CAST(ROUND(x / nrm, 6) AS DECIMAL(12,6)) AS VARCHAR)),
+             ',')) AS unit_digest,
+           ROUND(v[1] / nrm, 6) AS unit_head,
+           ROUND(v[len(v)] / nrm, 6) AS unit_tail
     FROM n
     """,
 )
@@ -46,15 +51,27 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Norm and division run as one codegen'd expression per row; zero
     shuffles, embarrassingly parallel at any corpus size. The norm is
     bound as a real column before the transform so it isn't
-    re-evaluated per element."""
+    re-evaluated per element.
+
+    The unit vector is emitted as an md5 digest of its fixed-point
+    (DECIMAL(12,6)) rendering plus head/tail spot values — not a raw
+    array column — because raw arrays are unhashable in the external
+    harness's canonicalizer (same policy as text_winnow_fingerprint)."""
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
     bound = e.withColumn("nrm", norm(F.col("v")))
+    unit_str = F.transform(
+        "v",
+        lambda x: F.round(x / F.col("nrm"), 6).cast("decimal(12,6)").cast("string"),
+    )
+    last = F.element_at("v", F.size("v"))
     return bound.select(
         "vec_id",
         F.round("nrm", 6).alias("norm"),
-        F.transform("v", lambda x: F.round(x / F.col("nrm"), 6)).alias("unit"),
+        F.md5(F.array_join(unit_str, ",")).alias("unit_digest"),
+        F.round(F.element_at("v", 1) / F.col("nrm"), 6).alias("unit_head"),
+        F.round(last / F.col("nrm"), 6).alias("unit_tail"),
     )
 
 
@@ -70,14 +87,20 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), b AS (
       SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e
+    ), q AS (
+      SELECT vec_id, lo, hi,
+             list_transform(v, x ->
+               CASE WHEN hi = lo THEN 0
+                    ELSE CAST(ROUND(255.0 * (x - lo) / (hi - lo), 0) AS INTEGER)
+               END) AS q8
+      FROM b
     )
     SELECT vec_id,
            ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi,
-           list_transform(v, x ->
-             CASE WHEN hi = lo THEN 0
-                  ELSE CAST(ROUND(255.0 * (x - lo) / (hi - lo), 0) AS INTEGER)
-             END) AS q8
-    FROM b
+           md5(array_to_string(
+             list_transform(q8, c -> CAST(c AS VARCHAR)), ',')) AS q8_digest,
+           CAST(list_sum(q8) AS BIGINT) AS q8_sum
+    FROM q
     """,
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,7 +108,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lo, hi) dequantization range — 4x storage reduction for ANN
     shortlists. Integer outputs sidestep float-hash fragility; the
     scale params are bound as columns before the transform. Pure
-    map-side expression, no shuffle."""
+    map-side expression, no shuffle.
+
+    Codes are emitted as an md5 digest of the comma-joined integer
+    sequence plus an integer checksum — not a raw array column — so
+    the external harness's canonicalizer can hash every output column
+    (same policy as embedding_normalize)."""
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -106,11 +134,17 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int")
         ),
     )
-    return b.select(
+    q = b.withColumn("q8", code)
+    return q.select(
         "vec_id",
         F.round("lo_r", 6).alias("lo"),
         F.round("hi_r", 6).alias("hi"),
-        code.alias("q8"),
+        F.md5(
+            F.array_join(F.transform("q8", lambda c: c.cast("string")), ",")
+        ).alias("q8_digest"),
+        F.aggregate(
+            "q8", F.lit(0).cast("bigint"), lambda acc, c: acc + c
+        ).alias("q8_sum"),
     )
 
 

@@ -43,10 +43,28 @@ def canonical(df_pandas):
     return list(pdf.columns), rows
 
 
+def driver_canon_check(pdf) -> str | None:
+    """Replicate the DRIVER's canonicalizer, which sorts the pandas
+    frame with sort_values over every column — pandas factorizes each
+    column, and list/ndarray cells raise `TypeError: unhashable type`.
+    Our own `canonical` stringifies arrays and is therefore MORE
+    lenient; this check closes that gap so array-typed outputs are
+    caught locally before the external harness sees them (the exact
+    failure mode of embedding_normalize/quantize in round 3)."""
+    try:
+        pdf[sorted(pdf.columns)].sort_values(by=sorted(pdf.columns))
+    except TypeError as exc:
+        return f"driver-canon failure (unhashable output column?): {exc}"
+    return None
+
+
 def compare(spark_df, oracle_pdf) -> list[str]:
     """Returns list of mismatch descriptions (empty = pass)."""
     problems = []
     spark_pdf = spark_df.toPandas()
+    driver_problem = driver_canon_check(spark_pdf)
+    if driver_problem:
+        problems.append(driver_problem)
     s_cols, s_rows = canonical(spark_pdf)
     o_cols, o_rows = canonical(oracle_pdf)
     if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:

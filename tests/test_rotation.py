@@ -21,19 +21,39 @@ def test_pinned_names_lead_registry():
     ]
 
 
-def test_never_checked_sort_before_checked():
+def _rank(last, n):
+    rec = last.get(n)
+    if rec is None:
+        return 0  # never checked
+    if rec[1]:
+        return 1  # latest driver row errored
+    return 2  # green
+
+
+def test_never_checked_then_errored_then_green():
     last = _last_checked_rounds()
     assert last, "driver correctness records should exist from r1/r2"
     names = list(QUERIES)
     pinned = set(ROTATION_FIRST)
     rest = [n for n in names if n not in pinned]
-    # within the unpinned tail: all never-checked names come first
-    seen_checked = False
-    for n in rest:
-        if last.get(n, -1) >= 0:
-            seen_checked = True
-        else:
-            assert not seen_checked, f"never-checked {n} sorted after checked names"
+    # within the unpinned tail: ranks must be non-decreasing
+    ranks = [_rank(last, n) for n in rest]
+    assert ranks == sorted(ranks), (
+        "rotation order broken: " + str(list(zip(rest, ranks))[:10])
+    )
+
+
+def test_errored_rows_resurface_before_stale_green():
+    """A query whose LATEST driver row errored (e.g. the r2 NTZ
+    failures) must sort ahead of every green query in the unpinned
+    tail — a failed external check is not evidence of health."""
+    last = _last_checked_rounds()
+    pinned = set(ROTATION_FIRST)
+    rest = [n for n in QUERIES if n not in pinned]
+    err_pos = [i for i, n in enumerate(rest) if _rank(last, n) == 1]
+    green_pos = [i for i, n in enumerate(rest) if _rank(last, n) == 2]
+    if err_pos and green_pos:
+        assert max(err_pos) < min(green_pos)
 
 
 def test_every_query_name_is_unique_and_callable():

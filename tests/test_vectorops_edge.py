@@ -23,13 +23,19 @@ def _mini_embeddings(spark, tmp_path):
     return str(tmp_path)
 
 
+def _md5(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
 def test_embedding_quantize_constant_vector_no_nulls(spark, tmp_path):
     sf_dir = _mini_embeddings(spark, tmp_path)
     rows = {r.vec_id: r for r in QUERIES["embedding_quantize"](spark, sf_dir).collect()}
-    assert rows[2].q8 == [0, 0, 0, 0]
-    assert rows[3].q8 == [0, 0, 0, 0]
+    # constant vectors: every code 0 (lo==hi carries the value)
+    assert rows[2].q8_digest == _md5("0,0,0,0") and rows[2].q8_sum == 0
+    assert rows[3].q8_digest == _md5("0,0,0,0") and rows[3].q8_sum == 0
     assert rows[2].lo == rows[2].hi == 0.7
-    # non-constant rows still span the full code range
-    assert min(rows[0].q8) == 0 and max(rows[0].q8) == 255
-    for r in rows.values():
-        assert all(c is not None for c in r.q8), r
+    # non-constant row 0: [0.0, 0.5, 1.0, 0.25] -> codes [0, 128, 255, 64]
+    assert rows[0].q8_digest == _md5("0,128,255,64")
+    assert rows[0].q8_sum == 0 + 128 + 255 + 64
