@@ -103,7 +103,14 @@ class TailStreamReader(SimpleDataSourceStreamReader):
         end = dict(start)
         rows: list[tuple[str, str]] = []
         for p in self._files():
-            raw, new_off = _complete_span(p, int(start.get(p, 0)))
+            try:
+                raw, new_off = _complete_span(p, int(start.get(p, 0)))
+            except FileNotFoundError:
+                # TOCTOU: the file vanished between the glob and the
+                # stat/read (logrotate's rename+unlink does exactly
+                # this). Treat as 0 new bytes this trigger; the next
+                # glob re-expansion drops or re-adds the path.
+                continue
             end[p] = new_off
             if raw:
                 rows.extend(_lines(raw, p))
@@ -113,16 +120,27 @@ class TailStreamReader(SimpleDataSourceStreamReader):
         self, start: dict, end: dict
     ) -> Iterator[tuple[str, str]]:
         """Deterministic replay for recovery: re-read exactly the byte
-        ranges the committed offsets span."""
+        ranges the committed offsets span.
+
+        A committed `stop` BELOW `begin` means the original batch saw a
+        copytruncate rotation (read() reset a shrunken file to 0 and
+        emitted bytes [0, stop)) — replay that range, do NOT skip it,
+        or recovery would silently drop a batch the original run
+        emitted."""
         rows: list[tuple[str, str]] = []
         for p, stop in sorted(end.items()):
             begin = int(start.get(p, 0))
             stop = int(stop)
-            if stop <= begin or not os.path.isfile(p):
+            if stop < begin:
+                begin = 0  # truncation happened inside the batch
+            if stop <= begin:
                 continue
-            with open(p, "rb") as f:
-                f.seek(begin)
-                raw = f.read(stop - begin)
+            try:
+                with open(p, "rb") as f:
+                    f.seek(begin)
+                    raw = f.read(stop - begin)
+            except FileNotFoundError:
+                continue  # vanished since — nothing left to replay
             rows.extend(_lines(raw, p))
         return iter(rows)
 

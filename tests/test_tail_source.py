@@ -96,6 +96,86 @@ def test_stream_reader_survives_delete_and_recreate(tmp_path):
     assert off3[str(f)] == 5
 
 
+def test_replay_after_truncation_inside_batch(tmp_path):
+    """Crash-recovery replay of a batch that observed a copytruncate:
+    read() reset the file to 0 and committed end < start; the replay
+    must re-emit bytes [0, stop) instead of skipping the file (which
+    silently dropped the batch before this fix)."""
+    f = tmp_path / "app.log"
+    f.write_bytes(b"a very long first generation line\n")
+    r = TailStreamReader({"path": str(tmp_path / "*.log"), "skiphistory": "false"})
+    start0 = r.initialOffset()
+    rows, off1 = r.read(start0)
+    assert [v for _, v in rows] == ["a very long first generation line"]
+
+    f.write_bytes(b"new1\nnew2\n")  # copytruncate: size 10 < offset 34
+    rows, off2 = r.read(off1)
+    assert [v for _, v in rows] == ["new1", "new2"]
+    assert off2[str(f)] == 10 < off1[str(f)]
+
+    # the recovery path must replay exactly what the original batch saw
+    replayed = list(r.readBetweenOffsets(off1, off2))
+    assert [v for _, v in replayed] == ["new1", "new2"]
+
+
+def test_read_survives_mid_trigger_file_vanish(tmp_path):
+    """TOCTOU: a file listed by the glob but deleted before the
+    stat/read (logrotate rename+unlink) must count as 0 new bytes, not
+    crash the stream."""
+    f = tmp_path / "app.log"
+    f.write_bytes(b"x\n")
+    r = TailStreamReader({"path": str(tmp_path / "*.log"), "skiphistory": "false"})
+    ghost = str(tmp_path / "ghost.log")
+    r._files = lambda: [ghost, str(f)]  # glob says it exists; disk says no
+    rows, end = r.read({})
+    assert [v for _, v in rows] == ["x"]
+    assert ghost not in end  # no offset invented for the vanished file
+
+    # replay with a committed range for a since-vanished file: skipped
+    assert list(r.readBetweenOffsets({}, {ghost: 5})) == []
+
+
+def test_multi_megabyte_append_single_trigger(tmp_path):
+    """Memory-bound claim: one trigger consuming a multi-MB append
+    yields every line exactly once and parks the offset at EOF."""
+    f = tmp_path / "big.log"
+    f.write_bytes(b"")
+    r = TailStreamReader({"path": str(tmp_path / "*.log"), "skiphistory": "false"})
+    start = r.initialOffset()
+    n = 80_000  # ~5.5 MB of 70-byte lines
+    line = b"x" * 69 + b"\n"
+    with open(f, "ab") as fh:
+        for _ in range(n):
+            fh.write(line)
+    rows, end = r.read(start)
+    rows = list(rows)
+    assert len(rows) == n
+    assert end[str(f)] == n * 70
+    # nothing left: the follow-up trigger is empty
+    rows2, end2 = r.read(end)
+    assert list(rows2) == [] and end2 == end
+
+
+def test_many_files_glob_per_trigger_latency_flat(tmp_path):
+    """Hundreds of files in the glob: an idle trigger (no new bytes)
+    stays cheap — pure stat() cost, no content reads."""
+    import time as _t
+
+    n_files = 300
+    for i in range(n_files):
+        (tmp_path / f"f{i:03d}.log").write_bytes(b"one line\n")
+    r = TailStreamReader({"path": str(tmp_path / "*.log"), "skiphistory": "false"})
+    start = r.initialOffset()
+    rows, end = r.read(start)
+    assert len(list(rows)) == n_files
+    # two idle triggers: no rows, and well under a second each
+    for _ in range(2):
+        t0 = _t.monotonic()
+        rows, end = r.read(end)
+        assert list(rows) == []
+        assert _t.monotonic() - t0 < 1.0
+
+
 # ------------------------------------------------------------- batch
 
 
