@@ -99,7 +99,63 @@ def _kmeans_centroids(
     return centroids
 
 
-@register("similarity_lsh")
+_LSH_TABLES, _LSH_BITS = 4, 8
+_TESTDATA_DIM = 64  # every /root/testdata embeddings table is 64-dim
+
+
+def _lsh_sig_sql(planes: list[list[float]], t: int, bits: int) -> str:
+    """One table's bucket id as a DuckDB expression: bit b set iff
+    v · plane[t*bits+b] > 0 (the exact sign test the Arrow UDF runs)."""
+    terms = [
+        "CASE WHEN list_dot_product(v, ["
+        + ",".join(repr(x) for x in planes[t * bits + b])
+        + f"]) > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(bits)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _lsh_oracle() -> str:
+    """Full SQL replay of similarity_lsh: the hyperplanes are a pure
+    function of (dim, n_planes, seed), so for the fixed 64-dim test
+    corpus they can be inlined as literals and DuckDB reproduces the
+    identical bucketing, candidate set, rescoring, and top-k — which
+    upgrades this query from a rows-only check to a value check."""
+    planes = _hyperplanes(_TESTDATA_DIM, _LSH_TABLES * _LSH_BITS)
+    sig_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_lsh_sig_sql(planes, t, _LSH_BITS)} AS sig FROM e"
+        for t in range(_LSH_TABLES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sigs AS (
+      {sig_selects}
+    ),
+    q AS (SELECT vec_id AS query_id, tbl, sig FROM sigs WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+      FROM sigs s JOIN q ON s.tbl = q.tbl AND s.sig = q.sig
+      WHERE s.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND(list_cosine_similarity(eq.v, en.v), 6) AS cos
+      FROM cand c
+      JOIN e eq ON eq.vec_id = c.query_id
+      JOIN e en ON en.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@register("similarity_lsh", oracle=_lsh_oracle())
 def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: 4 tables x 8-bit signatures.
 
@@ -108,12 +164,14 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded-numpy constants captured by the signature UDF — shipped to
     every task with the closure, no shuffle to build the index; the
     signatures themselves are one Arrow-batched matmul per task
-    (functions.vectors.plane_signatures)."""
+    (functions.vectors.plane_signatures). The oracle replays the SAME
+    planes as inlined SQL literals (see _lsh_oracle), making this ANN
+    path value-checked, not rows-only."""
     e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
         "vec_id", as_double("embedding").alias("v")
     )
     dim = e.select(F.size("v").alias("d")).first().d
-    n_tables, bits = 4, 8
+    n_tables, bits = _LSH_TABLES, _LSH_BITS
     planes = _hyperplanes(dim, n_tables * bits)
 
     # all n_tables signatures in ONE Arrow-batched matmul per task
