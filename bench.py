@@ -52,6 +52,12 @@ HEADLINE = [
     "range_join_bucketed",
     "dedup_clusters",
     "sample_hash_bernoulli",
+    # r3 additions: winnowing, quality gates, curation, multimodal
+    "text_winnow_fingerprint",
+    "dedup_winnow_containment",
+    "text_gopher_rules",
+    "curate_pipeline",
+    "multimodal_frame_sample",
 ]
 
 

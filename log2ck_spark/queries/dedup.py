@@ -18,7 +18,7 @@ ubiquitous shingles (df > threshold) — the classic stop-word cut.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -86,19 +86,25 @@ def _candidate_pairs(posting: DataFrame, key_cols: list[str]) -> DataFrame:
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pairs = F.flatten(
+    return (
+        grouped.select(F.explode(pairs_expr("ids")).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def pairs_expr(ids: str) -> Column:
+    """All i<j (doc_a, doc_b) structs from a sorted id array — the
+    codegen'd nested-transform expansion shared by every group-once
+    bucket joiner (`_candidate_pairs`, winnow containment)."""
+    return F.flatten(
         F.transform(
-            F.col("ids"),
+            F.col(ids),
             lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                F.slice(F.col(ids), i + 2, F.size(F.col(ids))),
                 lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
             ),
         )
-    )
-    return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
 
 

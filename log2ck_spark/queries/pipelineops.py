@@ -245,18 +245,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle computes the same fixpoint declaratively with a
     recursive CTE (reachability + MIN over reachable labels).
     """
-    edges = _jaccard_edges(spark, sf_dir)
     # materialize the (small) edge list once and truncate its lineage —
     # every round re-reads it, and without truncation round N's plan
     # contains N copies of the whole shingle/PPJoin pipeline, which
     # Catalyst re-optimizes from scratch each iteration (measured 5x
     # slower). localCheckpoint is the standard iterative-algorithm move
-    # (same role as GraphX's periodic checkpoint).
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .localCheckpoint(eager=True)
+    # (same role as GraphX's periodic checkpoint). Checkpoint BEFORE
+    # the symmetric-closure union: referencing the un-checkpointed
+    # edges twice duplicated the whole PPJoin subtree inside the
+    # checkpoint job (candidate join + verify ran twice — the r3
+    # bench regression); the swap projection over the checkpointed
+    # half is free.
+    half = _jaccard_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # size-adaptive narrowing: the duplicate-pair graph is tiny
+    # relative to the corpus (hundreds of edges at sf0.1, millions at
+    # 100 TB — either way orders below the doc count), but it inherits
+    # the PPJoin's full partitioning, so every propagation round pays
+    # 32 near-empty tasks per stage. Coalesce (narrow, no shuffle —
+    # the count is free on the checkpointed RDD) to ~100k edges per
+    # partition, floor 1: at cluster scale this keeps thousands of
+    # partitions, on the fixture it collapses scheduling overhead.
+    n_edges = half.count()
+    half = half.coalesce(max(1, min(half.rdd.getNumPartitions(),
+                                    n_edges // 100_000 + 1)))
+    edges = half.unionByName(
+        half.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
 
     # iterate ONLY over nodes that occur in an edge: at 10^10 docs the
@@ -265,11 +278,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round a full-corpus join for nothing. Singletons rejoin as
     # self-labeled clusters in one union at the end.
     docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    # lazy: round 0's convergence count materializes the initial
+    # labels together with the first propagation — one job, not two.
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     converged = False
@@ -309,8 +324,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "16 rounds (duplicate-chain diameter too large)"
         )
 
+    # labels is orders smaller than the corpus: broadcast the anti-join
+    # build side so the singleton pass is one corpus scan, no shuffle.
     singletons = docs.join(
-        labels.select("doc_id"), "doc_id", "left_anti"
+        F.broadcast(labels.select("doc_id")), "doc_id", "left_anti"
     ).select("doc_id", F.col("doc_id").alias("label"))
     return labels.unionByName(singletons).select(
         "doc_id",

@@ -217,32 +217,29 @@ def dedup_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     set-level near-dup (Jaccard) misses when a long span hides inside
     an otherwise-different document.
 
-    Shape: one posting-list self-join on 60-bit fingerprint hashes —
-    exactly the inverted-index pattern of dedup_ngram_jaccard but over
-    the winnowed ~1/w-sampled set, so the posting table is a fraction
-    of the full shingle index. Ubiquitous fingerprints (boilerplate
-    spans) are the skew risk at corpus scale; the df cut below drops
-    hashes appearing in more than _MAX_DF docs — the stop-shingle cut,
-    applied before any pair expansion."""
+    Shape: the group-once bucket joiner (`dedup.pairs_expr`) over the
+    winnowed ~1/w-sampled posting list — ONE pass over the winnowing
+    pipeline and ONE shuffle (groupBy h), where the previous
+    formulation self-joined the posting table (winnow pipeline
+    computed twice, shuffled twice) plus a separate df-table pass for
+    the stop cut. Here the df cut is FREE: a fingerprint's document
+    list is already in hand after the grouping, so buckets larger than
+    _MAX_DF (ubiquitous boilerplate spans — the skew risk at corpus
+    scale) are dropped by a size filter before any pair expansion."""
+    from log2ck_spark.queries.dedup import pairs_expr
+
     max_df = 50
     posting = _winnow_sets(spark, sf_dir).select(
         "doc_id", F.explode("fp").alias("h")
     )
-    df_tbl = posting.groupBy("h").agg(F.count("*").alias("df"))
-    rare = posting.join(
-        F.broadcast(df_tbl.filter(F.col("df") > max_df)), "h", "left_anti"
+    grouped = (
+        posting.groupBy("h")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
     )
-    a = rare.alias("a")
-    b = rare.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        grouped.select(F.explode(pairs_expr("ids")).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= _MIN_SHARED)
     )
