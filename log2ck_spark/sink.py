@@ -68,8 +68,40 @@ def foreach_batch_writer(
     subsume this with a commit protocol.
     """
     idempotent = bool(sink.options.get("idempotent", False))
+    checked_layout = False
+
+    def _check_layout() -> None:
+        # Toggling `idempotent` against an existing table would silently
+        # mix the two directory layouts (flat files vs batch_id=N
+        # subdirs), breaking partition discovery and the exactly-once
+        # claim for pre-existing data. Fail fast on the first write if
+        # the directory already holds the OTHER layout.
+        import os
+
+        if not os.path.isdir(sink.path):
+            return
+        entries = [e for e in os.listdir(sink.path) if not e.startswith(("_", "."))]
+        if not entries:
+            return
+        has_batch_dirs = any(e.startswith("batch_id=") for e in entries)
+        if idempotent and not has_batch_dirs:
+            raise ValueError(
+                f"sink path {sink.path!r} holds a non-idempotent (flat/append) "
+                "layout but idempotent=True was configured; use a fresh path "
+                "or keep the original mode"
+            )
+        if not idempotent and has_batch_dirs:
+            raise ValueError(
+                f"sink path {sink.path!r} holds an idempotent (batch_id=N) "
+                "layout but idempotent=False was configured; use a fresh path "
+                "or keep idempotent=True"
+            )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal checked_layout
+        if not checked_layout:
+            _check_layout()
+            checked_layout = True
         out = batch_df
         if idempotent:
             import os

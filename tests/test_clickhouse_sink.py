@@ -144,6 +144,37 @@ def test_idempotent_batch_writer_replay_does_not_duplicate(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "plain")).count() == 4  # duplicated
 
 
+def test_layout_mismatch_fails_fast(spark, tmp_path):
+    """Toggling `idempotent` against an existing table would silently
+    mix flat-append files with batch_id=N subdirs; the first write
+    must refuse instead (fresh empty/missing paths are fine)."""
+    import pytest
+
+    from log2ck_spark.sink import foreach_batch_writer
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1)], "log_date string, v int"
+    )
+
+    # Seed an idempotent table, then try to append flat into it.
+    p = str(tmp_path / "a")
+    foreach_batch_writer(SinkConfig(path=p, options={"idempotent": True}))(df, 0)
+    with pytest.raises(ValueError, match="idempotent"):
+        foreach_batch_writer(SinkConfig(path=p))(df, 1)
+
+    # Seed a flat table, then try idempotent mode on top of it.
+    q = str(tmp_path / "b")
+    foreach_batch_writer(SinkConfig(path=q))(df, 0)
+    with pytest.raises(ValueError, match="idempotent"):
+        foreach_batch_writer(
+            SinkConfig(path=q, options={"idempotent": True})
+        )(df, 1)
+
+    # Same mode twice on the same path remains fine.
+    foreach_batch_writer(SinkConfig(path=q))(df, 1)
+    assert spark.read.parquet(q).count() == 2
+
+
 def test_clickhouse_writer_constructs_with_fake_lib(monkeypatch):
     fake = types.ModuleType("clickhouse_connect")
     fake.get_client = lambda **kw: FakeClient()
