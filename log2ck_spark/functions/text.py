@@ -11,6 +11,22 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def bound(value: Column, fn) -> Column:
+    """A per-row let-binding: evaluate `value` exactly once and feed
+    the MATERIALIZED result to `fn`, via
+    ``transform(array(value), v -> fn(v))[0]``.
+
+    Why it exists: Catalyst's CollapseProject freely inlines a
+    projected column into its consumers, so "bind it in a separate
+    select" does not survive optimization. When the consumer
+    references the column O(n) times inside a lambda (sliding windows
+    over an array), the inlined expression re-evaluates at every
+    reference — quadratic per row (measured 90 s → 6 s on the winnow
+    containment join at sf0.1). A higher-order-function lambda
+    variable, by contrast, is bound to a materialized value."""
+    return F.get(F.transform(F.array(value), fn), 0)
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens (the documents fixture is space-separated)."""
     c = F.col(text) if isinstance(text, str) else text
