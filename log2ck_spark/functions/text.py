@@ -40,19 +40,26 @@ def distinct_tokens(text: Column | str) -> Column:
 def shingles(text: Column | str, w: int = 3) -> Column:
     """Distinct word w-shingles via sequence+transform+slice — one
     codegen'd expression, no explode until the caller needs rows.
-    Returns array<string>; empty array for texts shorter than w."""
-    toks = tokens(text)
-    n = F.size(toks)
-    # Guard short docs explicitly: sequence(1, 0) is DESCENDING in
-    # Spark ([1, 0]), so the old greatest(n-w+1, 0) bound fed slice()
-    # a 0 start index and threw on any doc shorter than w tokens.
-    idx = F.sequence(F.lit(1), n - F.lit(w - 1))
-    return F.when(
-        n >= F.lit(w),
-        F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, w), " "))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    Returns array<string>; empty array for texts shorter than w.
+    The token array is let-bound (`bound`) so each window slices a
+    materialized array — without it the per-position lambda re-runs
+    the split(), quadratic per row."""
+
+    def _sh(toks: Column) -> Column:
+        n = F.size(toks)
+        # Guard short docs explicitly: sequence(1, 0) is DESCENDING in
+        # Spark ([1, 0]), so the old greatest(n-w+1, 0) bound fed
+        # slice() a 0 start index and threw on any doc shorter than w
+        # tokens.
+        idx = F.sequence(F.lit(1), n - F.lit(w - 1))
+        return F.when(
+            n >= F.lit(w),
+            F.array_distinct(
+                F.transform(idx, lambda i: F.array_join(F.slice(toks, i, w), " "))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bound(tokens(text), _sh)
 
 
 def hashed_shingles(toks_col: Column | str, w: int = 5) -> Column:
@@ -68,26 +75,32 @@ def hashed_shingles(toks_col: Column | str, w: int = 5) -> Column:
     ~1/|set|), while shuffles, aggregates, and array_intersect all run
     over fixed-width longs instead of ~40-byte strings.
 
-    Pass the TOKEN ARRAY as a bound column (`select(tokens(...)
-    .alias("toks"))` first), not an inline `split(...)` expression: the
-    shingle lambda references the array w times per position, and
-    codegen re-evaluates an inline expression at every reference (the
-    split would run w×positions times per row — measured 5× slower)."""
-    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
-    n = F.size(toks)
-    # Same short-doc guard as `shingles`: without it, sequence(1, 0)
-    # yields [1, 0] and element_at(toks, 0) (plus past-the-end reads
-    # under ANSI mode) aborts the whole job on one sub-w-token doc.
-    idx = F.sequence(F.lit(1), n - F.lit(w - 1))
-    return F.when(
-        n >= F.lit(w),
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(w)]),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    The token array is let-bound internally (`bound`), so callers may
+    pass either a column name or an inline expression — the shingle
+    lambda references the array w times per position, and an UNBOUND
+    reference re-evaluates at every use (a separate select does not
+    help: CollapseProject inlines it; measured 5× slower)."""
+    toks_in = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+
+    def _sh(toks: Column) -> Column:
+        n = F.size(toks)
+        # Same short-doc guard as `shingles`: without it, sequence(1, 0)
+        # yields [1, 0] and element_at(toks, 0) (plus past-the-end reads
+        # under ANSI mode) aborts the whole job on one sub-w-token doc.
+        idx = F.sequence(F.lit(1), n - F.lit(w - 1))
+        return F.when(
+            n >= F.lit(w),
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.xxhash64(
+                        *[F.element_at(toks, i + j) for j in range(w)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    return bound(toks_in, _sh)
 
 
 def fingerprint(text: Column | str) -> Column:
