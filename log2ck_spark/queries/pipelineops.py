@@ -288,30 +288,46 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     converged = False
-    for _ in range(16):  # diameter cap; near-dup clusters converge in 2-4
-        neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy(edges.doc_a.alias("doc_id"))
-            .agg(F.min("label").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
-                .alias("label"),
-                (F.col("nmin") < F.col("label")).alias("changed"),
+    # The propagation joins shuffle a graph that is orders smaller than
+    # the corpus, but they inherit the session's shuffle-partition
+    # count (sized for corpus-scale aggregations). Size the loop's
+    # shuffles to the GRAPH instead — n_edges is already on the driver
+    # — and restore the session setting afterwards (the returned
+    # plan's final union/anti-join executes under the caller's
+    # config). ~100k edges/partition: 1 partition on the fixture,
+    # thousands at 100 TB. The convergence counts inside the loop are
+    # the only actions that run under the override.
+    sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(n_edges // 100_000 + 1)
+    )
+    try:
+        for _ in range(16):  # diameter cap; near-dup clusters converge in 2-4
+            neighbor_min = (
+                edges.join(labels, edges.doc_b == labels.doc_id)
+                .groupBy(edges.doc_a.alias("doc_id"))
+                .agg(F.min("label").alias("nmin"))
             )
-            # lazy: the convergence count right below is the
-            # materializing action, so each round runs ONE job, not
-            # two (eager checkpoint + count was 2 jobs/round).
-            .localCheckpoint(eager=False)
-        )
-        n_changed = updated.filter(F.col("changed")).count()
-        labels = updated.select("doc_id", "label")
-        if n_changed == 0:
-            converged = True
-            break
+            updated = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
+                    .alias("label"),
+                    (F.col("nmin") < F.col("label")).alias("changed"),
+                )
+                # lazy: the convergence count right below is the
+                # materializing action, so each round runs ONE job, not
+                # two (eager checkpoint + count was 2 jobs/round).
+                .localCheckpoint(eager=False)
+            )
+            n_changed = updated.filter(F.col("changed")).count()
+            labels = updated.select("doc_id", "label")
+            if n_changed == 0:
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
     if not converged:
         # Returning labels from a non-converged propagation would emit
         # SPLIT clusters as if they were final — fail loudly instead.
