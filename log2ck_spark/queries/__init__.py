@@ -45,11 +45,13 @@ def load_all() -> None:
         dedup,
         ingest,
         multimodal,
+        packing,
         pipelineops,
         relational,
         relational2,
         relational3,
         scaleops,
+        semantic,
         similarity,
         streamq,
         textops,

@@ -1,0 +1,168 @@
+"""Semantic (embedding-space) corpus operators: k-means clustering of
+the embedding table and SemDeDup-style cluster-local semantic
+deduplication (Abbas et al., "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", 2023 — public paper).
+
+Both follow the IVF recipe already in similarity.py: train a small
+quantizer on a deterministic driver-side hash-sample, broadcast the
+centroids, and keep every corpus-sized step distributed (one
+assignment scan; pair expansion only WITHIN clusters). Iterative +
+seeded-numpy training isn't ANSI-SQL-expressible, so both register
+rows-only; tests/test_semantic.py asserts determinism and precision
+against the brute-force ground truth instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from log2ck_spark.functions.numeric import dsum
+from log2ck_spark.functions.vectors import as_double, cosine
+from log2ck_spark.io import tbl
+from log2ck_spark.queries import register
+
+_K_MAX = 16  # cluster cap for the fixture (~sqrt(n) in production)
+_CELL_TARGET = 32  # aim for >= ~32 members per cell
+_SEMDEDUP_TAU = 0.4  # same near-dup threshold as dedup_embedding
+
+
+def _scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cluster_id, d2) for EVERY (vector, centroid) pair —
+    the shared clustering front half: deterministic hash-sampled
+    quantizer training on the driver (bounded 512-row TakeOrdered
+    collect, the documented IVF exception), then ONE distributed
+    scoring scan with the k centroids broadcast as a tiny table.
+
+    k is sized to the corpus (target ~{cell} members/cell, capped):
+    oversized k on a small corpus makes single-digit cells that split
+    near-dup pairs across boundaries — the wide-angle (tau=0.4, 66°)
+    recall killer; production SemDeDup scales k with n for the same
+    per-cell occupancy reason."""
+    from log2ck_spark.queries.similarity import _kmeans_centroids
+
+    e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    sample_rows = (
+        e.select("v", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h")
+        .limit(512)
+        .collect()
+    )
+    sample = np.array([r.v for r in sample_rows])
+    n_vecs = e.count()
+    k = min(_K_MAX, max(1, n_vecs // _CELL_TARGET), len(sample))
+    centroids = _kmeans_centroids(sample, k)
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [(j, [float(x) for x in centroids[j]]) for j in range(k)],
+            "cluster_id int, c array<double>",
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.crossJoin(cent).select("vec_id", "v", "cluster_id", d2.alias("d2"))
+
+
+def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id, v, cluster_id (nearest centroid), d2 — hard 1-NN
+    assignment over `_scored_cells` (one corpus x k agg)."""
+    return (
+        _scored_cells(spark, sf_dir)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cluster_id", "d2").alias("cluster_id"),
+            F.min("d2").alias("d2"),
+            F.first("v").alias("v"),
+        )
+    )
+
+
+@register("embedding_kmeans")
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus k-means as a query: cluster id -> member count + exact
+    (decimal-summed, order-independent) inertia, the topic/domain
+    bucketing step of mixture design and the coarse structure behind
+    IVF and SemDeDup. Training cost is O(sample); the corpus pays one
+    broadcast-assignment scan and one tiny partial agg — no step
+    scales worse than linearly. Rows-only (iterative seeded training);
+    tests assert determinism and that every vector lands in exactly
+    one cluster."""
+    return (
+        _assigned(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(dsum("d2"), 6).alias("inertia"),
+        )
+    )
+
+
+_NPROBE = 2  # probe cells per vector for candidate generation
+
+
+@register("dedup_semantic")
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: drop a vector iff some vector with a smaller id that
+    shares one of its {nprobe} nearest k-means cells sits within
+    cosine >= {tau} — semantic near-dup removal whose pair expansion
+    is confined to cells instead of the corpus (the paper's trick for
+    making O(n^2) dedup tractable: cluster first, compare within
+    cells only).
+
+    Emits (vec_id, cluster_id, is_kept, n_dups) for every vector.
+    Multi-probe candidates: wide-angle near-dups (tau=0.4 is a 66°
+    cone) frequently straddle a Voronoi boundary, so each vector posts
+    into its {nprobe} nearest cells — measured recall at the fixture
+    jumps from ~0.45 (1 probe) while candidate volume only doubles;
+    the reported cluster_id stays the hard 1-NN assignment.
+    Scale shape: cells hold ~n/k members and k grows with n, so the
+    per-cell pair expansion is bounded; the only shuffles are the
+    per-vector top-nprobe agg and one groupBy over candidate pairs.
+    min-id survivor (not the paper's farthest-from-centroid) keeps
+    the output rerun-deterministic. Precision vs the brute-force pair
+    set is 1.0 by construction (exact cosine verify); recall is
+    cluster-split-dependent and asserted in tests."""
+    from log2ck_spark.queries.dedup import _candidate_pairs
+
+    scored = _scored_cells(spark, sf_dir)
+    wv = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    ranked = scored.withColumn("pr", F.row_number().over(wv)).filter(
+        F.col("pr") <= _NPROBE
+    )
+    assigned = (
+        ranked.filter(F.col("pr") == 1)
+        .select("vec_id", "cluster_id", "v")
+        .persist()
+    )
+    cand = _candidate_pairs(
+        ranked.select(F.col("vec_id").alias("doc_id"), "cluster_id"),
+        ["cluster_id"],
+    )
+    pa = assigned.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    pb = assigned.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    dup_pairs = (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .filter(cosine(F.col("va"), F.col("vb")) >= _SEMDEDUP_TAU)
+        .select("doc_a", "doc_b")
+    )
+    # doc_b always > doc_a (candidate pairs are ordered), so doc_b is
+    # the dropped side: count each vector's smaller-id near-dups.
+    drops = dup_pairs.groupBy(F.col("doc_b").alias("vec_id")).agg(
+        F.count("*").alias("n_dups")
+    )
+    return (
+        assigned.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("n_dups").isNull().cast("int").alias("is_kept"),
+            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+        )
+    )
