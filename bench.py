@@ -58,6 +58,11 @@ HEADLINE = [
     "text_gopher_rules",
     "curate_pipeline",
     "multimodal_frame_sample",
+    # r4 additions: batch assembly + semantic dedup
+    "pack_sequences",
+    "sample_stratified",
+    "text_quality_classifier",
+    "dedup_semantic",
 ]
 
 

@@ -2,7 +2,10 @@
 import __spark_entry__ from a fresh process, smoke entry() at sf0.001,
 then run every queries()[name] at sf0.01 and compare against
 oracle_sql()[name] via DuckDB (row count + columns + order-insensitive
-values). Usage: python scripts/driver_replica.py [sf_dir]
+values). Usage: python scripts/driver_replica.py [sf_dir] [name ...]
+— optional query names restrict the run to just those (fast re-check
+of the queries an edit touched; the full no-args run remains the
+pre-commit gate for broad changes).
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ from tests.oracle_harness import compare, run_oracle  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = get_spark("driver-replica")
 
     t0 = time.time()
@@ -31,7 +35,13 @@ def main() -> int:
 
     queries = contract.queries()
     oracles = contract.oracle_sql()
-    print(f"{len(queries)} queries, {len(oracles)} with oracles")
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        queries = {n: q for n, q in queries.items() if n in only}
+    print(f"{len(queries)} queries, {len(set(queries) & set(oracles))} with oracles")
     n_fail = 0
     for name in sorted(queries):
         t0 = time.time()
