@@ -288,3 +288,93 @@ def ingest_tail_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.countDistinct("value").alias("n_distinct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Format connectors: JSONL and CSV round-trips (filebeat-style inputs)
+# --------------------------------------------------------------------------
+
+_EVENTS_JSON_SCHEMA = (
+    "event_id bigint, ts_s string, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+_ORACLE_EVENTS_ROUNDTRIP = """
+    SELECT event_id,
+           strftime(DATE_TRUNC('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           user_id, event_type, value,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+"""
+
+
+@register("ingest_jsonl", oracle=_ORACLE_EVENTS_ROUNDTRIP)
+def ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines connector round-trip: render `events` to real .jsonl
+    files, read them back with an EXPLICIT schema, and re-derive every
+    column (including a JSON field extraction from the nested props
+    payload) — the structured-log sibling of the monolog regex path.
+
+    Scale notes: the reader gets a declared schema — schema inference
+    is a full extra pass over the data (fatal at 100 TB) and can
+    widen types differently per day's files; and JSONL splits by
+    newline, so unlike multi-line JSON the scan parallelizes per
+    block. The oracle derives the expected rows from the events view
+    independently, so serialization, quoting, and type round-trips
+    are all cross-checked."""
+    path = scratch_dir(sf_dir, "events_jsonl")
+    ev = tbl(spark, sf_dir, "events", fanout=True)
+    ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+                F.col("props"),
+            )
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+    back = spark.read.schema(_EVENTS_JSON_SCHEMA).json(path)
+    return back.select(
+        "event_id",
+        "ts_s",
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@register("ingest_csv", oracle=_ORACLE_EVENTS_ROUNDTRIP)
+def ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV connector round-trip: same contract as ingest_jsonl through
+    the CSV reader/writer — exercises quoting (the props payload
+    carries quotes and braces inside a quoted field), explicit-schema
+    reads, and type coercion. Headerless with a declared schema: at
+    scale a header row per file is both a skew hazard (every task
+    skips it) and an inference trap."""
+    path = scratch_dir(sf_dir, "events_csv")
+    ev = tbl(spark, sf_dir, "events", fanout=True)
+    ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").option("header", "false").csv(path)
+    back = (
+        spark.read.schema(_EVENTS_JSON_SCHEMA)
+        .option("header", "false")
+        .csv(path)
+    )
+    return back.select(
+        "event_id",
+        "ts_s",
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
