@@ -241,3 +241,35 @@ def test_funnel_stage_joins_share_user_key(spark, sf_dir):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan
     ), plan[:2000]
+
+
+def test_chunk_documents_is_map_only(spark, sf_dir):
+    """Chunking must run entirely inside the scan stage: the only
+    Exchange allowed is the fixture-compensation fanout repartition,
+    never a key shuffle."""
+    plan = _plan(spark, "chunk_documents", sf_dir)
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_pack_sequences_single_stream_shuffle(spark, sf_dir):
+    """Packing shuffles ONCE, on the pack_group stream key; each
+    stream sorts locally inside its partition."""
+    plan = _plan(spark, "pack_sequences", sf_dir)
+    assert plan.count("hashpartitioning") == 1, plan[:3000]
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_stratified_broadcasts_counts(spark, sf_dir):
+    """The per-language counts must come back as a broadcast build
+    side — a shuffle join on `lang` would re-partition the corpus by
+    a skewed low-cardinality key."""
+    plan = _plan(spark, "sample_stratified", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_classifier_partial_agg_no_join(spark, sf_dir):
+    plan = _plan(spark, "text_quality_classifier", sf_dir)
+    assert "partial" in plan.lower(), plan[:2000]
+    assert "Join" not in plan, plan[:2000]
