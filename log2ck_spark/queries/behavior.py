@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from log2ck_spark.functions.numeric import DECIMAL
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -182,4 +183,67 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             offset.alias("week_offset"),
         )
         .agg(F.count("*").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-score anomaly detection (per-type outlier events)
+# --------------------------------------------------------------------------
+
+_Z_THRESHOLD = 2.5
+
+
+@register(
+    "anomaly_zscore",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS mean,
+             sqrt(greatest(
+               (CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
+                - pow(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+                  / COUNT(*))
+               / (COUNT(*) - 1), 0.0)) AS std
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.mean) / s.std, 6) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.n > 1 AND s.std > 0
+      AND abs((e.value - s.mean) / s.std) >= {_Z_THRESHOLD}
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers: flag events whose value deviates
+    >= {z} sample standard deviations from their type's mean — the
+    metric-anomaly primitive of log analytics (the reference's own
+    domain: its ClickHouse tables exist to answer exactly this kind of
+    question over shipped logs, readme.md:106-125).
+
+    Two-pass shape that stays two SCANS, one tiny shuffle: the
+    per-type stats (decimal-exact Σx/Σx², same derivation as
+    stats_moments) aggregate to |event_types| rows, broadcast back,
+    and the outlier test is a codegen'd per-row predicate on the
+    second scan. No window over the corpus — an `avg().over(type)`
+    window would shuffle every event by a low-cardinality key
+    (skew); the broadcast join shuffles nothing but the stats."""
+    ev = tbl(spark, sf_dir, "events")
+    s = F.sum(F.col("value").cast(DECIMAL)).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).cast(DECIMAL)).cast("double")
+    n = F.count("*")
+    var = (s2 - F.pow(s, 2) / n) / (n - 1)
+    stats = ev.groupBy("event_type").agg(
+        n.alias("n"),
+        (s / n).alias("mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("n") > 1) & (F.col("std") > 0))
+        .filter(F.abs(z) >= _Z_THRESHOLD)
+        .select(
+            "event_id", "event_type", "value", F.round(z, 6).alias("z")
+        )
     )

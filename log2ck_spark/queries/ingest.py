@@ -314,6 +314,10 @@ def ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     files, read them back with an EXPLICIT schema, and re-derive every
     column (including a JSON field extraction from the nested props
     payload) — the structured-log sibling of the monolog regex path.
+    Complements `relational2.ingest_json_lines`, which checks the same
+    source at aggregate level: this one is ROW-level and carries the
+    quoting-hostile props payload + timestamp formatting through the
+    serialize/parse cycle.
 
     Scale notes: the reader gets a declared schema — schema inference
     is a full extra pass over the data (fatal at 100 TB) and can

@@ -202,10 +202,12 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~{_STRATA_CAP} docs by keeping each doc iff its md5 hash-fraction
     falls below the language's target rate — the data-mixture
     rebalancing step of multilingual corpus builds. Rate-based (not
-    rank-based): a per-language row_number window would sort the
-    dominant language's entire partition through one task (classic
-    skew); the hash threshold is a narrow per-row predicate once the
-    tiny per-language counts (|languages| rows) broadcast back, so
+    rank-based): `textops2.stratified_sample` is the complementary
+    hard-quota shape (exactly k per stratum via a per-stratum window);
+    this one targets a rate so the dominant language never funnels
+    through one window task at corpus scale (classic skew) — the hash
+    threshold is a narrow per-row predicate once the tiny per-language
+    counts (|languages| rows) broadcast back, so
     the plan is one small agg + one broadcast-joined scan at any
     corpus size — and membership is rerun/partitioning-stable.
     Emits per-language totals + a doc_id checksum of the sampled
