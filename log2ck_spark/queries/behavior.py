@@ -247,3 +247,86 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", "value", F.round(z, 6).alias("z")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA forecast deviation (per-key sequential state)
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.2  # paired with 0.8 below as an explicit literal: in
+# IEEE doubles 1 - 0.2 != 0.8, and the oracle's recursion uses the
+# 0.8 literal — both engines must run the identical recurrence.
+_EWMA_THRESHOLD = 25.0
+
+
+@register(
+    "anomaly_ewma",
+    oracle=f"""
+    WITH RECURSIVE ord AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), rec AS (
+      SELECT user_id, rn, value AS z, 0 AS n_alerts FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             {_EWMA_ALPHA} * o.value + 0.8 * r.z AS z,
+             r.n_alerts + CASE WHEN abs(o.value - r.z) >= {_EWMA_THRESHOLD}
+                               THEN 1 ELSE 0 END
+      FROM rec r JOIN ord o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS n_events,
+           ROUND(z, 6) AS ewma, CAST(n_alerts AS BIGINT) AS n_alerts
+    FROM (SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS mx FROM rec)
+    WHERE rn = mx
+    """,
+)
+def anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA forecast deviation: walk each user's events in
+    (ts, event_id) order, maintain z = 0.2*x + 0.8*z, and count the
+    events deviating >= {t} from the running forecast — the smoothed
+    per-entity alerting the reference's log tables feed, and the batch
+    analog of streaming/stateful.ewma_update (same recurrence, state
+    checkpointed by the engine there).
+
+    An EWMA is a sequential recurrence — the one shape plain window
+    functions can't express (a closed-form pow() rewrite overflows for
+    long histories). This is the documented (b) path: one Arrow batch
+    per user via applyInPandas, vectorized numpy inside, keys >> cores
+    so per-key sequential work parallelizes across users. The DuckDB
+    oracle replays the identical recurrence as a recursive CTE — the
+    float ops are literal-for-literal the same, so results match
+    bit-for-bit before the final rounding."""
+    import numpy as np
+    import pandas as pd
+
+    ev = (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+
+    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        z = x[0]
+        n_alerts = 0
+        for v in x[1:]:
+            if abs(v - z) >= _EWMA_THRESHOLD:
+                n_alerts += 1
+            z = _EWMA_ALPHA * v + 0.8 * z
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n_events": len(x),
+                    "ewma": round(z, 6),
+                    "n_alerts": n_alerts,
+                }
+            ]
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        _ewma, "user_id bigint, n_events bigint, ewma double, n_alerts bigint"
+    )

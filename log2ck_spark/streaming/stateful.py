@@ -92,3 +92,77 @@ def dual_trigger_flush(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming EWMA forecast-deviation alerting (per-key recurrence state)
+# --------------------------------------------------------------------------
+
+EWMA_SCHEMA = (
+    "key string, n_events bigint, ewma double, n_alerts bigint"
+)
+EWMA_STATE_SCHEMA = "z double, n bigint, n_alerts bigint"
+
+
+def make_ewma(alpha: float = 0.2, threshold: float = 25.0):
+    """applyInPandasWithState function maintaining the EWMA recurrence
+    z = alpha*x + (1-alpha)*z per key across micro-batches, flagging
+    events that deviate >= threshold from the running forecast. The
+    batch analog (identical recurrence over a static table, DuckDB
+    recursive-CTE oracle) is queries/behavior.anomaly_ewma; here the
+    state (one 3-tuple per key) is engine-managed and checkpointed,
+    so a restart resumes the forecast instead of re-learning it.
+
+    Within a micro-batch, rows are processed in the frame order the
+    engine delivers; callers needing strict event-time order should
+    sort upstream per watermark (the batch analog sorts by (ts, id))."""
+    one_minus = 1.0 - alpha
+
+    def ewma_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            z, n, n_alerts = state.get
+        else:
+            z, n, n_alerts = None, 0, 0
+        for pdf in pdfs:
+            for v in pdf["value"].to_numpy():
+                v = float(v)
+                if z is None:
+                    z = v
+                else:
+                    if abs(v - z) >= threshold:
+                        n_alerts += 1
+                    z = alpha * v + one_minus * z
+                n += 1
+        if n > 0:
+            state.update((float(z), n, n_alerts))
+            yield pd.DataFrame(
+                [
+                    {
+                        "key": key[0],
+                        "n_events": n,
+                        "ewma": float(z),
+                        "n_alerts": n_alerts,
+                    }
+                ]
+            )
+
+    return ewma_fn
+
+
+def ewma_alerts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    alpha: float = 0.2,
+    threshold: float = 25.0,
+) -> DataFrame:
+    """Streaming DataFrame of per-key EWMA snapshots (cumulative event
+    count, current forecast, cumulative alert count). Update mode."""
+    return events.groupBy(key_col).applyInPandasWithState(
+        make_ewma(alpha, threshold),
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
