@@ -50,3 +50,52 @@ def oracle_davg(expr: str, alias: str) -> str:
     return (
         f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr}) AS {alias}"
     )
+
+
+# --------------------------------------------------------------------------
+# Engine-portable md5 bucketing (deterministic sampling / splits / streams)
+# --------------------------------------------------------------------------
+#
+# The one hash contract every sampling/split/packing operator shares:
+# md5 of the key's string form, first `hex_digits` hex chars as an
+# integer. md5 (not xxhash64) because it is bit-identical across
+# engines — the DuckDB oracle reproduces exact membership. Any change
+# here changes SAMPLE MEMBERSHIP everywhere; the Spark and oracle
+# twins below must stay in lockstep.
+
+
+def md5_bucket(col: Column | str, n: int, hex_digits: int = 8) -> Column:
+    """Deterministic bucket in [0, n): first `hex_digits` hex chars of
+    md5(key) mod n."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, hex_digits), 16, 10)
+        .cast("bigint")
+        % n
+    )
+
+
+def md5_frac(col: Column | str, hex_digits: int = 8) -> Column:
+    """Deterministic uniform fraction in [0, 1) from the same hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, hex_digits), 16, 10)
+        .cast("bigint")
+        / F.lit(float(16**hex_digits))
+    )
+
+
+def oracle_md5_bucket(expr: str, n: int, hex_digits: int = 8) -> str:
+    """DuckDB twin of md5_bucket."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, "
+        f"{hex_digits})) AS BIGINT) % {n}"
+    )
+
+
+def oracle_md5_frac(expr: str, hex_digits: int = 8) -> str:
+    """DuckDB twin of md5_frac."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, "
+        f"{hex_digits})) AS BIGINT) / {float(16 ** hex_digits)!r}"
+    )

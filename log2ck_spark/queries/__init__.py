@@ -95,10 +95,13 @@ ROTATION_FIRST: tuple[str, ...] = (
 
 def _last_checked_rounds() -> dict[str, tuple[int, bool]]:
     """name -> (latest round with a CORRECTNESS_r{N}.json row, whether
-    that latest row errored). A row — green or err — is external
-    evidence for staleness ordering, but an ERRORED latest row must be
+    that latest row FAILED). A row — green or failed — is external
+    evidence for staleness ordering, but a FAILED latest row must be
     re-surfaced ahead of green ones (a failed check is not evidence of
-    health). Missing/unreadable files are simply skipped."""
+    health). Failed means an exception (err) OR any recorded mismatch
+    (rows/schema/hash False with err null) — a silent value mismatch
+    deprioritized as "green" would evade re-checking for rounds.
+    Missing/unreadable files are simply skipped."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -118,7 +121,13 @@ def _last_checked_rounds() -> dict[str, tuple[int, bool]]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            err = isinstance(row, dict) and row.get("err") not in (None, "no_oracle")
+            err = isinstance(row, dict) and (
+                row.get("err") not in (None, "no_oracle")
+                or any(
+                    row.get(k) is False
+                    for k in ("rows_match", "schema_match", "hash_match")
+                )
+            )
             prev = last.get(name)
             if prev is None or rnd >= prev[0]:
                 last[name] = (rnd, err)

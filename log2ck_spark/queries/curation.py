@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from log2ck_spark.functions.numeric import md5_bucket
 from log2ck_spark.functions.text import hashed_shingles, tokens
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
@@ -172,11 +173,7 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrow map + one partial-agg shuffle; as a filter (split='train')
     it's a codegen'd predicate in the scan."""
     d = tbl(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = md5_bucket("doc_id", 100)
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -254,11 +251,7 @@ def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = kept.groupBy(F.md5("text")).agg(
         F.min("doc_id").alias("doc_id"), F.first("n_chars").alias("n_chars")
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = md5_bucket("doc_id", 100)
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )

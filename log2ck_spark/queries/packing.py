@@ -17,6 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from log2ck_spark.functions.numeric import (
+    md5_bucket,
+    md5_frac,
+    oracle_md5_bucket,
+    oracle_md5_frac,
+)
 from log2ck_spark.functions.text import bound, tokens
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
@@ -98,8 +104,7 @@ _PACK_GROUPS = 8  # parallel packing streams
     oracle=f"""
     WITH d AS (
       SELECT doc_id,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                  AS BIGINT) % {_PACK_GROUPS} AS pack_group,
+             {oracle_md5_bucket("doc_id", _PACK_GROUPS)} AS pack_group,
              len(string_split(text, ' ')) AS n_tok
       FROM documents
     ), packed AS (
@@ -139,11 +144,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side state."""
     d = tbl(spark, sf_dir, "documents", fanout=True).select(
         "doc_id",
-        (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("bigint")
-            % _PACK_GROUPS
-        ).alias("pack_group"),
+        md5_bucket("doc_id", _PACK_GROUPS).alias("pack_group"),
         F.size(tokens("text")).alias("n_tok"),
     )
     w = (
@@ -185,8 +186,7 @@ _STRATA_CAP = 100  # target docs per language
     ), sampled AS (
       SELECT d.doc_id, d.lang, c.n_total
       FROM documents d JOIN counts c USING (lang)
-      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
-                 AS BIGINT) / 4294967296.0
+      WHERE {oracle_md5_frac("d.doc_id")}
             < LEAST(1.0, {_STRATA_CAP}.0 / c.n_total)
     )
     SELECT lang,
@@ -215,11 +215,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     d = tbl(spark, sf_dir, "documents", fanout=True)
     counts = d.groupBy("lang").agg(F.count("*").alias("n_total"))
-    frac = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        / F.lit(4294967296.0)
-    )
+    frac = md5_frac("doc_id")
     rate = F.least(F.lit(1.0), F.lit(float(_STRATA_CAP)) / F.col("n_total"))
     return (
         d.join(F.broadcast(counts), "lang")

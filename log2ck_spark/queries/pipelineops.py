@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from log2ck_spark.functions.numeric import md5_bucket
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -380,8 +381,8 @@ def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle; Catalyst pushes nothing to parquet (hash of a column)
     but the scan stays a single pass."""
     d = tbl(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-    return d.filter(bucket.cast("int") % 100 < _SAMPLE_PCT).select(
+    bucket = md5_bucket("doc_id", 100, hex_digits=4)
+    return d.filter(bucket < _SAMPLE_PCT).select(
         "doc_id", "lang", "source"
     )
 

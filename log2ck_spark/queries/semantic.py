@@ -71,12 +71,18 @@ def _scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vec_id, v, cluster_id (nearest centroid), d2 — hard 1-NN
-    assignment over `_scored_cells` (one corpus x k agg)."""
+    assignment over `_scored_cells` (one corpus x k agg). Ties on d2
+    (possible when duplicate sample vectors seed twin centroids) break
+    to the smallest cluster_id via the struct ordering — min_by on d2
+    alone is documented nondeterministic on ties, which would flap the
+    assignment across runs."""
     return (
         _scored_cells(spark, sf_dir)
         .groupBy("vec_id")
         .agg(
-            F.min_by("cluster_id", "d2").alias("cluster_id"),
+            F.min_by(
+                "cluster_id", F.struct("d2", "cluster_id")
+            ).alias("cluster_id"),
             F.min("d2").alias("d2"),
             F.first("v").alias("v"),
         )

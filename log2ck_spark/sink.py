@@ -77,7 +77,20 @@ def foreach_batch_writer(
         # claim for pre-existing data. Fail fast on the first write if
         # the directory already holds the OTHER layout.
         import os
+        import warnings
 
+        # The os.path probe only sees local paths. For remote URIs
+        # (s3a://, hdfs://...) we can't cheaply list from the driver
+        # here — warn instead of silently skipping, so the operator
+        # knows the layout guard did NOT run.
+        if "://" in sink.path and not sink.path.startswith("file://"):
+            warnings.warn(
+                f"sink layout check skipped for remote path {sink.path!r}: "
+                "verify the existing table layout matches "
+                f"idempotent={idempotent} before writing",
+                stacklevel=2,
+            )
+            return
         if not os.path.isdir(sink.path):
             return
         entries = [e for e in os.listdir(sink.path) if not e.startswith(("_", "."))]

@@ -104,7 +104,11 @@ EWMA_SCHEMA = (
 EWMA_STATE_SCHEMA = "z double, n bigint, n_alerts bigint"
 
 
-def make_ewma(alpha: float = 0.2, threshold: float = 25.0):
+def make_ewma(
+    alpha: float = 0.2,
+    threshold: float = 25.0,
+    one_minus: float | None = None,
+):
     """applyInPandasWithState function maintaining the EWMA recurrence
     z = alpha*x + (1-alpha)*z per key across micro-batches, flagging
     events that deviate >= threshold from the running forecast. The
@@ -115,8 +119,15 @@ def make_ewma(alpha: float = 0.2, threshold: float = 25.0):
 
     Within a micro-batch, rows are processed in the frame order the
     engine delivers; callers needing strict event-time order should
-    sort upstream per watermark (the batch analog sorts by (ts, id))."""
-    one_minus = 1.0 - alpha
+    sort upstream per watermark (the batch analog sorts by (ts, id)).
+
+    `one_minus` defaults to the IEEE-exact literal for the default
+    alpha: 1.0 - 0.2 != 0.8 in doubles, and the batch analog pins the
+    0.8 literal — the two paths must run the bit-identical recurrence
+    or long histories drift apart ULP by ULP. A caller overriding
+    alpha should pass its own paired literal."""
+    if one_minus is None:
+        one_minus = 0.8 if alpha == 0.2 else 1.0 - alpha
 
     def ewma_fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -128,6 +139,12 @@ def make_ewma(alpha: float = 0.2, threshold: float = 25.0):
         for pdf in pdfs:
             for v in pdf["value"].to_numpy():
                 v = float(v)
+                # a null/NaN value would make z NaN FOREVER (NaN
+                # propagates through the recurrence and the
+                # checkpoint); the batch analog filters nulls at the
+                # scan — mirror that here.
+                if v != v:
+                    continue
                 if z is None:
                     z = v
                 else:

@@ -59,3 +59,43 @@ def test_errored_rows_resurface_before_stale_green():
 def test_every_query_name_is_unique_and_callable():
     for name, fn in QUERIES.items():
         assert callable(fn), name
+
+
+def test_silent_value_mismatch_counts_as_failed(tmp_path, monkeypatch):
+    """A driver row with hash_match=false but err=null is a FAILED
+    check: it must rank with the errored rows (re-surface), never as
+    green."""
+    import json
+
+    import log2ck_spark.queries as q
+
+    art = tmp_path / "CORRECTNESS_r99.json"
+    art.write_text(
+        json.dumps(
+            {
+                "mismatched": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": False,
+                    "err": None,
+                },
+                "healthy": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "err": None,
+                },
+            }
+        )
+    )
+    real_glob = __import__("glob").glob
+
+    def fake_glob(pattern):
+        if "CORRECTNESS_r" in pattern:
+            return [str(art)]
+        return real_glob(pattern)
+
+    monkeypatch.setattr("glob.glob", fake_glob)
+    last = q._last_checked_rounds()
+    assert last["mismatched"] == (99, True)
+    assert last["healthy"] == (99, False)
