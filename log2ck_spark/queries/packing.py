@@ -47,7 +47,9 @@ _CHUNK_STRIDE = 12  # overlap = _CHUNK_W - _CHUNK_STRIDE
            u.chunk_text
     FROM (
       SELECT doc_id,
-             unnest(list_transform(range(1, len(t) + 1, {_CHUNK_STRIDE}),
+             unnest(list_transform(
+               list_filter(range(1, len(t) + 1, {_CHUNK_STRIDE}),
+                 s -> s = 1 OR s <= len(t) - {_CHUNK_W - _CHUNK_STRIDE}),
                s -> {{'chunk_id': (s - 1) // {_CHUNK_STRIDE},
                      'chunk_text':
                        array_to_string(t[s:s + {_CHUNK_W - 1}], ' '),
@@ -64,13 +66,22 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales linearly with corpus bytes; output rows ≈ docs x
     ceil(len/stride). The token array is let-bound (`bound`) so the
     per-window slice reads a materialized array instead of re-running
-    the split per chunk (see functions.text.bound)."""
+    the split per chunk (see functions.text.bound).
+
+    A trailing start past n - overlap would yield a chunk FULLY
+    contained in its predecessor (no new tokens — pure duplication in
+    the training set); such starts are filtered, which also makes the
+    chunk set losslessly reconstructable (tests/test_packing.py)."""
     d = tbl(spark, sf_dir, "documents", fanout=True).select(
         "doc_id", tokens("text").alias("t")
     )
 
     def _chunks(t):
-        starts = F.sequence(F.lit(1), F.size(t), F.lit(_CHUNK_STRIDE))
+        starts = F.filter(
+            F.sequence(F.lit(1), F.size(t), F.lit(_CHUNK_STRIDE)),
+            lambda s: (s == 1)
+            | (s <= F.size(t) - F.lit(_CHUNK_W - _CHUNK_STRIDE)),
+        )
         return F.transform(
             starts,
             lambda s: F.struct(
