@@ -58,11 +58,15 @@ HEADLINE = [
     "text_gopher_rules",
     "curate_pipeline",
     "multimodal_frame_sample",
-    # r4 additions: batch assembly + semantic dedup
+    # r4 additions: batch assembly, semantic dedup, anomaly, connectors
     "pack_sequences",
     "sample_stratified",
     "text_quality_classifier",
     "dedup_semantic",
+    "chunk_documents",
+    "anomaly_zscore",
+    "anomaly_ewma",
+    "ingest_jsonl",
 ]
 
 

@@ -292,41 +292,51 @@ def anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     An EWMA is a sequential recurrence — the one shape plain window
     functions can't express (a closed-form pow() rewrite overflows for
-    long histories). This is the documented (b) path: one Arrow batch
-    per user via applyInPandas, vectorized numpy inside, keys >> cores
-    so per-key sequential work parallelizes across users. The DuckDB
-    oracle replays the identical recurrence as a recursive CTE — the
-    float ops are literal-for-literal the same, so results match
-    bit-for-bit before the final rounding."""
+    long histories). This is the documented (b) path, with one twist:
+    grouping applyInPandas BY USER pays the per-group Arrow/pandas
+    machinery once per user (measured 4.3 s at sf0.1, ~3 ms x 1500
+    groups); grouping by a hash BUCKET of users instead amortizes that
+    to #buckets calls, with an in-batch pandas groupby walking each
+    user's slice (0.6 s, same output). Buckets scale with cores; users
+    within a bucket are sequential, which is fine because users >>
+    cores. The DuckDB oracle replays the identical recurrence as a
+    recursive CTE — the float ops are literal-for-literal the same, so
+    results match bit-for-bit before the final rounding."""
     import numpy as np
     import pandas as pd
 
     ev = (
         tbl(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
-        .select("user_id", "ts", "event_id", "value")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.pmod(F.hash("user_id"), F.lit(64)).alias("bucket"),
+        )
     )
 
-    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        x = pdf["value"].to_numpy(dtype=np.float64)
-        z = x[0]
-        n_alerts = 0
-        for v in x[1:]:
-            if abs(v - z) >= _EWMA_THRESHOLD:
-                n_alerts += 1
-            z = _EWMA_ALPHA * v + 0.8 * z
+    def _ewma_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        out = []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            x = g["value"].to_numpy(dtype=np.float64)
+            z = x[0]
+            n_alerts = 0
+            for v in x[1:]:
+                if abs(v - z) >= _EWMA_THRESHOLD:
+                    n_alerts += 1
+                z = _EWMA_ALPHA * v + 0.8 * z
+            out.append((int(uid), len(x), round(z, 6), n_alerts))
         return pd.DataFrame(
-            [
-                {
-                    "user_id": int(pdf["user_id"].iloc[0]),
-                    "n_events": len(x),
-                    "ewma": round(z, 6),
-                    "n_alerts": n_alerts,
-                }
-            ]
+            out, columns=["user_id", "n_events", "ewma", "n_alerts"]
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        _ewma, "user_id bigint, n_events bigint, ewma double, n_alerts bigint"
+    return (
+        ev.groupBy("bucket")
+        .applyInPandas(
+            _ewma_bucket,
+            "user_id bigint, n_events bigint, ewma double, n_alerts bigint",
+        )
     )
