@@ -103,6 +103,30 @@ def hashed_shingles(toks_col: Column | str, w: int = 5) -> Column:
     return bound(toks_in, _sh)
 
 
+def hashed_shingles_positional(toks_col: Column | str, w: int = 5) -> Column:
+    """Like `hashed_shingles` but WITHOUT the distinct-set collapse:
+    one hashed w-gram per window position, order preserved — for
+    consumers that need gram POSITIONS (span merging, winnowing-style
+    locality), where collapsing repeats would lose offsets. Returns
+    array<bigint> of length max(n - w + 1, 0)."""
+    toks_in = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+
+    def _sh(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), n - F.lit(w - 1))
+        return F.when(
+            n >= F.lit(w),
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(toks, i + j) for j in range(w)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    return bound(toks_in, _sh)
+
+
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of the sorted distinct token set —
     order/multiplicity-insensitive content hash (the exact-dedup key

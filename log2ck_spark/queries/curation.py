@@ -10,11 +10,15 @@ family is built on (functions/text.py): joins move 16-byte digests or
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log2ck_spark.functions.numeric import md5_bucket
-from log2ck_spark.functions.text import hashed_shingles, tokens
+from log2ck_spark.functions.text import (
+    hashed_shingles,
+    hashed_shingles_positional,
+    tokens,
+)
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -259,4 +263,173 @@ def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.select(split.alias("split"), "n_chars")
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture weights (multilingual sampling design)
+# --------------------------------------------------------------------------
+
+_MIX_TEMP = 0.3  # the mBERT/XLM-R exponent: q_l ∝ p_l^0.3
+
+
+@register(
+    "mixture_weights",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents
+      WHERE lang IS NOT NULL GROUP BY lang
+    ), probs AS (
+      SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS p,
+             pow(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), {_MIX_TEMP})
+               AS q_raw
+      FROM counts
+    )
+    SELECT lang, n_docs,
+           ROUND(p, 6) AS p,
+           ROUND(q_raw / SUM(q_raw) OVER (), 6) AS q,
+           ROUND((q_raw / SUM(q_raw) OVER ()) / p, 6) AS sample_weight
+    FROM probs
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixture design: per language, the
+    natural share p_l, the temperature-flattened target share
+    q_l ∝ p_l^T (T={t}), and the per-doc sampling weight q_l/p_l —
+    the standard multilingual rebalancing recipe (low-resource
+    languages upsampled, the head language damped). The whole
+    computation after the one corpus-count agg runs on |languages|
+    rows (two window sums over a tiny frame — broadcast-scale);
+    the emitted sample_weight column is exactly what a weighted
+    sampler or `sample_stratified`-style rate filter consumes."""
+    counts = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    wall = Window.partitionBy()
+    p = F.col("n_docs").cast("double") / F.sum("n_docs").over(wall)
+    probs = counts.select(
+        "lang", "n_docs", p.alias("p"), F.pow(p, F.lit(_MIX_TEMP)).alias("q_raw")
+    )
+    q = F.col("q_raw") / F.sum("q_raw").over(wall)
+    return probs.select(
+        "lang",
+        "n_docs",
+        F.round("p", 6).alias("p"),
+        F.round(q, 6).alias("q"),
+        F.round(q / F.col("p"), 6).alias("sample_weight"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Contamination spans (merged overlap islands per training doc)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "decontaminate_span",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id, source, u.pos AS pos, u.gram AS gram
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                 i -> {{'pos': i,
+                       'gram': array_to_string(toks[i:i+4], ' ')}})) AS u
+        FROM tok)
+    ), eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE source = '{_NEW}'
+    ), hits AS (
+      SELECT t.doc_id, t.pos FROM grams t
+      JOIN eval_grams e ON t.gram = e.gram
+      WHERE t.source <> '{_NEW}'
+    ), islands AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(lag(pos) OVER w, -999) + 5
+                  THEN 1 ELSE 0 END AS new_span,
+             GREATEST(0, 5 - (pos - COALESCE(lag(pos) OVER w, -999)))
+               AS overlap_prev
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    )
+    SELECT doc_id,
+           CAST(SUM(new_span) AS BIGINT) AS n_spans,
+           CAST(SUM(5 - overlap_prev) AS BIGINT) AS n_contaminated_tokens
+    FROM islands GROUP BY doc_id
+    """,
+)
+def decontaminate_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination SPANS: where `decontaminate_overlap` counts
+    shared grams, this merges each training doc's contaminated 5-gram
+    hits into maximal overlapping token islands and reports span count
+    + contaminated token count — the evidence needed to decide between
+    dropping a doc and surgically cutting the contaminated region (the
+    n-gram-overlap decontamination recipe of GPT-3-style dataset
+    cards, applied span-wise).
+
+    Plan: position-preserving grams (posexplode — NOT the distinct
+    shingle set), hash join against the broadcast-scale distinct eval
+    gram set, then per-doc island merging computed entirely inside one
+    aggregation — the sorted hit positions fold through a single
+    `aggregate` expression (state = (prev_end, spans, covered)), so
+    the only shuffles are the gram join and one groupBy(doc_id) of the
+    sparse HIT list (not the corpus). The oracle derives the same
+    spans independently via a lag/window formulation."""
+    g = (
+        tbl(spark, sf_dir, "documents", fanout=True)
+        .select("doc_id", "source", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(hashed_shingles_positional("toks", w=5)).alias(
+                "pos0", "gram"
+            ),
+        )
+        .select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    eval_grams = (
+        g.filter(F.col("source") == _NEW).select("gram").distinct()
+    )
+    hits = (
+        g.filter(F.col("source") != _NEW)
+        .join(eval_grams, "gram")
+        .select("doc_id", "pos")
+    )
+    sorted_pos = F.array_sort(F.collect_list("pos"))
+    # fold sorted positions into islands: a hit at pos covers tokens
+    # [pos, pos+4]; a hit within prev_end merges, else opens a span.
+    state0 = F.struct(
+        F.lit(-999).cast("long").alias("prev_end"),
+        F.lit(0).cast("long").alias("spans"),
+        F.lit(0).cast("long").alias("covered"),
+    )
+    fold = F.aggregate(
+        sorted_pos,
+        state0,
+        lambda st, p: F.struct(
+            (p + 4).cast("long").alias("prev_end"),
+            (
+                st.spans + F.when(p > st.prev_end + 1, 1).otherwise(0)
+            ).alias("spans"),
+            # newly covered tokens: [p, p+4] minus what prev_end
+            # already covers — p+4 > prev_end always holds for sorted
+            # distinct positions, so the delta is unconditional (a
+            # partial overlap contributes its d < 5 new tokens).
+            (
+                st.covered + (p + 4 - F.greatest(p - 1, st.prev_end))
+            ).cast("long").alias("covered"),
+        ),
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(fold.alias("st"))
+        .select(
+            "doc_id",
+            F.col("st.spans").alias("n_spans"),
+            F.col("st.covered").alias("n_contaminated_tokens"),
+        )
     )
