@@ -74,3 +74,36 @@ def test_hamming64_basic(spark):
     df = spark.createDataFrame([(0, 7), (5, 5)], "a long, b long")
     rows = df.select(hamming64(F.col("a"), F.col("b")).alias("d")).collect()
     assert [r.d for r in rows] == [3, 0]
+
+
+def test_md5_helpers_match_oracle_twins(spark):
+    """The shared portable-hash contract: Spark md5_bucket/md5_frac
+    must agree with their generated DuckDB SQL twins on every key —
+    one bulk comparison over 1000 ids (covers both hex widths)."""
+    import duckdb
+
+    from log2ck_spark.functions.numeric import (
+        md5_bucket,
+        md5_frac,
+        oracle_md5_bucket,
+        oracle_md5_frac,
+    )
+
+    ids = spark.range(1000).select(F.col("id").alias("k"))
+    got = {
+        r.k: (r.b8, r.b4, r.f8)
+        for r in ids.select(
+            "k",
+            md5_bucket("k", 100).alias("b8"),
+            md5_bucket("k", 100, hex_digits=4).alias("b4"),
+            F.round(md5_frac("k"), 12).alias("f8"),
+        ).collect()
+    }
+    sql = f"""
+        SELECT k, {oracle_md5_bucket('k', 100)} AS b8,
+               {oracle_md5_bucket('k', 100, hex_digits=4)} AS b4,
+               ROUND({oracle_md5_frac('k')}, 12) AS f8
+        FROM range(1000) t(k)
+    """
+    for k, b8, b4, f8 in duckdb.sql(sql).fetchall():
+        assert got[k] == (b8, b4, f8), k
