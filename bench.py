@@ -114,12 +114,18 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # The headline set GROWS each round (r3: 27 queries, r4: 40), so
+    # the grand total is not comparable across rounds. r3_subset_total
+    # is the sum over exactly the 27 names BENCH_r03 timed — the
+    # apples-to-apples number.
+    r3_subset = round(sum(timings[n] for n in HEADLINE[:27]), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "r3_subset_total": r3_subset,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
