@@ -353,3 +353,64 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("int").alias("max_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM perplexity (the CCNet-style statistical quality signal)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), freq AS (
+      SELECT term, COUNT(*) AS tf FROM toks GROUP BY term
+    ), total AS (
+      SELECT SUM(tf) AS n FROM freq
+    ), scored AS (
+      SELECT t.doc_id,
+             ROUND(log2(CAST(f.tf AS DOUBLE) / total.n), 9) AS lp
+      FROM toks t JOIN freq f USING (term), total
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(-CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*),
+                 6) AS bits_per_token
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bits-per-token under the corpus's own unigram LM —
+    the cheap perplexity-style quality filter (CCNet buckets its
+    corpus by LM perplexity; a unigram model is the degenerate-but-
+    computable member of that family, needing no external artifact).
+    Low bits = dominated by corpus-frequent tokens; high bits = rare/
+    noisy vocabulary. Filtering is a predicate on the output.
+
+    Plan: one (term, tf) vocabulary agg; the corpus total folds in as
+    a 1-row cross join (broadcast scalar); the token-stream join back
+    to the vocabulary is the same exchange shape as TF-IDF. Per-term
+    log2 is rounded to 9 decimals BEFORE the decimal-guarded sum —
+    cross-engine ULP differences in libm log2 die at 1e-9, the decimal
+    sum kills order dependence, and the final /n rounds to 6."""
+    toks = tbl(spark, sf_dir, "documents", fanout=True).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n"))
+    lp = F.round(F.log2(F.col("tf").cast("double") / F.col("n")), 9)
+    scored = (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            -F.sum(F.col("lp").cast("decimal(18,9)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("bits_per_token"),
+    )
