@@ -10,7 +10,7 @@ no cartesian products.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log2ck_spark.functions.numeric import dsum, oracle_dsum
@@ -442,5 +442,101 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
             "sum_qty",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-grid resample with forward fill (gauge downsampling)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "resample_ffill",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value,
+             make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600000000
+                                 AS BIGINT)) AS bkt,
+             ts, event_id
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), lastv AS (
+      SELECT event_type, bkt, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type, bkt
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev) WHERE rn = 1
+    ), bounds AS (
+      SELECT event_type, MIN(bkt) AS mn, MAX(bkt) AS mx
+      FROM lastv GROUP BY event_type
+    ), grid AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bkt
+      FROM bounds
+    )
+    SELECT g.event_type,
+           strftime(g.bkt, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           ROUND(last_value(l.value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bkt
+             ROWS UNBOUNDED PRECEDING), 3) AS value,
+           CAST(l.value IS NULL AS INTEGER) AS filled
+    FROM grid g LEFT JOIN lastv l
+      ON g.event_type = l.event_type AND g.bkt = l.bkt
+    """,
+)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each event type to a dense hourly grid, carrying the
+    last observed value across empty hours (gauge semantics) — the
+    dashboard/timeseries-export query of log analytics, and the batch
+    analog of what a metrics TSDB does on scrape gaps.
+
+    Plan: per-(type, hour) last value via one row_number window; the
+    per-type [min, max] hour bounds are a tiny agg whose `sequence()`
+    explode GENERATES the dense grid as a column expression (no
+    driver-side loop, no calendar table to maintain); grid left-joins
+    the observed hours and one final per-type window forward-fills.
+    Everything shuffles on event_type x hour or event_type — bounded
+    keys, bounded grid (span/width rows per type). The gap flag is
+    emitted so downstream can distinguish observed from carried
+    points."""
+    ev = (
+        tbl(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            "ts",
+            "event_id",
+            F.window("ts", "1 hour").start.alias("bkt"),
+        )
+    )
+    wlast = Window.partitionBy("event_type", "bkt").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    lastv = (
+        ev.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "bkt", "value")
+    )
+    bounds = lastv.groupBy("event_type").agg(
+        F.min("bkt").alias("mn"), F.max("bkt").alias("mx")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("bkt"),
+    )
+    wfill = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(lastv, ["event_type", "bkt"], "left")
+        .select(
+            "event_type",
+            F.date_format("bkt", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+            F.round(
+                F.last("value", ignorenulls=True).over(wfill), 3
+            ).alias("value"),
+            F.col("value").isNull().cast("int").alias("filled"),
         )
     )
