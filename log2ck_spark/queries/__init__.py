@@ -57,6 +57,7 @@ def load_all() -> None:
         textops,
         textops2,
         textops3,
+        timeseries,
         vectorops,
     )
 

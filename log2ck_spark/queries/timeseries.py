@@ -1,0 +1,206 @@
+"""Metric time-series operators over `events` — counter-rate with
+reset handling, time-weighted averages, and a pivoted daily activity
+matrix. This is the monitoring surface a log2ck/ClickHouse deployment
+layers over its ingested table (the reference's DDL sorts by
+`(created_at, repo, host)` exactly to serve per-entity time scans,
+`/root/reference/readme.md:122`); the operator semantics follow the
+published Prometheus/PromQL definitions (`rate()`/`increase()` with
+counter-reset detection) re-expressed as single-shuffle window plans.
+
+Determinism: the synthetic counter is integer arithmetic (floor of
+value cents, cumulative-summed then wrapped), so both engines walk an
+identical bigint sequence; time weights are integer seconds; weighted
+sums go through the decimal cast chain (functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from log2ck_spark.functions.numeric import DECIMAL
+from log2ck_spark.io import tbl
+from log2ck_spark.queries import register
+
+_WRAP = 100_000  # counter wraps at 1e5 cents → several resets per user
+
+
+@register(
+    "rate_counter",
+    oracle=f"""
+    WITH samples AS (
+      SELECT user_id, event_id,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_s,
+             CAST(floor(value * 100) AS BIGINT) AS v_int
+      FROM events
+    ), counter AS (
+      SELECT user_id, ts_s,
+             SUM(v_int) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                              ROWS UNBOUNDED PRECEDING) % {_WRAP} AS c
+      FROM samples
+    ), deltas AS (
+      SELECT user_id, ts_s, c,
+             lag(c) OVER (PARTITION BY user_id ORDER BY ts_s, c) AS prev
+      FROM counter
+    )
+    SELECT user_id, COUNT(*) AS n_samples,
+           CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                         WHEN c >= prev THEN c - prev
+                         ELSE c END) AS BIGINT) AS increase,
+           MAX(ts_s) - MIN(ts_s) AS duration_s,
+           ROUND(SUM(CASE WHEN prev IS NULL THEN 0
+                          WHEN c >= prev THEN c - prev
+                          ELSE c END)
+                 / (MAX(ts_s) - MIN(ts_s)), 6) AS rate_per_s
+    FROM deltas GROUP BY user_id
+    HAVING MAX(ts_s) - MIN(ts_s) > 0
+    """,
+)
+def rate_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style `increase()`/`rate()` with counter-reset detection:
+    a wrap-around counter is sampled per user; a sample below its
+    predecessor means the counter reset, so the full post-reset value
+    counts as increase (the published Prometheus rule). The fixture
+    synthesizes the counter deterministically (cumulative value-cents
+    mod {w}) so both engines walk the identical bigint sequence.
+
+    ONE shuffle on user_id serves the cumulative-sum window, the lag
+    window, and the final per-user aggregation (same partitioning
+    key); per-key state is a sort within the partition. At 100 TB of
+    samples this is the canonical gauge/counter downsample shape —
+    no driver state, no per-key collect, scales with key cardinality.
+
+    The lag window orders by (ts_s, c): c is itself a deterministic
+    function of the (ts_s, event_id) walk, so the delta sequence is
+    reproducible even where timestamps tie."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v_int"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    counter = ev.select(
+        "user_id", "ts_s", (F.sum("v_int").over(w_cum) % _WRAP).alias("c")
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("ts_s", "c")
+    deltas = counter.withColumn("prev", F.lag("c").over(w_lag))
+    inc = F.sum(
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(F.col("c") >= F.col("prev"), F.col("c") - F.col("prev"))
+        .otherwise(F.col("c"))
+    )
+    dur = F.max("ts_s") - F.min("ts_s")
+    return (
+        deltas.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            inc.alias("increase"),
+            dur.alias("duration_s"),
+            F.round(inc / dur, 6).alias("rate_per_s"),
+        )
+        .filter(F.col("duration_s") > 0)
+    )
+
+
+rate_counter.__doc__ = rate_counter.__doc__.format(w=_WRAP)
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH samples AS (
+      SELECT user_id, value,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_s,
+             event_id
+      FROM events
+    ), weighted AS (
+      SELECT user_id, value, ts_s,
+             lead(ts_s) OVER (PARTITION BY user_id
+                              ORDER BY ts_s, event_id) - ts_s AS w
+      FROM samples
+    )
+    SELECT user_id,
+           COUNT(*) AS n_samples,
+           CAST(SUM(w) AS BIGINT) AS duration_s,
+           ROUND(CAST(SUM(CAST(value * w AS DECIMAL(18,6))) AS DOUBLE)
+                 / SUM(w), 6) AS twa
+    FROM weighted
+    WHERE w IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(w) > 0
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of a sampled gauge: each sample holds its
+    value until the next one (step interpolation), so its weight is
+    the integer-second gap to its successor; the last sample of each
+    key carries no weight. This is the standard irregular-series
+    downsample (the `avg_over_time` analog for step gauges) — a plain
+    AVG over irregular samples over-weights bursts.
+
+    Same one-shuffle shape as rate_counter: the lead window and the
+    per-user aggregation share the user_id exchange. The value×weight
+    products go through the decimal cast chain so the sum is
+    order-independent (functions/numeric.py); weights are exact
+    integer seconds, so both engines aggregate identical decimals."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "event_id",
+    )
+    w_lead = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    weighted = ev.withColumn(
+        "w", F.lead("ts_s").over(w_lead) - F.col("ts_s")
+    ).filter(F.col("w").isNotNull())
+    wsum = F.sum((F.col("value") * F.col("w")).cast(DECIMAL)).cast("double")
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum("w").alias("duration_s"),
+            F.round(wsum / F.sum("w"), 6).alias("twa"),
+        )
+        .filter(F.col("duration_s") > 0)
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_daily_activity",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: one row per day, one count column per event
+    type — the dashboard matrix every log deployment renders. Uses
+    Spark's native `pivot` WITH the value list supplied explicitly:
+    omitting it triggers an extra distinct-values job AND makes the
+    output schema data-dependent — at 100 TB both are real costs, and
+    a drifting schema breaks downstream consumers. With the list
+    pinned, the plan is a single partial+final hash aggregation (each
+    mapper emits one row per day with 5 pivoted counters — map-side
+    combine collapses the corpus before the one tiny shuffle)."""
+    ev = tbl(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return wide.select(
+        "day", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
