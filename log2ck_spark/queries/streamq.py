@@ -149,3 +149,84 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_dups"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join (C5 family: the two-stream correlation)
+# --------------------------------------------------------------------------
+
+_SSJ_WINDOW_S = 6 * 3600  # errors correlate to clicks up to 6 h earlier
+
+
+def join_clicks_to_errors(clicks: DataFrame, errors: DataFrame) -> DataFrame:
+    """Event-time interval join: each click pairs with the same user's
+    errors landing in (click_ts, click_ts + 6 h]. Shared by the batch
+    query below and the true stream-stream execution in
+    tests/test_streaming_extras.py (where both sides carry watermarks
+    and the range condition bounds the join state the engine keeps).
+
+    The join key is (user_id) equality + an event-time range — in
+    streaming, Spark derives the state-eviction horizon from exactly
+    this condition; in batch it is a plain SMJ on user_id with the
+    range as a post-join predicate. Emitting integer-second lag keeps
+    the output engine-portable."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    e = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    joined = c.join(
+        e,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") > F.col("click_ts"))
+        & (
+            F.col("error_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {_SSJ_WINDOW_S} SECONDS")
+        ),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "error_id",
+        (
+            F.unix_timestamp("error_ts") - F.unix_timestamp("click_ts")
+        ).alias("lag_s"),
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle=f"""
+    SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+           CAST(floor(date_part('epoch', e.ts))
+                - floor(date_part('epoch', c.ts)) AS BIGINT) AS lag_s
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts > c.ts
+     AND e.ts <= c.ts + INTERVAL {_SSJ_WINDOW_S} SECOND
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the stream-stream inner interval join: which
+    errors followed each click within 6 h, per user — the two-stream
+    correlation primitive (click/impression attribution, cause→effect
+    log joins). The true streaming run (watermarks on both sides,
+    bounded join state) is exercised in tests/test_streaming_extras.py
+    via the same join helper.
+
+    Scale shape: one shuffle per side on user_id, then a sort-merge
+    join whose range predicate evaluates inside the merge — never a
+    cartesian. In streaming the same condition caps state at
+    (per-user clicks within the 6 h horizon), so a 100 TB/day pair of
+    streams holds hours, not history, in the state store."""
+    ev = tbl(spark, sf_dir, "events")
+    return join_clicks_to_errors(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+    )

@@ -121,3 +121,54 @@ def test_dead_letter_stream_and_listener(spark, tmp_path):
         assert "\t" in content
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_stream_interval_join_live(spark, tmp_path):
+    """stream_stream_join's TRUE two-stream execution: clicks and
+    errors arrive as separate readStream sources, both watermarked,
+    and the event-time interval join runs in the state store. The
+    emitted pair set must equal the batch analog over the same data."""
+    from pyspark.sql import functions as F
+
+    from log2ck_spark.io import tbl
+    from log2ck_spark.queries.streamq import join_clicks_to_errors
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = tbl(spark, sf_dir, "events")
+    c_src, e_src = str(tmp_path / "clicks"), str(tmp_path / "errors")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    clicks.coalesce(1).write.parquet(c_src)
+    errors.coalesce(1).write.parquet(e_src)
+
+    schema = spark.read.parquet(c_src).schema
+    c_stream = spark.readStream.schema(schema).parquet(c_src).withWatermark(
+        "ts", "1 hour"
+    )
+    e_stream = spark.readStream.schema(schema).parquet(e_src).withWatermark(
+        "ts", "1 hour"
+    )
+    q = (
+        join_clicks_to_errors(c_stream, e_stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        expected = {
+            tuple(r)
+            for r in join_clicks_to_errors(clicks, errors).collect()
+        }
+        assert expected, "fixture produced no pairs — widen the window"
+
+        def got():
+            return {tuple(r) for r in spark.sql("SELECT * FROM ssj").collect()}
+
+        assert _wait(lambda: got() == expected, timeout=90), (
+            f"streaming join emitted {len(got())} pairs, want {len(expected)}"
+        )
+    finally:
+        q.stop()
+        q.awaitTermination(30)
