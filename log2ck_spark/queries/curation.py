@@ -433,3 +433,61 @@ def decontaminate_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("st.covered").alias("n_contaminated_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle into training shards
+# --------------------------------------------------------------------------
+
+_SHUFFLE_SEED = 42
+_N_SHARDS = 32
+
+
+@register(
+    "shuffle_shards",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SEED}') AS h
+      FROM documents
+    )
+    SELECT CAST(CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % {_N_SHARDS}
+                AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(h, 1, 8)) AS BIGINT)
+                          % {_N_SHARDS}
+             ORDER BY h, doc_id) AS BIGINT) AS pos,
+           doc_id
+    FROM hashed
+    """,
+)
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every epoch
+    of LLM training needs the corpus in a pseudo-random order that is
+    reproducible (resume mid-epoch, re-run byte-identical) and
+    migration-stable — md5(doc_id:seed) gives both, and changing the
+    seed re-shuffles. Each doc lands in shard = hash mod N with
+    position = hash order within the shard.
+
+    Scale shape: this is the ONLY correct distributed shuffle layout —
+    a single global row_number would serialize through one partition,
+    while shard-partitioned windows parallelize across N shards (at
+    100 TB, N = tens of thousands, each shard a few GB sorted
+    locally). Writers then emit one sorted file per shard and readers
+    concatenate shards in index order: global order without any
+    global sort. One hash-partition exchange, no driver state."""
+    d = tbl(spark, sf_dir, "documents")
+    key = F.concat_ws(":", F.col("doc_id"), F.lit(_SHUFFLE_SEED))
+    hashed = d.select("doc_id", F.md5(key).alias("h"))
+    shard = (
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint") % _N_SHARDS
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        hashed.select(shard.alias("shard"), "h", "doc_id")
+        .select(
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "doc_id",
+        )
+    )

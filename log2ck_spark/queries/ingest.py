@@ -382,3 +382,129 @@ def ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# A4 custom-pattern variants — Apache combined access log and logfmt.
+# The reference's `pattern` override (`readme.md:81`) means any line
+# grammar with capture groups can drive the same parse pipeline; these
+# two exercise that contract with the two most common non-monolog log
+# shapes, through the SAME parse_lines machinery (no per-format code).
+# --------------------------------------------------------------------------
+
+ACCESSLOG_PATTERN = (
+    r'^(\S+) \S+ (\S+) \[([^\]]+)\] "(\w+) (\S+) [^"]+" (\d+) (\d+)$'
+)
+ACCESSLOG_GROUPS = (
+    "ip", "http_user", "created_at", "method", "path", "status", "bytes"
+)
+ACCESSLOG_TS_FORMAT = "dd/MMM/yyyy:HH:mm:ss Z"
+
+
+def accesslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → Apache combined-log lines (garbage on event_id%13==0,
+    same dead-letter injection as the monolog corpus)."""
+    ev = tbl(spark, sf_dir, "events", fanout=True)
+    line = F.concat(
+        F.lit("10.0.0."), F.col("user_id") % 50,
+        F.lit(" - u"), F.col("user_id"),
+        F.lit(" ["), F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(" +0000] \"GET /e/"), F.col("event_type"),
+        F.lit("/"), F.col("event_id"),
+        F.lit(" HTTP/1.1\" "),
+        F.when(F.col("event_type") == "error", 500).otherwise(200),
+        F.lit(" "), F.floor(F.col("value") * 10).cast("bigint"),
+    )
+    garbage = F.concat(F.lit("corrupt "), F.col("event_id"))
+    return ev.select(
+        F.when(F.col("event_id") % INVALID_MOD == 0, garbage)
+        .otherwise(line)
+        .alias("value")
+    )
+
+
+@register(
+    "parse_accesslog",
+    oracle="""
+    SELECT '10.0.0.' || (user_id % 50) AS ip,
+           'u' || user_id AS http_user,
+           DATE_TRUNC('second', ts) AS created_at,
+           'GET' AS method,
+           '/e/' || event_type || '/' || event_id AS path,
+           CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status,
+           CAST(floor(value * 10) AS BIGINT) AS bytes
+    FROM events
+    WHERE event_id % 13 <> 0
+    """,
+)
+def parse_accesslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 with a custom pattern: Apache combined access-log grammar
+    through the same parse_lines/split_valid pipeline as monolog —
+    the reference's `pattern` override contract (`readme.md:81`,
+    `Worker.php:25` swapped at config time). Timestamp format carries
+    an explicit zone offset; status/bytes are typed post-extract (the
+    sink-side typing the reference delegates to ClickHouse DDL,
+    SURVEY.md §1.2). Still one codegen'd scan — a 100 TB access-log
+    re-parse shuffles nothing."""
+    lines = accesslog_lines(spark, sf_dir)
+    parsed = parse_lines(
+        lines,
+        pattern=ACCESSLOG_PATTERN,
+        groups=ACCESSLOG_GROUPS,
+        ts_format=ACCESSLOG_TS_FORMAT,
+    )
+    valid, _dead = split_valid(parsed)
+    return valid.select(
+        "ip",
+        "http_user",
+        "created_at",
+        "method",
+        "path",
+        F.col("status").cast("int").alias("status"),
+        F.col("bytes").cast("bigint").alias("bytes"),
+    )
+
+
+def logfmt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → logfmt ``k=v`` lines (the Heroku/Go ecosystem's
+    structured-log grammar)."""
+    ev = tbl(spark, sf_dir, "events", fanout=True)
+    return ev.select(
+        F.concat(
+            F.lit("ts="), F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit(" user=u"), F.col("user_id"),
+            F.lit(" type="), F.col("event_type"),
+            F.lit(" value="), F.col("value").cast("string"),
+            F.lit(" id="), F.col("event_id"),
+        ).alias("value")
+    )
+
+
+@register(
+    "parse_logfmt",
+    oracle="""
+    SELECT DATE_TRUNC('second', ts) AS created_at,
+           user_id, event_type,
+           value, event_id
+    FROM events
+    """,
+)
+def parse_logfmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logfmt parsing WITHOUT a regex per field: one `str_to_map`
+    builds the key→value map per line, fields are then typed map
+    lookups — the idiomatic Spark shape for self-describing k=v logs
+    (arbitrary/unknown keys survive in the map; contrast with the
+    fixed-group regex path). All JVM-side string ops in one codegen'd
+    scan; the double round-trips value→string→double exactly in both
+    engines."""
+    lines = logfmt_lines(spark, sf_dir)
+    m = F.expr("str_to_map(value, ' ', '=')")
+    return lines.select(m.alias("kv")).select(
+        F.to_timestamp(
+            F.col("kv")["ts"], "yyyy-MM-dd'T'HH:mm:ss"
+        ).alias("created_at"),
+        F.substring(F.col("kv")["user"], 2, 100).cast("bigint").alias("user_id"),
+        F.col("kv")["type"].alias("event_type"),
+        F.col("kv")["value"].cast("double").alias("value"),
+        F.col("kv")["id"].cast("bigint").alias("event_id"),
+    )
