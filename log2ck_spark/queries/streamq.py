@@ -220,9 +220,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded join state) is exercised in tests/test_streaming_extras.py
     via the same join helper.
 
-    Scale shape: one shuffle per side on user_id, then a sort-merge
-    join whose range predicate evaluates inside the merge — never a
-    cartesian. In streaming the same condition caps state at
+    Scale shape: an equi-join on user_id with the time range as a
+    join-level predicate — broadcast-hash when a filtered side fits
+    (what AQE picks at fixture scale), sort-merge with one exchange
+    per side otherwise; never a cartesian. In streaming the same
+    condition caps state at
     (per-user clicks within the 6 h horizon), so a 100 TB/day pair of
     streams holds hours, not history, in the state store."""
     ev = tbl(spark, sf_dir, "events")

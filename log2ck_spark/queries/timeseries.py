@@ -192,9 +192,11 @@ def pivot_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     omitting it triggers an extra distinct-values job AND makes the
     output schema data-dependent — at 100 TB both are real costs, and
     a drifting schema breaks downstream consumers. With the list
-    pinned, the plan is a single partial+final hash aggregation (each
-    mapper emits one row per day with 5 pivoted counters — map-side
-    combine collapses the corpus before the one tiny shuffle)."""
+    pinned, the compiled plan is two aggregation stages ((day, type)
+    counts, then pivotfirst over day) — but BOTH exchanges move only
+    aggregated rows (≤ days × 5), because the map-side partial
+    collapses the corpus before the first shuffle; the raw events
+    never shuffle."""
     ev = tbl(spark, sf_dir, "events")
     wide = (
         ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))

@@ -273,3 +273,40 @@ def test_quality_classifier_partial_agg_no_join(spark, sf_dir):
     plan = _plan(spark, "text_quality_classifier", sf_dir)
     assert "partial" in plan.lower(), plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_rate_counter_single_shuffle(spark, sf_dir):
+    """Both windows and the final agg share the user_id exchange."""
+    plan = _plan(spark, "rate_counter", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_time_weighted_avg_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, "time_weighted_avg", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pivot_shuffles_only_aggregated_rows(spark, sf_dir):
+    """Pivot compiles to two agg stages; the partial before the first
+    exchange is what keeps raw events from shuffling."""
+    plan = _plan(spark, "pivot_daily_activity", sf_dir)
+    assert "partial_count" in plan or "partial_pivotfirst" in plan, plan[:2000]
+    first_exchange = plan.index("Exchange")
+    assert "partial" in plan[first_exchange:].lower()
+
+
+def test_stream_stream_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "stream_stream_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shuffle_shards_no_global_sort(spark, sf_dir):
+    """The training shuffle must parallelize across shards — a global
+    row_number (Exchange SinglePartition) would serialize 100 TB
+    through one task."""
+    plan = _plan(spark, "shuffle_shards", sf_dir)
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1
