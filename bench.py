@@ -67,6 +67,13 @@ HEADLINE = [
     "anomaly_zscore",
     "anomaly_ewma",
     "ingest_jsonl",
+    # late-r4 additions: time-series, two-stream join, shard shuffle,
+    # custom-pattern parsing
+    "rate_counter",
+    "time_weighted_avg",
+    "stream_stream_join",
+    "shuffle_shards",
+    "parse_accesslog",
 ]
 
 
