@@ -74,6 +74,8 @@ HEADLINE = [
     "stream_stream_join",
     "shuffle_shards",
     "parse_accesslog",
+    "sketch_count_min",
+    "sketch_hll",
 ]
 
 

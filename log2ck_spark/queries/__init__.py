@@ -53,6 +53,7 @@ def load_all() -> None:
         scaleops,
         semantic,
         similarity,
+        sketches,
         streamq,
         textops,
         textops2,

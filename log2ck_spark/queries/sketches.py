@@ -1,0 +1,254 @@
+"""Mergeable sketch operators — fixed-memory approximate structures
+whose partial states combine associatively, the only aggregation
+family that keeps working when the group-by state itself would
+overflow an executor (cf. the Cormode/Muthukrishnan count-min sketch,
+J. Algorithms 2005). Spark's own HLL++ is exposed as
+`approx_count_distinct` (query `approx_distinct`); this module builds
+the sketches Spark does NOT ship natively, as plain aggregations —
+so the 100 TB story is ordinary partial+final hash aggregation over a
+state of fixed, tiny width.
+
+Determinism: all hash functions are md5-derived (engine-portable, see
+functions/numeric.py), so the DuckDB oracle replays the exact sketch
+— estimates and all — not just the exact baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from log2ck_spark.functions.numeric import md5_bucket
+from log2ck_spark.functions.text import tokens
+from log2ck_spark.io import tbl
+from log2ck_spark.queries import register
+
+_CMS_DEPTH = 4  # independent hash rows
+_CMS_WIDTH = 256  # counters per row
+_CMS_TOPK = 20
+
+
+@register(
+    "sketch_count_min",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), grid AS (
+      SELECT unnest(range({_CMS_DEPTH})) AS j
+    ), cells AS (
+      SELECT j,
+             CAST(('0x' || substr(md5(tok || ':' || j), 1, 8)) AS BIGINT)
+               % {_CMS_WIDTH} AS col,
+             COUNT(*) AS c
+      FROM toks CROSS JOIN grid
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT tok, COUNT(*) AS n_exact FROM toks
+      GROUP BY tok ORDER BY n_exact DESC, tok LIMIT {_CMS_TOPK}
+    )
+    SELECT e.tok AS term, e.n_exact, CAST(MIN(c.c) AS BIGINT) AS n_cms
+    FROM exact e
+    CROSS JOIN grid g
+    JOIN cells c
+      ON c.j = g.j
+     AND c.col = CAST(('0x' || substr(md5(e.tok || ':' || g.j), 1, 8))
+                      AS BIGINT) % {_CMS_WIDTH}
+    GROUP BY 1, 2
+    """,
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream: a {d}×{w}
+    counter matrix (md5-derived hash per row), queried for the exact
+    top-{k} terms — output is (term, exact count, CMS estimate), the
+    estimate ≥ exact by construction, overshooting only on hash
+    collisions. The oracle replays the identical sketch in DuckDB, so
+    the ESTIMATES are value-checked, not just the baseline.
+
+    Why a sketch at 100 TB: an exact per-term count holds |vocab|
+    state; the CMS holds {d}·{w} counters NO MATTER the corpus — the
+    build is one partial+final hash aggregation whose shuffle carries
+    at most partitions×{d}·{w} pre-combined cells, and sketches from
+    disjoint corpus shards MERGE by cell-wise addition (the partial
+    agg IS that merge). Point queries then broadcast the ≤{d}·{w}-row
+    sketch. The fixture's exact side doubles as the accuracy audit.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+
+    # build: each occurrence increments one cell per hash row
+    cell_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                md5_bucket(
+                    F.concat(F.col("tok"), F.lit(f":{j}")), _CMS_WIDTH
+                ).alias("col"),
+            )
+            for j in range(_CMS_DEPTH)
+        ]
+    )
+    cells = (
+        toks.select(F.explode(cell_structs).alias("cell"))
+        .groupBy(F.col("cell.j").alias("j"), F.col("cell.col").alias("col"))
+        .agg(F.count("*").alias("c"))
+    )
+
+    # query: exact top-k terms (the audit baseline), then min over rows
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+        .limit(_CMS_TOPK)
+    )
+    probes = exact.select(
+        "tok",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        md5_bucket(
+                            F.concat(F.col("tok"), F.lit(f":{j}")), _CMS_WIDTH
+                        ).alias("col"),
+                    )
+                    for j in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "n_exact", "cell.j", "cell.col")
+    return (
+        probes.join(F.broadcast(cells), ["j", "col"])
+        .groupBy(F.col("tok").alias("term"), "n_exact")
+        .agg(F.min("c").alias("n_cms"))
+    )
+
+
+sketch_count_min.__doc__ = sketch_count_min.__doc__.format(
+    d=_CMS_DEPTH, w=_CMS_WIDTH, k=_CMS_TOPK
+)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog, replayed cross-engine
+# --------------------------------------------------------------------------
+
+_HLL_M = 512  # 2^9 registers
+_HLL_ALPHA = 0.7197831133217303  # 0.7213 / (1 + 1.079/512), Flajolet et al.
+_HLL_MAXRHO = 52  # 60-bit hash - 9 bucket bits -> 51 pattern bits, rho <= 52
+
+
+@register(
+    "sketch_hll",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ), rho AS (
+      SELECT event_type, h % {_HLL_M} AS bucket,
+             CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_MAXRHO}
+                  ELSE {_HLL_MAXRHO} - length(bin(h // {_HLL_M}))
+             END AS r
+      FROM hashed
+    ), registers AS (
+      SELECT event_type, bucket, MAX(r) AS m_rho
+      FROM rho GROUP BY 1, 2
+    ), per_type AS (
+      SELECT event_type,
+             COUNT(*) AS occupied,
+             CAST(SUM(CAST(pow(2.0, {_HLL_MAXRHO} - m_rho) AS BIGINT))
+                  AS BIGINT)
+               + CAST(({_HLL_M} - COUNT(*))
+                      * pow(2.0, {_HLL_MAXRHO}) AS BIGINT) AS sum_scaled
+      FROM registers GROUP BY 1
+    ), est AS (
+      SELECT event_type, occupied,
+             CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+               * pow(2.0, {_HLL_MAXRHO}) / sum_scaled AS raw
+      FROM per_type
+    ), exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+      GROUP BY 1
+    )
+    SELECT e.event_type, x.n_exact,
+           ROUND(CASE WHEN e.raw <= 2.5 * {_HLL_M}
+                       AND e.occupied < {_HLL_M}
+                      THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                         / ({_HLL_M} - e.occupied))
+                      ELSE e.raw END, 4) AS n_hll,
+           CAST(e.occupied AS BIGINT) AS n_occupied
+    FROM est e JOIN exact x USING (event_type)
+    """,
+)
+def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count per event_type, replayed EXACTLY in
+    both engines (Flajolet/Fusy/Gandouet/Meunier, AofA 2007 — the
+    published algorithm, m=512 registers, md5-derived 60-bit hash,
+    with the small-range linear-counting correction). Spark ships
+    HLL++ as `approx_count_distinct` (query `approx_distinct`, error-
+    bound-tested only); THIS query makes the sketch itself the
+    value-checked output: registers are engine-portable md5 buckets,
+    and the harmonic sum is computed on 2^52-SCALED INTEGERS (each
+    register contributes 2^(52-rho) exactly; bigint sum ≤ 2^61) so no
+    float-accumulation order can perturb the estimate — DuckDB
+    replays estimate-for-estimate, collision-for-collision.
+
+    Scale shape: duplicates never shuffle (MAX(rho) partial-combines
+    map-side); state is m=512 registers per group NO MATTER the
+    cardinality, and registers from disjoint shards merge by MAX —
+    the mergeable-sketch property that makes 100 TB distinct counts
+    a two-stage aggregation. n_exact (countDistinct) rides along as
+    the fixture-scale accuracy audit."""
+    ev = tbl(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    rest = F.floor(F.col("h") / _HLL_M).cast("bigint")
+    rho = F.when(rest == 0, F.lit(_HLL_MAXRHO)).otherwise(
+        _HLL_MAXRHO - F.length(F.bin(rest))
+    )
+    registers = (
+        ev.select("event_type", h.alias("h"))
+        .select("event_type", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("r"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m_rho"))
+    )
+    contrib = F.pow(F.lit(2.0), _HLL_MAXRHO - F.col("m_rho")).cast("bigint")
+    per_type = registers.groupBy("event_type").agg(
+        F.count("*").alias("occupied"),
+        (
+            F.sum(contrib)
+            + (_HLL_M - F.count("*"))
+            * F.pow(F.lit(2.0), F.lit(_HLL_MAXRHO)).cast("bigint")
+        ).cast("bigint").alias("sum_scaled"),
+    )
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * _HLL_M
+        * _HLL_M
+        * F.pow(F.lit(2.0), F.lit(_HLL_MAXRHO))
+        / F.col("sum_scaled")
+    )
+    linear = _HLL_M * F.log(
+        F.lit(float(_HLL_M)) / (_HLL_M - F.col("occupied"))
+    )
+    est = per_type.select(
+        "event_type",
+        "occupied",
+        F.when(
+            (raw <= 2.5 * _HLL_M) & (F.col("occupied") < _HLL_M), linear
+        )
+        .otherwise(raw)
+        .alias("est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.round("est", 4).alias("n_hll"),
+        F.col("occupied").cast("bigint").alias("n_occupied"),
+    )
