@@ -206,3 +206,73 @@ def pivot_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "day", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
     )
+
+
+@register(
+    "correlate_series",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS x,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS y
+      FROM events GROUP BY 1
+    ), moments AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM hourly
+    )
+    SELECT n AS n_hours,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                        * (n * syy - sy * sy)), 6) AS corr,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+    FROM moments
+    """,
+)
+def correlate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS fit between two derived metric
+    series (hourly error count vs hourly click count) — the
+    do-errors-track-traffic question every log deployment asks. NOT
+    `F.corr`: Spark's corr accumulates float co-moments whose partial
+    order varies run-to-run, so it can't hash-match an oracle. Both
+    series here are integer counts, so all five moments (Σx Σy Σxy
+    Σx² Σy²) are EXACT bigint sums — the closed-form corr/slope/
+    intercept is then one deterministic float expression per engine.
+
+    Shape: one conditional-count agg per hour (partial-combined
+    map-side; both series materialize in a single pass over events —
+    no per-series scans, no join), then a single-row moment agg.
+    The hour agg shuffles only |hours| rows; moments reduce those to
+    one row. Works identically over any pair of derived series."""
+    ev = tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("y"),
+    )
+    m = hourly.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov_n = n * F.col("sxy") - sx * sy
+    var_x = n * F.col("sxx") - sx * sx
+    var_y = n * F.col("syy") - sy * sy
+    slope = cov_n.cast("double") / var_x
+    return m.select(
+        n.alias("n_hours"),
+        F.round(
+            cov_n / F.sqrt(var_x.cast("double") * var_y), 6
+        ).alias("corr"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
