@@ -76,6 +76,8 @@ HEADLINE = [
     "parse_accesslog",
     "sketch_count_min",
     "sketch_hll",
+    "sketch_quantile_hist",
+    "correlate_series",
 ]
 
 

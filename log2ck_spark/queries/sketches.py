@@ -252,3 +252,98 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est", 4).alias("n_hll"),
         F.col("occupied").cast("bigint").alias("n_occupied"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable fixed-bin quantile histogram
+# --------------------------------------------------------------------------
+
+_QH_WIDTH = 5.0  # bin width over the value gauge
+_QH_QS = (0.5, 0.95, 0.99)
+
+
+@register(
+    "sketch_quantile_hist",
+    oracle=f"""
+    WITH hist AS (
+      SELECT event_type,
+             CAST(floor(value / {_QH_WIDTH}) AS BIGINT) AS bin,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cume,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ), probes AS (
+      SELECT event_type, bin, c, cume, cume - c AS before, n, q,
+             CAST(ceil(q * n) AS BIGINT) AS r
+      FROM cum CROSS JOIN (SELECT unnest([{", ".join(map(str, _QH_QS))}]) AS q) qs
+    )
+    SELECT event_type, q, CAST(n AS BIGINT) AS n, r AS target_rank,
+           ROUND(bin * {_QH_WIDTH}
+                 + {_QH_WIDTH} * (r - before) / c, 6) AS est
+    FROM probes
+    WHERE cume >= r AND before < r
+    """,
+)
+def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles (p50/p95/p99 per event_type) from a MERGEABLE
+    fixed-bin histogram — the sketch answer to "exact percentile needs
+    the whole sorted column". State is ≤ range/width bins per group
+    regardless of row count; shard histograms merge by bin-wise
+    addition (the partial agg), and any quantile then reads off the
+    cumulative bin walk with linear interpolation inside the target
+    bin. This is the classic Prometheus/monitoring `histogram_quantile`
+    design, value-checked cross-engine: bins and ranks are exact
+    integers, and the one float expression per row (rank→position
+    interpolation) is the same IEEE arithmetic in both engines.
+
+    Shape: one partial+final hash agg builds the histogram (the only
+    corpus-wide stage; the shuffle carries pre-combined bins), then
+    the cumulative walk windows over ≤ |types|×100 rows — driver-free
+    and exact-rank-reproducible. Exact-percentile parity is covered
+    separately by `percentile_agg`; this query's point is the
+    fixed-memory estimate at 100 TB."""
+    ev = tbl(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    hist = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / _QH_WIDTH).cast("bigint").alias("bin"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        "c",
+        F.sum("c").over(w_cum).alias("cume"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    probes = cum.select(
+        "*", F.explode(F.array(*[F.lit(q) for q in _QH_QS])).alias("q")
+    ).withColumn("r", F.ceil(F.col("q") * F.col("n")).cast("bigint"))
+    before = F.col("cume") - F.col("c")
+    return (
+        probes.filter((F.col("cume") >= F.col("r")) & (before < F.col("r")))
+        .select(
+            "event_type",
+            "q",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("r").alias("target_rank"),
+            F.round(
+                F.col("bin") * _QH_WIDTH
+                + _QH_WIDTH * (F.col("r") - before) / F.col("c"),
+                6,
+            ).alias("est"),
+        )
+    )
