@@ -139,8 +139,13 @@ def _last_checked_rounds() -> dict[str, tuple[int, bool]]:
 def _apply_rotation() -> None:
     """Reorder the registries so the driver's 50-name check window
     lands on the names with the weakest external evidence. Priority:
-    (0) never driver-checked, (1) latest driver row ERRORED, (2) green
-    — then stalest round, then registration order. Opt-out with
+    (0) latest driver row ERRORED — a known-red external row is the
+    worst standing evidence and must re-verify first, (1) never
+    driver-checked — no external row yet, but local oracle parity is
+    green, (2) green — then stalest round, then registration order.
+    (The registry outgrew the 50-name window in r4, so ranking
+    errored above never-checked is what keeps a failed check from
+    waiting behind a long tail of new operators.) Opt-out with
     LOG2CK_SPARK_ROTATION=0 for deterministic library import order
     outside this benchmark checkout (no CORRECTNESS artifacts present
     is equally deterministic: registration order is preserved)."""
@@ -154,9 +159,9 @@ def _apply_rotation() -> None:
     def _key(n: str):
         rec = last.get(n)
         if rec is None:
-            rank = 0  # never checked: highest priority
+            rank = 1  # never checked: ahead of green, after errored
         elif rec[1]:
-            rank = 1  # latest check errored: re-verify before green
+            rank = 0  # latest check errored: highest priority
         else:
             rank = 2  # green: stalest first within
         return (rank, rec[0] if rec else -1, reg_index[n])

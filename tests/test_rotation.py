@@ -1,6 +1,7 @@
 """Registry rotation: the driver checks only the first 50 names, so
-ordering IS coverage. Pinned names lead; behind them, names with no
-CORRECTNESS_r*.json row ever must sort before already-checked ones."""
+ordering IS coverage. Pinned names lead; behind them, names whose
+LATEST driver row FAILED re-surface first, then names with no
+CORRECTNESS_r*.json row ever, then stalest greens."""
 
 from __future__ import annotations
 
@@ -24,13 +25,13 @@ def test_pinned_names_lead_registry():
 def _rank(last, n):
     rec = last.get(n)
     if rec is None:
-        return 0  # never checked
+        return 1  # never checked (local oracle evidence only)
     if rec[1]:
-        return 1  # latest driver row errored
+        return 0  # latest driver row errored: worst standing evidence
     return 2  # green
 
 
-def test_never_checked_then_errored_then_green():
+def test_errored_then_never_checked_then_green():
     last = _last_checked_rounds()
     assert last, "driver correctness records should exist from r1/r2"
     names = list(QUERIES)
@@ -50,7 +51,7 @@ def test_errored_rows_resurface_before_stale_green():
     last = _last_checked_rounds()
     pinned = set(ROTATION_FIRST)
     rest = [n for n in QUERIES if n not in pinned]
-    err_pos = [i for i, n in enumerate(rest) if _rank(last, n) == 1]
+    err_pos = [i for i, n in enumerate(rest) if _rank(last, n) == 0]
     green_pos = [i for i, n in enumerate(rest) if _rank(last, n) == 2]
     if err_pos and green_pos:
         assert max(err_pos) < min(green_pos)
