@@ -1,0 +1,112 @@
+"""Registry-wide physical-plan lint — every registered query's plan is
+scanned for the patterns that kill 100 TB runs. Unlike test_plans.py
+(which pins specific shapes for specific queries), this audit is a
+dragnet: a NEW operator that sneaks in a cartesian product, a
+row-at-a-time Python UDF, or an unjustified single-partition exchange
+fails here without anyone having to remember to pin its plan.
+
+Allowlists are explicit and per-name: every entry is a pattern that is
+*correct* for that query (scalar-aggregate joins, broadcast-tiny probe
+sides, final one-row reductions), so growth of the list is a reviewed
+decision, not drift.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from log2ck_spark.queries import QUERIES, load_all
+
+load_all()
+
+# BroadcastNestedLoopJoin is legitimate ONLY when one side is known
+# tiny by construction: a single-row aggregate (scalar-subquery
+# decorrelation) or an explicitly broadcast bounded probe set.
+BNLJ_OK = {
+    "bm25_score",  # joins the 1-row corpus-stats aggregate
+    "dedup_embedding",  # broadcast bounded anchor set (anchor-probe design)
+    "dedup_semantic",  # broadcast k-centroid table (k ≤ 64)
+    "doc_perplexity",  # joins the 1-row vocabulary-total aggregate
+    "embedding_kmeans",  # broadcast k-centroid table
+    "filter_valid",  # two scalar counts joined into one row
+    "funnel_conversion",  # three 1-row stage counts joined
+    "heavy_hitters",  # joins the 1-row total-token-count aggregate
+    "knn_classify",  # broadcast bounded query set
+    "similarity_ivf",  # broadcast k-centroid table
+    "similarity_topk",  # broadcast bounded query set (exact top-k design)
+    "tpch_q11_important_share",  # scalar threshold subquery (spec)
+    "tpch_q22_global_sales_opportunity",  # scalar avg-balance subquery (spec)
+    "ttl_expire",  # scalar retention-cutoff aggregate
+}
+
+# Exchange SinglePartition is legitimate ONLY for one-row (or
+# few-row-aggregate) frames: global no-group aggregations, final
+# reductions of already-aggregated tiny tables, unpartitioned windows
+# over per-group aggregates.
+SINGLE_PARTITION_OK = {
+    "bm25_score",
+    "correlate_series",  # single-row moment reduction
+    "distinct_exact",
+    "doc_perplexity",
+    "filter_valid",
+    "funnel_conversion",
+    "heavy_hitters",
+    "ingest_json_lines",
+    "ingest_tail_snapshot",
+    "ingest_text_lines",
+    "join_semi_anti",
+    "mixture_weights",  # window over the |languages|-row aggregate
+    "profile_columns",
+    "tpch_q11_important_share",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive_join",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q6_forecast_revenue",
+    "ttl_expire",  # 1-row retention-cutoff aggregate
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, fn in sorted(QUERIES.items()):
+        out[name] = (
+            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+    return out
+
+
+def test_no_cartesian_products_anywhere(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, bad
+
+
+def test_no_row_at_a_time_python_udfs_anywhere(plans):
+    """BatchEvalPython = per-row Python round trips. Arrow paths
+    (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas) are the
+    sanctioned Python surface."""
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not bad, bad
+
+
+def test_nested_loop_joins_only_on_allowlisted_scalar_patterns(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_OK
+    ]
+    assert not bad, f"new BNLJ outside allowlist (justify or fix): {bad}"
+
+
+def test_single_partition_exchanges_only_on_allowlisted_reductions(plans):
+    bad = [
+        n
+        for n, p in plans.items()
+        if "Exchange SinglePartition" in p and n not in SINGLE_PARTITION_OK
+    ]
+    assert not bad, (
+        f"new single-partition exchange outside allowlist (a global "
+        f"sort/window over raw rows serializes the cluster): {bad}"
+    )
