@@ -75,3 +75,66 @@ def test_parser_pathological_lines(spark):
     assert valid.count() + dead.count() == len(cases)
     dead_lines = {r.raw_line for r in dead.collect()}
     assert any("bad date" in d for d in dead_lines)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(line, min_size=1, max_size=30))
+def test_accesslog_pattern_total_on_garbage(spark, lines):
+    """The access-log grammar must also be total: arbitrary line →
+    valid row or dead-letter, never an exception (same A5 contract as
+    monolog; the pattern is user-swappable, readme.md:81)."""
+    from log2ck_spark.queries.ingest import (
+        ACCESSLOG_GROUPS,
+        ACCESSLOG_PATTERN,
+        ACCESSLOG_TS_FORMAT,
+    )
+
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    valid, dead = split_valid(
+        parse_lines(
+            df,
+            pattern=ACCESSLOG_PATTERN,
+            groups=ACCESSLOG_GROUPS,
+            ts_format=ACCESSLOG_TS_FORMAT,
+        )
+    )
+    assert valid.count() + dead.count() == len(lines)
+    assert valid.filter(F.col("created_at").isNull()).count() == 0
+
+
+def test_accesslog_render_parse_round_trip(spark):
+    """Every field of a rendered combined-log line survives the
+    parse: ip/user/path strings, int status/bytes, zoned timestamp."""
+    from log2ck_spark.queries.ingest import (
+        ACCESSLOG_GROUPS,
+        ACCESSLOG_PATTERN,
+        ACCESSLOG_TS_FORMAT,
+    )
+
+    raw = '10.0.0.7 - u42 [05/Mar/2024:16:30:01 +0000] "GET /e/click/99 HTTP/1.1" 200 3110'
+    df = spark.createDataFrame([(raw,)], "value string")
+    valid, dead = split_valid(
+        parse_lines(
+            df,
+            pattern=ACCESSLOG_PATTERN,
+            groups=ACCESSLOG_GROUPS,
+            ts_format=ACCESSLOG_TS_FORMAT,
+        )
+    )
+    assert dead.count() == 0
+    row = valid.collect()[0]
+    assert row.ip == "10.0.0.7" and row.http_user == "u42"
+    assert row.path == "/e/click/99"
+    assert (row.status, row.bytes) == ("200", "3110")  # typed by the query
+    assert row.created_at.strftime("%Y-%m-%d %H:%M:%S") == "2024-03-05 16:30:01"
+
+
+def test_logfmt_round_trip_arbitrary_keys(spark):
+    """str_to_map keeps keys the fixed-group regex path would drop —
+    the self-describing-log property the logfmt parser exists for."""
+    df = spark.createDataFrame(
+        [("a=1 b=two c=3.5 extra_key=kept",)], "value string"
+    )
+    m = df.select(F.expr("str_to_map(value, ' ', '=')").alias("kv"))
+    row = m.collect()[0]
+    assert row.kv == {"a": "1", "b": "two", "c": "3.5", "extra_key": "kept"}
