@@ -172,3 +172,64 @@ def test_stream_stream_interval_join_live(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def test_hll_registers_stream_incrementally(spark, tmp_path):
+    """The HLL register table is a plain (groupBy, MAX) aggregation —
+    it must run INCREMENTALLY under Structured Streaming (complete
+    mode) and converge to exactly the batch registers. This is the
+    mergeable-sketch property live: each micro-batch merges its
+    registers into state by MAX, so a stream of 100 TB/day needs 512
+    registers per group of state, not the history."""
+    from pyspark.sql import functions as F
+
+    from log2ck_spark.io import tbl
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = str(tmp_path / "ev")
+    ev = tbl(spark, sf_dir, "events").select("event_type", "user_id")
+    # two files → at least two micro-batches with maxFilesPerTrigger=1
+    ev.repartition(2).write.parquet(src)
+
+    def registers(df):
+        h = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        rest = F.floor(F.col("h") / 512).cast("bigint")
+        rho = F.when(rest == 0, F.lit(52)).otherwise(
+            52 - F.length(F.bin(rest))
+        )
+        return (
+            df.select("event_type", h.alias("h"))
+            .select("event_type", (F.col("h") % 512).alias("bucket"), rho.alias("r"))
+            .groupBy("event_type", "bucket")
+            .agg(F.max("r").alias("m_rho"))
+        )
+
+    expected = {tuple(r) for r in registers(spark.read.parquet(src)).collect()}
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        registers(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hllreg")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+
+        def got():
+            return {
+                tuple(r) for r in spark.sql("SELECT * FROM hllreg").collect()
+            }
+
+        assert _wait(lambda: got() == expected, timeout=90), (
+            f"streaming registers {len(got())} != batch {len(expected)}"
+        )
+    finally:
+        q.stop()
+        q.awaitTermination(30)
