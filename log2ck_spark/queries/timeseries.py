@@ -276,3 +276,55 @@ def correlate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+@register(
+    "agg_latest_by_key",
+    oracle="""
+    SELECT user_id,
+           latest.ts_s AS last_ts_s,
+           latest.event_id AS last_event_id,
+           latest.event_type AS last_event_type,
+           latest.value AS last_value
+    FROM (
+      SELECT user_id,
+             MAX({'ts_s': CAST(floor(date_part('epoch', ts)) AS BIGINT),
+                  'event_id': event_id,
+                  'event_type': event_type,
+                  'value': value}) AS latest
+      FROM events GROUP BY user_id
+    )
+    """,
+)
+def agg_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest value per key — ClickHouse's `argMax(value, ts)` idiom,
+    the single most common log-analytics reduction (current state per
+    host/session/device from an append-only event table). Expressed
+    as MAX over a (ts, event_id, payload) struct, NOT a row_number
+    window: a window must SORT every key's history inside the
+    exchange, while the struct-max is a partial-aggregable reduction
+    — each mapper keeps one struct per key, the shuffle carries one
+    row per (partition, key), and both engines compare structs
+    lexicographically, so the unique event_id tiebreak makes the
+    result deterministic. At 100 TB this is the difference between a
+    sort-based window over the corpus and a plain two-phase hash agg."""
+    ev = tbl(spark, sf_dir, "events")
+    latest = F.max(
+        F.struct(
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.col("event_id").alias("event_id"),
+            F.col("event_type").alias("event_type"),
+            F.col("value").alias("value"),
+        )
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(latest.alias("latest"))
+        .select(
+            "user_id",
+            F.col("latest.ts_s").alias("last_ts_s"),
+            F.col("latest.event_id").alias("last_event_id"),
+            F.col("latest.event_type").alias("last_event_type"),
+            F.col("latest.value").alias("last_value"),
+        )
+    )
