@@ -601,3 +601,67 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "zorder_layout",
+    oracle="""
+    WITH dims AS (
+      SELECT (user_id % 65536) AS a,
+             (CAST(floor(date_part('epoch', ts)) AS BIGINT) // 3600) % 65536
+               AS b
+      FROM events
+    ), keyed AS (
+      SELECT a, b,
+             (SELECT SUM(((a >> i) & 1) * (1::BIGINT << (2 * i))
+                         + ((b >> i) & 1) * (1::BIGINT << (2 * i + 1)))
+              FROM range(16) t(i)) AS zkey
+      FROM dims
+    )
+    SELECT CAST(zkey // 16777216 AS BIGINT) AS z_bucket,
+           COUNT(*) AS n,
+           CAST(MIN(a) AS BIGINT) AS a_min, CAST(MAX(a) AS BIGINT) AS a_max,
+           CAST(MIN(b) AS BIGINT) AS b_min, CAST(MAX(b) AS BIGINT) AS b_max
+    FROM keyed GROUP BY 1
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, hour): the
+    multi-dimension data-skipping layout — sorting by an interleaved-
+    bit key keeps BOTH dimensions locally narrow in every file, so
+    parquet min/max stats prune two-predicate queries that a plain
+    `ORDER BY (a, b)` (B2) only prunes on its leading column. This is
+    the published lakehouse OPTIMIZE ZORDER technique expressed as a
+    plain column: 16+16 bits interleaved with exact integer
+    arithmetic (32 shift/mask terms, codegen'd — identical in any
+    engine; no UDF).
+
+    The emitted table is the layout AUDIT: per top-byte z-bucket, the
+    extents of both dimensions — narrow a_max-a_min AND b_max-b_min
+    per bucket is precisely the property the skipping relies on.
+    Writing the layout is then `sortWithinPartitions(zkey)` on the
+    same expression (B2 machinery); at 100 TB the sort key costs a
+    map-side expression, never a shuffle of its own."""
+    ev = tbl(spark, sf_dir, "events").select(
+        (F.col("user_id") % 65536).alias("a"),
+        (
+            (F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")) % 65536
+        ).alias("b"),
+    )
+    zkey = None
+    for i in range(16):
+        term = (F.shiftright("a", i) % 2).cast("bigint") * (2 ** (2 * i)) + (
+            F.shiftright("b", i) % 2
+        ).cast("bigint") * (2 ** (2 * i + 1))
+        zkey = term if zkey is None else zkey + term
+    return (
+        ev.select("a", "b", zkey.alias("zkey"))
+        .groupBy(F.floor(F.col("zkey") / 16777216).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("a").alias("a_min"),
+            F.max("a").alias("a_max"),
+            F.min("b").alias("b_min"),
+            F.max("b").alias("b_max"),
+        )
+    )
