@@ -233,6 +233,7 @@ def pivot_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
                        / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
     FROM moments
+    WHERE n > 1 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
     """,
 )
 def correlate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +269,10 @@ def correlate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_x = n * F.col("sxx") - sx * sx
     var_y = n * F.col("syy") - sy * sy
     slope = cov_n.cast("double") / var_x
+    # degenerate-frame guard: a single hour (or a constant series)
+    # has zero variance — no correlation is defined; emit no row
+    # rather than divide by zero (oracle mirrors the predicate)
+    m = m.filter((n > 1) & (var_x > 0) & (var_y > 0))
     return m.select(
         n.alias("n_hours"),
         F.round(
