@@ -92,6 +92,10 @@ ROTATION_FIRST: tuple[str, ...] = (
     "embedding_normalize",
     "embedding_quantize",
     "similarity_lsh",
+    # starvation pin: never-checked since r2 registration — its
+    # reg_index (vectorops loads last) keeps losing the within-rank
+    # tiebreak to newer modules, so it would wait indefinitely.
+    "knn_classify",
 )
 
 
