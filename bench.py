@@ -78,6 +78,8 @@ HEADLINE = [
     "sketch_hll",
     "sketch_quantile_hist",
     "correlate_series",
+    "agg_latest_by_key",
+    "zorder_layout",
 ]
 
 
