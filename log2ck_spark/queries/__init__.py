@@ -43,6 +43,7 @@ def load_all() -> None:
         behavior,
         curation,
         dedup,
+        featurize,
         ingest,
         multimodal,
         packing,

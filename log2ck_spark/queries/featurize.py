@@ -1,0 +1,187 @@
+"""Corpus featurization & vocabulary analytics — the operators between
+raw text and model-ready tensors: vocabulary coverage curves (how big
+a vocab covers X% of the token stream), per-document novelty scoring
+(how much of a doc is corpus-unique), and hashing-trick document
+vectors (feature hashing, Weinberger et al. ICML 2009 — embeddings
+without a trained model or an ML library dependency).
+
+All md5-keyed where hashing matters, so every output — including the
+hashed feature values — replays exactly in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from log2ck_spark.functions.numeric import md5_bucket
+from log2ck_spark.functions.text import shingles, tokens
+from log2ck_spark.io import tbl
+from log2ck_spark.queries import register
+
+_VOCAB_TOP = 30
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ), ranked AS (
+      SELECT tok, n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, tok
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER () AS total
+      FROM counts
+    )
+    SELECT CAST(rnk AS BIGINT) AS rank, tok AS term, n,
+           ROUND(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+    FROM ranked WHERE rnk <= {_VOCAB_TOP}
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: terms by frequency rank with the
+    cumulative share of the token stream each prefix covers — the
+    standard analysis behind vocab-size/truncation decisions (what %
+    of tokens does a 32k vocab cover? where does <unk> mass start?).
+
+    The corpus-wide stage is the term-count aggregation (partial-
+    combined; the shuffle carries vocab-sized rows, not tokens). The
+    ranking windows then run over the AGGREGATED vocab frame — small
+    by construction (like mixture_weights' language frame), which is
+    the documented justification for their single-partition window:
+    it orders |vocab| rows, never the corpus."""
+    d = tbl(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = counts.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col("tok").alias("term"),
+        "n",
+        (
+            F.sum("n").over(w_cum).cast("double")
+            / F.sum("n").over(Window.partitionBy())
+        ).alias("share"),
+    )
+    return ranked.filter(F.col("rank") <= _VOCAB_TOP).select(
+        "rank", "term", "n", F.round("share", 6).alias("cum_share")
+    )
+
+
+@register(
+    "ngram_novelty",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+               i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+             )) AS gram
+      FROM documents
+    ), df AS (
+      SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE df.df = 1) AS BIGINT) AS n_unique,
+           ROUND(CAST(COUNT(*) FILTER (WHERE df.df = 1) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM grams g JOIN df USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    3-grams that appear in NO other document — the inverse of the
+    near-dup signal, used to up-weight genuinely novel text and to
+    spot boilerplate (novelty → 0). Docs shorter than 3 tokens emit
+    no grams and drop out (mirrored by the oracle's empty unnest).
+
+    Shape: one (doc, gram)-distinct projection, one gram-df
+    aggregation (partial-combined; df counts, not text, shuffle), one
+    join back on gram, one per-doc aggregation. The same
+    posting-list skeleton as decontaminate_overlap — at 100 TB the
+    gram df table is vocabulary-scaled and every stage is a hash
+    agg/join on fixed-width keys."""
+    d = tbl(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(shingles("text", w=3)).alias("gram")
+    ).distinct()
+    df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    uniq = F.count(F.when(F.col("df") == 1, 1))
+    return (
+        grams.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            uniq.cast("bigint").alias("n_unique"),
+            F.round(uniq.cast("double") / F.count("*"), 6).alias("novelty"),
+        )
+    )
+
+
+_FH_DIMS = 64
+
+
+@register(
+    "feature_hash_embed",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), cells AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_FH_DIMS}
+               AS dim,
+             COUNT(*) AS cnt
+      FROM toks GROUP BY 1, 2
+    ), norms AS (
+      SELECT doc_id, SUM(cnt * cnt) AS sq FROM cells GROUP BY doc_id
+    )
+    SELECT c.doc_id, c.dim,
+           ROUND(c.cnt / sqrt(CAST(n.sq AS DOUBLE)), 6) AS val
+    FROM cells c JOIN norms n USING (doc_id)
+    """,
+)
+def feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document vectors (feature hashing, Weinberger et
+    al. ICML 2009): token → md5 dim in [0,{d}), per-(doc,dim) counts,
+    L2-normalized — a deterministic, model-free embedding that makes
+    every text operator downstream of an `array<float>` column
+    (similarity_topk, dedup_embedding, embedding_kmeans) applicable
+    to raw text with no ML dependency. Emitted LONG-FORM
+    (doc_id, dim, val) — the repo's established driver-hashable shape
+    for vector outputs (no array columns).
+
+    Shape: one (doc,dim) count agg (partial-combined — the shuffle
+    carries ≤ {d} cells per doc, not tokens), one per-doc norm agg on
+    those cells, one join; exact integer counts make the normalized
+    values identical IEEE expressions in both engines. State per doc
+    is fixed ({d} dims) regardless of doc length — the property that
+    lets a 100 TB corpus featurize in two bounded aggregations."""
+    d = tbl(spark, sf_dir, "documents")
+    cells = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", md5_bucket("tok", _FH_DIMS).alias("dim"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    norms = cells.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq")
+    )
+    return cells.join(norms, "doc_id").select(
+        "doc_id",
+        "dim",
+        F.round(
+            F.col("cnt") / F.sqrt(F.col("sq").cast("double")), 6
+        ).alias("val"),
+    )
+
+
+feature_hash_embed.__doc__ = feature_hash_embed.__doc__.format(d=_FH_DIMS)

@@ -56,6 +56,7 @@ SINGLE_PARTITION_OK = {
     "ingest_text_lines",
     "join_semi_anti",
     "mixture_weights",  # window over the |languages|-row aggregate
+    "vocab_coverage",  # ranking window over the |vocab|-row aggregate
     "profile_columns",
     "tpch_q11_important_share",
     "tpch_q14_promo_revenue",
