@@ -80,6 +80,8 @@ HEADLINE = [
     "correlate_series",
     "agg_latest_by_key",
     "zorder_layout",
+    "ngram_novelty",
+    "feature_hash_embed",
 ]
 
 

@@ -144,3 +144,70 @@ def compact_partitions(
         shutil.rmtree(old)
         compacted.append(part)
     return compacted
+
+
+def delete_rows(
+    spark,
+    table_path: str,
+    predicate: str,
+    partition_col: str = "log_date",
+) -> dict:
+    """Targeted delete (right-to-erasure / bad-batch rollback): remove
+    every row matching `predicate` (a SQL boolean over DATA columns)
+    by rewriting ONLY the partitions that contain matches — the
+    parquet-table answer to ClickHouse's `ALTER TABLE ... DELETE
+    WHERE` mutations.
+
+    Scale posture: the discovery scan is predicate-pushed (touched
+    row groups only) and projects just the partition column, so a
+    user-erasure over a 100 TB table costs one pruned scan plus a
+    rewrite of the handful of dates the user appears in; untouched
+    partitions keep their exact files (asserted in tests). Each
+    rewrite reuses compaction's hidden-sibling two-rename swap, so a
+    crash at ANY point leaves every partition either fully old or
+    fully new — `recover_compaction` (run first here, idempotent)
+    rolls back half-finished swaps from prior crashes. Transactional
+    formats would replace the swap with a metadata commit.
+
+    Returns {"partitions_rewritten": [...], "rows_deleted": n}.
+    """
+    recover_compaction(table_path)
+    table = spark.read.parquet(table_path)
+    affected = [
+        str(r[0])
+        for r in table.filter(predicate)
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    rewritten, deleted = [], 0
+    for value in sorted(affected):
+        part = os.path.join(table_path, f"{partition_col}={value}")
+        if not os.path.isdir(part):
+            continue
+        # a single-partition read loses the partition column (it lives
+        # in the dir name); re-inject it as a literal so the predicate
+        # may reference it, and drop it again before writing (the
+        # rewritten files must not embed the partition column)
+        from pyspark.sql import functions as _F
+
+        before = spark.read.parquet(part).withColumn(
+            partition_col, _F.lit(value)
+        )
+        n_match = before.filter(predicate).count()
+        if n_match == 0:
+            continue
+        tmp = _hidden_sibling(part, _TMP_SUFFIX)
+        (
+            before.filter(f"NOT ({predicate})")
+            .drop(partition_col)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        old = _hidden_sibling(part, _OLD_SUFFIX)
+        os.rename(part, old)
+        os.rename(tmp, part)
+        shutil.rmtree(old)
+        rewritten.append(part)
+        deleted += n_match
+    return {"partitions_rewritten": rewritten, "rows_deleted": deleted}
