@@ -384,6 +384,37 @@ def ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ingest_orc", oracle=_ORACLE_EVENTS_ROUNDTRIP)
+def ingest_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector round-trip: same contract as ingest_jsonl/csv
+    through the columnar ORC reader/writer — the second columnar
+    format next to parquet (type-preserving, so unlike the text
+    formats nothing is re-parsed on read; the ts string column is
+    still carried to keep the three connectors result-identical).
+    At 100 TB ORC gives the same pruned columnar scan properties as
+    parquet (stripe stats, dictionary encoding); this query proves
+    the engine is format-agnostic at the storage boundary."""
+    path = scratch_dir(sf_dir, "events_orc")
+    ev = tbl(spark, sf_dir, "events", fanout=True)
+    ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.select(
+        "event_id",
+        "ts_s",
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
 # --------------------------------------------------------------------------
 # A4 custom-pattern variants — Apache combined access log and logfmt.
 # The reference's `pattern` override (`readme.md:81`) means any line
