@@ -101,14 +101,6 @@ def main() -> None:
     # benchmarked work. Timings below then reflect sustained throughput,
     # which is the number that extrapolates to a real cluster.
     warm_dir = "/root/testdata/sf0.01"
-    if os.path.isdir(warm_dir):
-        for wq in HEADLINE:
-            try:
-                QUERIES[wq](spark, warm_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception:
-                pass
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     # Two measured iterations per query, report the MIN (JMH/TPC warm-run
@@ -118,8 +110,23 @@ def main() -> None:
     # capacity. Each iteration builds the full plan and runs end-to-end
     # (fresh persist/checkpoint state per call — nothing is memoized
     # across iterations except JVM warmth and OS page cache).
+    #
+    # Warmup is PER-QUERY, immediately before that query's measured
+    # runs (not one warm-all pass up front): the JVM's generated-class
+    # cache holds ~100 codegen units, so with 50+ headline queries a
+    # global warmup pass self-evicts — by the time query #1 is
+    # measured its compiled classes are gone and the measurement pays
+    # janino again (observed as 1.5-2x noise on the expression-heavy
+    # dedup pipelines as the headline set grew).
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if os.path.isdir(warm_dir):
+            try:
+                QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
