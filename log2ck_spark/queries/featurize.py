@@ -81,10 +81,10 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH grams AS (
       SELECT DISTINCT doc_id,
-             unnest(list_transform(
+             CAST(('0x' || substr(md5(unnest(list_transform(
                range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
                i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
-             )) AS gram
+             ))), 1, 15)) AS BIGINT) AS gram
       FROM documents
     ), df AS (
       SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
@@ -106,15 +106,25 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     no grams and drop out (mirrored by the oracle's empty unnest).
 
     Shape: one (doc, gram)-distinct projection, one gram-df
-    aggregation (partial-combined; df counts, not text, shuffle), one
-    join back on gram, one per-doc aggregation. The same
-    posting-list skeleton as decontaminate_overlap — at 100 TB the
-    gram df table is vocabulary-scaled and every stage is a hash
-    agg/join on fixed-width keys."""
+    aggregation (partial-combined), one join back on gram, one
+    per-doc aggregation — the posting-list skeleton of
+    decontaminate_overlap. Grams are hashed to 60-bit md5-prefix
+    bigints BEFORE the distinct, so every shuffle/join runs on
+    fixed-width longs instead of ~25-byte strings (portable hash —
+    the oracle replays it, collisions and all; at 10^9 distinct
+    grams a 60-bit collision perturbs one doc's ratio by ~1/n_grams
+    w.p. ~3e-3 corpus-wide)."""
     d = tbl(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(shingles("text", w=3)).alias("gram")
-    ).distinct()
+    grams = (
+        d.select("doc_id", F.explode(shingles("text", w=3)).alias("g"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gram"),
+        )
+        .distinct()
+    )
     df = grams.groupBy("gram").agg(F.count("*").alias("df"))
     uniq = F.count(F.when(F.col("df") == 1, 1))
     return (
