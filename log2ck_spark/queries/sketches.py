@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from log2ck_spark.functions.numeric import md5_bucket
-from log2ck_spark.functions.text import tokens
+from log2ck_spark.functions.text import shingles, tokens
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -347,3 +347,158 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter, replayed cross-engine
+# --------------------------------------------------------------------------
+
+_BF_K = 3  # hash functions
+_BF_BITS = 8190  # 130 words x 63 usable bits (bit 63 avoided: DuckDB
+# overflow-checks `1::BIGINT << 63`, Spark wraps silently — 63 bits
+# per word keeps every mask positive and both engines identical)
+_BF_WORDBITS = 63
+
+
+@register(
+    "sketch_bloom",
+    oracle=f"""
+    WITH evalg AS (
+      SELECT DISTINCT
+             unnest(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+             )) AS gram
+      FROM documents WHERE source = 'src0'
+    ), bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(gram || ':' || j), 1, 8)) AS BIGINT)
+               % {_BF_BITS} AS bit
+      FROM evalg CROSS JOIN (SELECT unnest(range({_BF_K})) AS j)
+    ), bloom AS (
+      SELECT bit // {_BF_WORDBITS} AS word,
+             bit_or((1::BIGINT) << (bit % {_BF_WORDBITS})) AS bits
+      FROM bits GROUP BY 1
+    ), traing AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')
+             )) AS gram
+      FROM documents WHERE source <> 'src0'
+    ), probes AS (
+      SELECT t.doc_id, t.gram, j.j,
+             CAST(('0x' || substr(md5(t.gram || ':' || j.j), 1, 8)) AS BIGINT)
+               % {_BF_BITS} AS bit
+      FROM traing t CROSS JOIN (SELECT unnest(range({_BF_K})) AS j) j
+    ), checked AS (
+      SELECT p.doc_id, p.gram,
+             MIN(CASE WHEN (COALESCE(b.bits, 0)
+                            & ((1::BIGINT) << (p.bit % {_BF_WORDBITS}))) != 0
+                      THEN 1 ELSE 0 END) AS all_set
+      FROM probes p
+      LEFT JOIN bloom b ON b.word = p.bit // {_BF_WORDBITS}
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT DISTINCT t.doc_id, t.gram
+      FROM traing t JOIN evalg e USING (gram)
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(c.all_set) AS BIGINT) AS n_bloom_hits,
+           CAST(COUNT(e.gram) AS BIGINT) AS n_exact_hits
+    FROM checked c
+    LEFT JOIN exact e ON e.doc_id = c.doc_id AND e.gram = c.gram
+    GROUP BY c.doc_id
+    """,
+)
+def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination prefilter, replayed exactly in both
+    engines (Bloom, CACM 1970): the eval set's distinct 5-grams set
+    k={k} md5-derived bits in an m={m}-bit filter stored as 63-bit
+    words built with a BIT_OR aggregation; every train doc's grams
+    probe the broadcast filter. Output per train doc: gram count,
+    Bloom hit count, and the exact hit count (via the real join) —
+    so the false-positive overshoot n_bloom_hits ≥ n_exact_hits is
+    itself value-checked, bit for bit.
+
+    Why this matters at 100 TB: the exact decontamination join
+    (decontaminate_overlap/span) shuffles every train gram; the Bloom
+    table is {m} bits TOTAL — it broadcasts everywhere for free, the
+    probe is a map-side bitwise AND, and only the ~hits (true ∪
+    false positives) ever need the exact verification join. The
+    filter itself is mergeable (BIT_OR of shard filters = corpus
+    filter), the same two-phase aggregation shape as the other
+    sketches. This is the standard scale recipe: Bloom prefilter →
+    exact verify on survivors."""
+    d = tbl(spark, sf_dir, "documents")
+    evalg = (
+        d.filter(F.col("source") == "src0")
+        .select(F.explode(shingles("text", w=5)).alias("gram"))
+        .distinct()
+    )
+    bit_for = lambda gram_col, j: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(gram_col, F.lit(f":{j}"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _BF_BITS
+    )
+    bits = evalg.select(
+        F.explode(
+            F.array(*[bit_for(F.col("gram"), j) for j in range(_BF_K)])
+        ).alias("bit")
+    ).distinct()
+    bloom = (
+        bits.groupBy((F.col("bit") / _BF_WORDBITS).cast("bigint").alias("word"))
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(1L, cast(bit % {_BF_WORDBITS} as int)))"
+            ).alias("bits")
+        )
+    )
+    traing = (
+        d.filter(F.col("source") != "src0")
+        .select("doc_id", F.explode(shingles("text", w=5)).alias("gram"))
+        .distinct()
+    )
+    probes = traing.select(
+        "doc_id",
+        "gram",
+        F.explode(
+            F.array(*[bit_for(F.col("gram"), j) for j in range(_BF_K)])
+        ).alias("bit"),
+    )
+    mask = F.expr(f"shiftleft(1L, cast(bit % {_BF_WORDBITS} as int))")
+    checked = (
+        probes.join(
+            F.broadcast(bloom),
+            (F.col("bit") / _BF_WORDBITS).cast("bigint") == F.col("word"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "gram",
+            F.when(
+                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(mask)) != 0, 1
+            )
+            .otherwise(0)
+            .alias("set"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.min("set").alias("all_set"))
+    )
+    exact = traing.join(evalg, "gram").select("doc_id", "gram").distinct()
+    return (
+        checked.join(exact.withColumn("hit", F.lit(1)), ["doc_id", "gram"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("all_set").cast("bigint").alias("n_bloom_hits"),
+            F.count("hit").cast("bigint").alias("n_exact_hits"),
+        )
+    )
+
+
+sketch_bloom.__doc__ = sketch_bloom.__doc__.format(k=_BF_K, m=_BF_BITS)
