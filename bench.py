@@ -82,6 +82,7 @@ HEADLINE = [
     "zorder_layout",
     "ngram_novelty",
     "feature_hash_embed",
+    "sketch_bloom",
 ]
 
 
