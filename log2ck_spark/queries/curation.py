@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from log2ck_spark.functions.numeric import md5_bucket
+from log2ck_spark.functions.numeric import md5_bucket, md5_frac
 from log2ck_spark.functions.text import (
     hashed_shingles,
     hashed_shingles_positional,
@@ -490,4 +490,71 @@ def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("pos"),
             "doc_id",
         )
+    )
+
+
+_MIX_BASE_RATE = 0.5  # overall target sampling rate before reweighting
+
+
+@register(
+    "sample_by_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents
+      WHERE lang IS NOT NULL GROUP BY lang
+    ), probs AS (
+      SELECT lang, n_docs,
+             CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS p,
+             pow(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), {{t}})
+               AS q_raw
+      FROM counts
+    ), weights AS (
+      SELECT lang, n_docs,
+             ROUND((q_raw / SUM(q_raw) OVER ()) / p, 6) AS w
+      FROM probs
+    )
+    SELECT d.lang, w.n_docs,
+           COUNT(*) FILTER (
+             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                            || ':mix'), 1, 8)) AS BIGINT)
+                   / 4294967296.0 < least(w.w * {_MIX_BASE_RATE}, 1.0)
+           ) AS n_sampled
+    FROM documents d JOIN weights w USING (lang)
+    GROUP BY 1, 2
+    """.format(t=0.3),
+)
+def sample_by_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture design APPLIED: mixture_weights' temperature-scaled
+    per-language sample_weight drives a deterministic md5 sampler —
+    doc kept iff hash_frac(doc_id:mix) < min(w·base_rate, 1). Head
+    languages are damped, low-resource languages kept (weight > 1
+    saturates at keep-everything), and membership is reproducible and
+    migration-stable like every sampler in this repo. This is the
+    second composed-pipeline query (after curate_pipeline): two
+    registered operators' logic fused into ONE plan — the weights
+    subtree aggregates to |languages| rows, broadcasts back onto the
+    corpus scan, and the keep-test is a codegen'd per-row predicate.
+    At 100 TB: one corpus-count agg + one corpus scan, nothing else."""
+    d = tbl(spark, sf_dir, "documents")
+    counts = (
+        d.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    wall = Window.partitionBy()
+    p = F.col("n_docs").cast("double") / F.sum("n_docs").over(wall)
+    probs = counts.select(
+        "lang", "n_docs", p.alias("p"), F.pow(p, F.lit(0.3)).alias("q_raw")
+    )
+    w = F.round(
+        (F.col("q_raw") / F.sum("q_raw").over(wall)) / F.col("p"), 6
+    )
+    weights = probs.select("lang", "n_docs", w.alias("w"))
+    keep = md5_frac(F.concat(F.col("doc_id"), F.lit(":mix"))) < F.least(
+        F.col("w") * _MIX_BASE_RATE, F.lit(1.0)
+    )
+    return (
+        d.join(F.broadcast(weights), "lang")
+        .groupBy("lang", "n_docs")
+        .agg(F.count(F.when(keep, 1)).alias("n_sampled"))
     )

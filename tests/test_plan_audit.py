@@ -56,6 +56,7 @@ SINGLE_PARTITION_OK = {
     "ingest_text_lines",
     "join_semi_anti",
     "mixture_weights",  # window over the |languages|-row aggregate
+    "sample_by_mixture",  # same weights subtree as mixture_weights
     "vocab_coverage",  # ranking window over the |vocab|-row aggregate
     "profile_columns",
     "tpch_q11_important_share",
