@@ -340,3 +340,90 @@ def anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id bigint, n_events bigint, ewma double, n_alerts bigint",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution drift (PSI between time periods)
+# --------------------------------------------------------------------------
+
+_PSI_BIN = 25.0  # value-bin width
+
+
+@register(
+    "drift_psi",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type,
+             CAST(floor(value / {_PSI_BIN}) AS BIGINT) AS bin,
+             COUNT(*) FILTER (WHERE day(ts) <= 15) AS cnt_a,
+             COUNT(*) FILTER (WHERE day(ts) > 15) AS cnt_b
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, bin, cnt_a, cnt_b,
+             SUM(cnt_a) OVER (PARTITION BY event_type) AS n_a,
+             SUM(cnt_b) OVER (PARTITION BY event_type) AS n_b
+      FROM binned
+    ), terms AS (
+      SELECT event_type, n_a, n_b,
+             ROUND((CAST(cnt_a AS DOUBLE) / n_a
+                    - CAST(cnt_b AS DOUBLE) / n_b)
+                   * ln((CAST(cnt_a AS DOUBLE) / n_a)
+                        / (CAST(cnt_b AS DOUBLE) / n_b)), 9) AS term
+      FROM tot WHERE cnt_a > 0 AND cnt_b > 0
+    )
+    SELECT event_type,
+           CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           COUNT(*) AS n_bins_used,
+           ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between the first
+    and second half of the month — the standard production check that
+    a feature/metric distribution has drifted (PSI < 0.1 stable,
+    > 0.25 drifted). For a training-data pipeline this is the
+    ingest-time gate that catches a source whose content shifted
+    before it poisons a mixture.
+
+    Determinism: bins and period counts are exact integers computed
+    in ONE conditional-count pass (no per-period scans); each bin's
+    PSI term is rounded to 1e-9 then decimal-summed — the
+    doc_perplexity pattern that makes a float Σ over bins order- and
+    engine-independent. Bins empty in either period are excluded
+    (the standard finite-PSI convention, applied identically in both
+    engines). One (type, bin) shuffle of pre-combined counts; the
+    windows and final agg run on ≤ |types|×bins rows."""
+    ev = tbl(spark, sf_dir, "events")
+    binned = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / _PSI_BIN).cast("bigint").alias("bin"),
+    ).agg(
+        F.count(F.when(F.dayofmonth("ts") <= 15, 1)).alias("cnt_a"),
+        F.count(F.when(F.dayofmonth("ts") > 15, 1)).alias("cnt_b"),
+    )
+    from pyspark.sql import Window as _W
+
+    wt = _W.partitionBy("event_type")
+    tot = binned.select(
+        "*",
+        F.sum("cnt_a").over(wt).alias("n_a"),
+        F.sum("cnt_b").over(wt).alias("n_b"),
+    ).filter((F.col("cnt_a") > 0) & (F.col("cnt_b") > 0))
+    pa = F.col("cnt_a").cast("double") / F.col("n_a")
+    pb = F.col("cnt_b").cast("double") / F.col("n_b")
+    terms = tot.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), 9).alias("term"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.count("*").alias("n_bins_used"),
+        F.round(
+            F.sum(F.col("term").cast("decimal(18,9)")).cast("double"), 6
+        ).alias("psi"),
+    )
