@@ -286,3 +286,42 @@ def multimodal_decode_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_pixels").alias("total_pixels"),
     )
+
+
+@register(
+    "multimodal_dedup",
+    oracle="""
+    SELECT md5(text) AS digest,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id,
+           CAST(MIN(strlen(text)) AS BIGINT)
+             * (COUNT(*) - 1) AS bytes_saved
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact payload dedup over the binary column — the first pass of
+    every image/audio training-data pipeline (identical files arrive
+    via thousands of URLs; content-digest dedup removes them before
+    any decode cost). The digest is computed JVM-SIDE (`F.md5` over
+    the binary payload, codegen'd in the scan) — payload bytes never
+    cross into Python, unlike the Arrow-batched decode steps; only
+    16-byte digests shuffle. Canonical survivor = min doc_id;
+    bytes_saved audits the win.
+
+    At 100 TB of media this is THE highest-leverage dedup: one scan,
+    one digest-width shuffle, and every downstream decode runs
+    per-unique-payload instead of per-copy."""
+    return (
+        binary_docs(spark, sf_dir)
+        .groupBy(F.md5("payload").alias("digest"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            (
+                F.min(F.length("payload")).cast("bigint")
+                * (F.count("*") - 1)
+            ).alias("bytes_saved"),
+        )
+    )
