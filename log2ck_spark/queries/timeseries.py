@@ -333,3 +333,54 @@ def agg_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("latest.value").alias("last_value"),
         )
     )
+
+
+@register(
+    "iat_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT)
+               - lag(CAST(floor(date_part('epoch', ts)) AS BIGINT))
+                 OVER (PARTITION BY event_type ORDER BY ts, event_id)
+               AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_s) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           ROUND(CAST(SUM(gap_s) AS DOUBLE) / COUNT(gap_s), 6) AS mean_gap_s,
+           quantile_cont(gap_s, 0.95) AS p95_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def iat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event stream — the
+    heartbeat/liveness profile (is the source steady, bursty, or
+    stalling?) every ingestion deployment watches, and the basis for
+    the reference's own EOF-poll/flush-timer tuning (A9's
+    max_sent_wait is exactly a bet on arrival gaps, `Worker.php:122`).
+
+    Gaps are exact integer seconds from a lag window; the stats are
+    one agg on the same event_type partitioning (ONE shuffle total).
+    p95 uses the exact interpolated percentile (Spark `percentile` ≡
+    DuckDB `quantile_cont`, the verified pair from percentile_agg) —
+    at 100 TB switch to approx_percentile, same plan shape."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp("ts").alias("ts_s"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_s", "event_id")
+    gaps = ev.withColumn(
+        "gap_s", F.col("ts_s") - F.lag("ts_s").over(w)
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        F.round(
+            F.sum("gap_s").cast("double") / F.count("gap_s"), 6
+        ).alias("mean_gap_s"),
+        F.percentile("gap_s", 0.95).alias("p95_gap_s"),
+    )
