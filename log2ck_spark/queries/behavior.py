@@ -427,3 +427,63 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("term").cast("decimal(18,9)")).cast("double"), 6
         ).alias("psi"),
     )
+
+
+@register(
+    "runs_encode",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, event_id,
+             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_s,
+             CASE WHEN event_type IS DISTINCT FROM
+                       lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type, ts_s,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type,
+           COUNT(*) AS n_events,
+           CAST(MIN(ts_s) AS BIGINT) AS from_s,
+           CAST(MAX(ts_s) AS BIGINT) AS to_s
+    FROM runs GROUP BY 1, 2, 3
+    """,
+)
+def runs_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event stream: consecutive
+    same-type events collapse into one (type, from, to, count)
+    interval — the value-change flavor of gaps-and-islands
+    (sessionize_gap is the time-gap flavor; this one is the SCD-2 /
+    state-history builder: 'what was each entity's state, and when
+    did it change'). Compressing state streams to their change
+    points is also the training-data answer to redundant telemetry.
+
+    Same one-exchange discipline as the other entity windows: the
+    change-flag lag, the running-sum run numbering, and the final
+    per-run aggregation all share the user_id partitioning. Output
+    size is the number of STATE CHANGES, not events — on a 100 TB
+    telemetry table with slowly-changing states that is orders of
+    magnitude smaller than the input."""
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    chg = F.when(
+        ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+    ).otherwise(0)
+    runs = ev.withColumn(
+        "run_id",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy(
+        "user_id", F.col("run_id").cast("bigint").alias("run_id"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_s").alias("from_s"),
+        F.max("ts_s").alias("to_s"),
+    )
