@@ -414,3 +414,97 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bits_per_token"),
     )
+
+
+@register(
+    "pmi_collocations",
+    oracle="""
+    WITH base AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+    ), uni AS (
+      SELECT tok, COUNT(*) AS n FROM (
+        SELECT unnest(toks) AS tok FROM base) GROUP BY tok
+    ), n_uni AS (
+      SELECT SUM(n) AS total FROM uni
+    ), big AS (
+      SELECT w1, w2, COUNT(*) AS n FROM (
+        SELECT u.p.w1 AS w1, u.p.w2 AS w2 FROM (
+          SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                        i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS p
+          FROM base) u)
+      GROUP BY 1, 2
+    ), n_big AS (
+      SELECT SUM(n) AS total FROM big
+    )
+    SELECT b.w1, b.w2, b.n,
+           ROUND(log2((CAST(b.n AS DOUBLE) / n_big.total)
+                      / ((CAST(u1.n AS DOUBLE) / n_uni.total)
+                         * (CAST(u2.n AS DOUBLE) / n_uni.total))), 6) AS pmi
+    FROM big b
+    JOIN uni u1 ON u1.tok = b.w1
+    JOIN uni u2 ON u2.tok = b.w2, n_big, n_uni
+    WHERE b.n >= 5
+    ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks 1990): bigrams whose observed rate beats the independence
+    prediction of their unigram rates — the standard corpus-analysis
+    signal for multiword expressions (and, in training-data work, for
+    spotting templated/boilerplate couplings). Min count 5 applies
+    the usual sparse-PMI cut.
+
+    Shape: the shuffle-free zip_with pairing from bigram_stats feeds
+    one bigram agg; two broadcast joins attach the (vocab-sized)
+    unigram counts; totals ride along as broadcast single-row aggs.
+    Each PMI is one float expression on exact integer counts —
+    identical IEEE math in both engines, no accumulation order to
+    diverge. Top-20 by (pmi, w1, w2) — rounded-6 pmi could tie across
+    engines only if two ratios agree to 1e-6, resolved by the word
+    tiebreak."""
+    d = tbl(spark, sf_dir, "documents").select(tokens("text").alias("toks"))
+    uni = (
+        d.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    shifted = F.slice(
+        F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))
+    )
+    pairs = F.zip_with(
+        F.col("toks"),
+        shifted,
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        d.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.w2").isNotNull())
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+    n_uni = uni.agg(F.sum("n").alias("t_uni"))
+    n_big_all = (
+        d.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.w2").isNotNull())
+        .agg(F.count("*").alias("t_big"))
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("n").alias("n2"))
+    pmi = F.log2(
+        (F.col("n").cast("double") / F.col("t_big"))
+        / (
+            (F.col("n1").cast("double") / F.col("t_uni"))
+            * (F.col("n2").cast("double") / F.col("t_uni"))
+        )
+    )
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_big_all))
+        .crossJoin(F.broadcast(n_uni))
+        .select("w1", "w2", "n", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )

@@ -32,6 +32,7 @@ BNLJ_OK = {
     "funnel_conversion",  # three 1-row stage counts joined
     "heavy_hitters",  # joins the 1-row total-token-count aggregate
     "knn_classify",  # broadcast bounded query set
+    "pmi_collocations",  # joins the 1-row unigram/bigram totals
     "similarity_ivf",  # broadcast k-centroid table
     "similarity_topk",  # broadcast bounded query set (exact top-k design)
     "tpch_q11_important_share",  # scalar threshold subquery (spec)
@@ -58,6 +59,7 @@ SINGLE_PARTITION_OK = {
     "mixture_weights",  # window over the |languages|-row aggregate
     "sample_by_mixture",  # same weights subtree as mixture_weights
     "vocab_coverage",  # ranking window over the |vocab|-row aggregate
+    "pmi_collocations",  # 1-row unigram/bigram total aggregates
     "profile_columns",
     "tpch_q11_important_share",
     "tpch_q14_promo_revenue",
