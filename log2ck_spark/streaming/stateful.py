@@ -183,3 +183,70 @@ def ewma_alerts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RUNS_SCHEMA = "key string, run_id int, state string, n_events int"
+RUNS_STATE_SCHEMA = "cur string, cnt int, run_id int"
+
+
+def make_run_encoder(order_cols: tuple[str, ...] = ("ts_s", "event_id")):
+    """applyInPandasWithState change-point encoder: per key, collapse
+    consecutive same-state events into runs, EMITTING each run the
+    moment the state changes — the streaming twin of
+    queries/behavior.runs_encode (same islands semantics; there the
+    change flags are a batch window, here the open run is engine-
+    checkpointed state, so a restart resumes mid-run instead of
+    splitting it). Rows are sorted by `order_cols` within each
+    micro-batch; cross-batch order is the arrival order, as for every
+    stateful operator here.
+
+    State is THREE scalars per key (current state, count, run index)
+    no matter how long the run — the change-point compression that
+    turns an unbounded state stream into bounded streaming state."""
+
+    def run_fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            cur, cnt, run_id = state.get
+        else:
+            cur, cnt, run_id = None, 0, 0
+        closed = []
+        for pdf in pdfs:
+            cols = [c for c in order_cols if c in pdf.columns]
+            if cols:
+                pdf = pdf.sort_values(cols)
+            for s in pdf["state"].astype(str):
+                if cur is None:
+                    cur, cnt = s, 1
+                elif s == cur:
+                    cnt += 1
+                else:
+                    closed.append(
+                        {
+                            "key": key[0],
+                            "run_id": run_id,
+                            "state": cur,
+                            "n_events": cnt,
+                        }
+                    )
+                    run_id += 1
+                    cur, cnt = s, 1
+        if cur is not None:
+            state.update((cur, cnt, run_id))
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return run_fn
+
+
+def run_intervals(events: DataFrame, key_col: str = "key") -> DataFrame:
+    """Streaming DataFrame of CLOSED runs per key (append mode — a run
+    is emitted exactly once, when its successor state arrives)."""
+    return events.groupBy(key_col).applyInPandasWithState(
+        make_run_encoder(),
+        outputStructType=RUNS_SCHEMA,
+        stateStructType=RUNS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -112,3 +112,58 @@ def test_ewma_state_persists_across_batches(spark, tmp_path):
         assert abs(row["ewma"] - (0.2 * 100.0 + 0.8 * 10.0)) < 1e-9
     finally:
         q.stop()
+
+
+def test_run_encoder_closes_runs_across_batches(spark, tmp_path):
+    """A run split across micro-batches must close as ONE run: batch 1
+    ends with an open 'B' run; batch 2 extends it then changes state,
+    which closes B with the carried count."""
+    from log2ck_spark.streaming.stateful import run_intervals
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            [
+                '{"key": "u1", "state": "A", "ts_s": 1, "event_id": 1}',
+                '{"key": "u1", "state": "A", "ts_s": 2, "event_id": 2}',
+                '{"key": "u1", "state": "B", "ts_s": 3, "event_id": 3}',
+            ]
+        )
+    )
+    stream = spark.readStream.schema(
+        "key string, state string, ts_s long, event_id long"
+    ).json(str(src))
+    q = (
+        run_intervals(stream)
+        .writeStream.format("memory")
+        .queryName("runs_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        def rows():
+            return {
+                (r.key, r.run_id, r.state, r.n_events)
+                for r in spark.sql("select * from runs_out").collect()
+            }
+
+        # batch 1: A-run closed when B arrived; B still open
+        assert _wait(lambda: rows() == {("u1", 0, "A", 2)})
+        (src / "b2.json").write_text(
+            "\n".join(
+                [
+                    '{"key": "u1", "state": "B", "ts_s": 4, "event_id": 4}',
+                    '{"key": "u1", "state": "C", "ts_s": 5, "event_id": 5}',
+                ]
+            )
+        )
+        # B extended across the batch boundary, then closed with n=2
+        assert _wait(
+            lambda: rows() == {("u1", 0, "A", 2), ("u1", 1, "B", 2)}
+        )
+    finally:
+        q.stop()
+        q.awaitTermination(30)
