@@ -237,3 +237,74 @@ def error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("error_rate") > 0.25)
     )
+
+
+@register(
+    "classifier_eval",
+    oracle="""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                  WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+                  WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+                  WHEN regexp_matches(text, '[äößü]') THEN 'de'
+                  WHEN regexp_matches(text, '(^| )(the|a)( |$)') THEN 'en'
+                  ELSE 'und' END AS lang_pred
+      FROM documents WHERE lang IS NOT NULL
+    ), cm AS (
+      SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    )
+    SELECT lang, lang_pred, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY lang), 6) AS recall_share,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY lang_pred), 6)
+             AS precision_share
+    FROM cm
+    """,
+)
+def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier audit as a query: the confusion matrix of the
+    lang-id heuristic (text_lang_id's exact predictor) against the
+    ground-truth `lang` column, with each cell's share of its true
+    row (recall when lang_pred == lang) and of its predicted column
+    (precision on the diagonal) — the eval loop every quality/lang
+    classifier in a curation pipeline needs, run where the data
+    lives instead of exporting samples.
+
+    Shape: predictor is a codegen'd scan CASE; one (truth, pred)
+    count agg (partial-combined); the share windows run over the
+    ≤ |langs|² aggregated matrix. Exact integer counts → identical
+    float divisions in both engines."""
+    d = tbl(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    t = F.col("text")
+    pred = (
+        F.when(t.rlike("[一-鿿]"), "zh")
+        .when(t.rlike("[áéíóúñ¿¡]"), "es")
+        .when(t.rlike("[àâçèêëîïôùûœ]"), "fr")
+        .when(t.rlike("[äößü]"), "de")
+        .when(t.rlike("(^| )(the|a)( |$)"), "en")
+        .otherwise("und")
+    )
+    from pyspark.sql import Window as _W
+
+    cm = (
+        d.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+    return cm.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(_W.partitionBy("lang")),
+            6,
+        ).alias("recall_share"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(_W.partitionBy("lang_pred")),
+            6,
+        ).alias("precision_share"),
+    )
