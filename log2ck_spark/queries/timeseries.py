@@ -384,3 +384,51 @@ def iat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_gap_s"),
         F.percentile("gap_s", 0.95).alias("p95_gap_s"),
     )
+
+
+@register(
+    "seasonal_hour_profile",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, hour(ts) AS hod,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(hod AS INTEGER) AS hod, n,
+           ROUND(sv / n, 6) AS mean_value,
+           ROUND(sv / n - SUM(sv) OVER (PARTITION BY event_type)
+                          / SUM(n) OVER (PARTITION BY event_type), 6)
+             AS dev_from_daily_mean
+    FROM hourly
+    """,
+)
+def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality baseline per metric: mean value in each
+    of the 24 daily hours and its deviation from the overall mean —
+    the profile that turns naive thresholds into time-of-day-aware
+    ones (traffic at 3am ≠ traffic at noon; alerting against the
+    seasonal baseline is the standard fix, and anomaly_zscore's
+    per-type stats are exactly what this decomposes by hour).
+
+    One conditional agg to ≤ |types|×24 rows (decimal sums for
+    order-independence), then windows over that tiny frame. The same
+    query shape extends to day-of-week or month profiles by swapping
+    the bucket expression."""
+    ev = tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(DECIMAL)).cast("double").alias("sv"),
+    )
+    wt = Window.partitionBy("event_type")
+    mean = F.col("sv") / F.col("n")
+    daily = F.sum("sv").over(wt) / F.sum("n").over(wt)
+    return hourly.select(
+        "event_type",
+        "hod",
+        "n",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(mean - daily, 6).alias("dev_from_daily_mean"),
+    )
