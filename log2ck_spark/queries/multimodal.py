@@ -325,3 +325,56 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bytes_saved"),
         )
     )
+
+
+@register(
+    "ingest_binaryfile",
+    oracle="""
+    SELECT md5(text) AS digest,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    WHERE text IS NOT NULL AND doc_id % 50 = 0
+    """,
+)
+def ingest_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real multimodal ingestion path: opaque media FILES on
+    storage read through Spark's native `binaryFile` source (one row
+    per file: path, modificationTime, length, content) — how
+    image/audio corpora actually enter a pipeline, vs the in-table
+    binary column the other multimodal queries start from. A sample
+    of payloads is materialized as real files, read back via
+    binaryFile, and digest-verified against an independent oracle
+    derivation — proving the file round-trip is byte-exact.
+
+    Scale notes: binaryFile parallelizes per file and never splits
+    one (a media file is undecodable in halves); pair with
+    maxPartitionBytes-sized batching so one task holds a bounded
+    payload set. The 1-in-50 sample and the driver-side file writes
+    are FIXTURE SCAFFOLDING (a deployment's media files already
+    exist on storage); the measured query path — the binaryFile scan
+    and digesting — is fully distributed and sample-size-independent."""
+    from log2ck_spark.io import scratch_dir
+
+    path = scratch_dir(sf_dir, "binary_payloads")
+    sample = binary_docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0)
+    # one file per payload, named by doc_id (binaryFile's unit IS the file)
+    (
+        sample.repartition(8)
+        .write.mode("overwrite")
+        .format("parquet")
+        .save(path + "_staging")
+    )
+    staged = spark.read.parquet(path + "_staging").collect()
+    import os
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    for row in staged:
+        with open(os.path.join(path, f"{row.doc_id}.bin"), "wb") as f:
+            f.write(bytes(row.payload))
+    files = spark.read.format("binaryFile").load(path)
+    return files.select(
+        F.md5("content").alias("digest"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+    )
