@@ -432,3 +432,92 @@ def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean_value"),
         F.round(mean - daily, 6).alias("dev_from_daily_mean"),
     )
+
+
+_REF_USER = 0  # similarity-search query series: user 0's daily counts
+
+
+@register(
+    "series_similarity_search",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, day(ts) AS d, COUNT(*) AS n FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT COUNT(DISTINCT day(ts)) AS nd FROM events
+    ), ref AS (
+      SELECT d, n AS rn FROM daily WHERE user_id = {_REF_USER}
+    ), ref_m AS (
+      SELECT CAST(SUM(rn) AS BIGINT) AS sy,
+             CAST(SUM(rn * rn) AS BIGINT) AS syy
+      FROM ref
+    ), cand AS (
+      SELECT da.user_id,
+             CAST(SUM(da.n) AS BIGINT) AS sx,
+             CAST(SUM(da.n * da.n) AS BIGINT) AS sxx,
+             CAST(SUM(da.n * COALESCE(r.rn, 0)) AS BIGINT) AS sxy
+      FROM daily da LEFT JOIN ref r USING (d)
+      WHERE da.user_id <> {_REF_USER}
+      GROUP BY 1
+    )
+    SELECT user_id,
+           ROUND((span.nd * sxy - sx * sy)
+                 / sqrt(CAST((span.nd * sxx - sx * sx) AS DOUBLE)
+                        * (span.nd * syy - sy * sy)), 6) AS corr
+    FROM cand, ref_m, span
+    WHERE span.nd * sxx - sx * sx > 0 AND span.nd * syy - sy * sy > 0
+    ORDER BY corr DESC, user_id LIMIT 10
+    """,
+)
+def series_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: which users' daily activity
+    series correlate most with a reference user's — the
+    whose-behavior-looks-like-this query (cf. the distributed
+    time-series similarity search line in PAPERS.md, EDBT 2019/2020).
+    Pearson over the DENSE day-aligned series, computed from SPARSE
+    per-(user, day) counts: absent days are zeros, which contribute
+    nothing to any Σ, so the sparse aggregates equal the dense ones
+    with n = #days in span — no calendar densification, no per-pair
+    series materialization.
+
+    Shape: one (user, day) count agg; the reference series and its
+    moments broadcast (≤ span rows); per-candidate moments are one
+    more agg over the joined sparse counts; TakeOrdered emits the
+    top-10. At 100 TB the cost is two aggregations of the event
+    table — the same complexity as one groupBy, for a search across
+    EVERY key's series."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.dayofmonth("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    nd = ev.agg(
+        F.countDistinct(F.dayofmonth("ts")).alias("nd")
+    )
+    ref = daily.filter(F.col("user_id") == _REF_USER).select(
+        "d", F.col("n").alias("rn")
+    )
+    ref_m = ref.agg(
+        F.sum("rn").alias("sy"),
+        F.sum(F.col("rn") * F.col("rn")).alias("syy"),
+    )
+    cand = (
+        daily.filter(F.col("user_id") != _REF_USER)
+        .join(F.broadcast(ref), "d", "left")
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("sx"),
+            F.sum(F.col("n") * F.col("n")).alias("sxx"),
+            F.sum(F.col("n") * F.coalesce(F.col("rn"), F.lit(0))).alias("sxy"),
+        )
+    )
+    j = cand.crossJoin(F.broadcast(ref_m)).crossJoin(F.broadcast(nd))
+    var_x = F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        var_x.cast("double") * var_y
+    )
+    return (
+        j.filter((var_x > 0) & (var_y > 0))
+        .select("user_id", F.round(corr, 6).alias("corr"))
+        .orderBy(F.desc("corr"), F.asc("user_id"))
+        .limit(10)
+    )

@@ -33,6 +33,7 @@ BNLJ_OK = {
     "heavy_hitters",  # joins the 1-row total-token-count aggregate
     "knn_classify",  # broadcast bounded query set
     "pmi_collocations",  # joins the 1-row unigram/bigram totals
+    "series_similarity_search",  # joins the 1-row reference moments/span
     "similarity_ivf",  # broadcast k-centroid table
     "similarity_topk",  # broadcast bounded query set (exact top-k design)
     "tpch_q11_important_share",  # scalar threshold subquery (spec)
@@ -60,6 +61,7 @@ SINGLE_PARTITION_OK = {
     "sample_by_mixture",  # same weights subtree as mixture_weights
     "vocab_coverage",  # ranking window over the |vocab|-row aggregate
     "pmi_collocations",  # 1-row unigram/bigram total aggregates
+    "series_similarity_search",  # 1-row reference-moments aggregates
     "profile_columns",
     "tpch_q11_important_share",
     "tpch_q14_promo_revenue",
