@@ -83,6 +83,10 @@ HEADLINE = [
     "ngram_novelty",
     "feature_hash_embed",
     "sketch_bloom",
+    "drift_psi",
+    "runs_encode",
+    "series_similarity_search",
+    "pmi_collocations",
 ]
 
 
