@@ -233,3 +233,60 @@ def test_hll_registers_stream_incrementally(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def test_session_window_stream_live(spark, tmp_path):
+    """session_window's TRUE streaming execution (C5): a watermarked
+    stream groups per-user sessions in the state store; the complete
+    result equals the batch sessionize over the same data."""
+    from log2ck_spark.queries.streamq import sessionize
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    # user 1: two sessions (gap 20 min > 5 min); user 2: one session
+    rows = [
+        ("2024-01-01 10:00:00", 1, 1.0),
+        ("2024-01-01 10:02:00", 1, 2.0),
+        ("2024-01-01 10:22:00", 1, 3.0),
+        ("2024-01-01 10:00:00", 2, 4.0),
+    ]
+    src.joinpath("p.json").write_text(
+        "\n".join(
+            f'{{"ts": "{ts}", "user_id": {u}, "value": {v}}}'
+            for ts, u, v in rows
+        )
+    )
+    schema = "ts timestamp, user_id bigint, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(src))
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        sessionize(stream, gap="5 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_live")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        expected = {
+            (r.session_start.isoformat(), r.user_id, r.n_events, r.sum_value)
+            for r in sessionize(
+                spark.read.schema(schema).json(str(src)), gap="5 minutes"
+            ).collect()
+        }
+        assert len(expected) == 3  # 2 sessions for u1, 1 for u2
+
+        def got():
+            return {
+                (r.session_start.isoformat(), r.user_id, r.n_events, r.sum_value)
+                for r in spark.sql("select * from sess_live").collect()
+            }
+
+        assert _wait(lambda: got() == expected, timeout=90)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
