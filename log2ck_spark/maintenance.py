@@ -211,3 +211,46 @@ def delete_rows(
         rewritten.append(part)
         deleted += n_match
     return {"partitions_rewritten": rewritten, "rows_deleted": deleted}
+
+
+def materialize_shards(
+    spark,
+    docs,
+    out_path: str,
+    n_shards: int = 32,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> int:
+    """Write a training corpus in deterministic shuffled order: the
+    shuffle_shards layout (md5(id:seed) → shard + in-shard hash
+    order) materialized as ONE SORTED PARQUET FILE PER SHARD under
+    `out_path/shard=N/`. Readers stream shards in index order and
+    rows in file order to reproduce the exact global shuffle —
+    byte-identical across reruns, resumable mid-epoch at any
+    (shard, row) cursor, reshuffled by changing `seed`.
+
+    Plan: one hash repartition ON THE SHARD COLUMN (so each output
+    task owns exactly one shard) + an in-partition sort — no global
+    sort, no driver state; at 100 TB pick n_shards = 2-4x task slots
+    and each task sorts ~corpus/n_shards locally. Returns n_shards.
+    """
+    from pyspark.sql import functions as F
+
+    key = F.concat_ws(":", F.col(id_col), F.lit(seed))
+    hashed = docs.withColumn("_h", F.md5(key)).withColumn(
+        "shard",
+        (F.conv(F.substring("_h", 1, 8), 16, 10).cast("bigint") % n_shards),
+    )
+    (
+        # sort key LEADS with the partition column: the dynamic-
+        # partition writer requires ordering by partition cols and
+        # would otherwise insert its own (non-stable) sort by shard,
+        # destroying the in-shard hash order
+        hashed.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_h", id_col)
+        .drop("_h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_path)
+    )
+    return n_shards

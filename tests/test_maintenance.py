@@ -303,3 +303,46 @@ def test_delete_rows_crash_recovery_inherits_swap_invariant(spark, tmp_path):
     # recovery restored the partition first, then erasure applied
     left = spark.read.parquet(path)
     assert left.count() == 27 and left.filter("user='u0'").count() == 0
+
+
+def test_materialize_shards_one_sorted_file_per_shard(spark, tmp_path):
+    """The training-order materialization contract: every shard dir
+    holds exactly ONE parquet file, rows inside follow the md5 order,
+    and the (shard, order) assignment equals the shuffle_shards
+    query's layout for the same seed."""
+    import os
+
+    from log2ck_spark.io import tbl
+    from log2ck_spark.maintenance import materialize_shards
+    from log2ck_spark.queries import QUERIES, load_all
+
+    load_all()
+    sf_dir = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards")
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    n = materialize_shards(spark, docs, out, n_shards=8, seed=42)
+    shard_dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert len(shard_dirs) <= n and shard_dirs
+    for d in shard_dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+
+    # cross-check the layout against the shuffle_shards query (same
+    # md5(id:seed) contract, n_shards=32 there — here just verify the
+    # per-shard ORDER matches the hash order for our n_shards=8)
+    import hashlib
+
+    for d in sorted(shard_dirs)[:3]:
+        got = [
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(out, d)).collect()
+        ]
+        expect = sorted(
+            got,
+            key=lambda i: (hashlib.md5(f"{i}:42".encode()).hexdigest(), i),
+        )
+        assert got == expect, d
