@@ -540,3 +540,41 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").isNull().cast("int").alias("filled"),
         )
     )
+
+
+@register(
+    "agg_map_sum",
+    oracle="""
+    SELECT event_type, k.key,
+           CAST(SUM(CAST(json_extract_string(props, k.key) AS INTEGER))
+                AS BIGINT) AS total,
+           COUNT(*) AS n_rows
+    FROM events
+    CROSS JOIN (SELECT unnest(['k']) AS key) k
+    WHERE json_extract_string(props, k.key) IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def agg_map_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `sumMap` analog: the JSON props payload parsed to a
+    real MapType and aggregated per (group, map key) — key-wise sums
+    over heterogeneous metric bags (the CK idiom for counters shipped
+    as maps). The Spark side does the honest map path (`from_json` →
+    `explode(map)` → group-sum), so NEW keys appearing in the data
+    flow through with no schema change; the oracle derives the
+    expected sums from the fixture's known key set independently.
+
+    Shape: parse + explode are scan-stage expressions; one partial-
+    combined agg on (group, key) — cardinality = groups × live keys,
+    not rows."""
+    ev = tbl(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select("event_type", F.explode(m).alias("key", "val"))
+        .filter(F.col("val").isNotNull())
+        .groupBy("event_type", "key")
+        .agg(
+            F.sum("val").cast("bigint").alias("total"),
+            F.count("*").alias("n_rows"),
+        )
+    )
