@@ -158,7 +158,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SSJ_WINDOW_S = 6 * 3600  # errors correlate to clicks up to 6 h earlier
 
 
-def join_clicks_to_errors(clicks: DataFrame, errors: DataFrame) -> DataFrame:
+def join_clicks_to_errors(
+    clicks: DataFrame, errors: DataFrame, how: str = "inner"
+) -> DataFrame:
     """Event-time interval join: each click pairs with the same user's
     errors landing in (click_ts, click_ts + 6 h]. Shared by the batch
     query below and the true stream-stream execution in
@@ -188,6 +190,7 @@ def join_clicks_to_errors(clicks: DataFrame, errors: DataFrame) -> DataFrame:
             F.col("error_ts")
             <= F.col("click_ts") + F.expr(f"INTERVAL {_SSJ_WINDOW_S} SECONDS")
         ),
+        how,
     )
     return joined.select(
         F.col("c_user").alias("user_id"),

@@ -290,3 +290,72 @@ def test_session_window_stream_live(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def test_stream_stream_left_outer_join_emits_on_watermark_expiry(
+    spark, tmp_path
+):
+    """The advanced stream-stream case: LEFT OUTER interval join.
+    A click with no error within its 6 h horizon must emit with NULL
+    error — but only once the (min-across-streams) watermark passes
+    the horizon, because until then a matching error could still
+    arrive. Batch 1: one matched click, one unmatched. Batch 2: far-
+    future events on BOTH streams advance the watermark past the
+    horizon, releasing the unmatched click."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from log2ck_spark.queries.streamq import join_clicks_to_errors
+
+    c_src, e_src = tmp_path / "clicks", tmp_path / "errors"
+    c_src.mkdir(), e_src.mkdir()
+
+    def w(path, rows):
+        path.write_text(
+            "\n".join(
+                _json.dumps({"ts": ts, "user_id": u, "event_id": i})
+                for ts, u, i in rows
+            )
+        )
+
+    w(c_src / "b1.json", [("2024-01-01 10:00:00", 1, 100),
+                          ("2024-01-01 10:00:00", 2, 200)])
+    w(e_src / "b1.json", [("2024-01-01 11:00:00", 1, 900)])
+
+    schema = "ts timestamp, user_id bigint, event_id bigint"
+    c_stream = (
+        spark.readStream.schema(schema).json(str(c_src))
+        .withWatermark("ts", "10 minutes")
+    )
+    e_stream = (
+        spark.readStream.schema(schema).json(str(e_src))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        join_clicks_to_errors(c_stream, e_stream, how="leftOuter")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_outer")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def got():
+            return {
+                (r.user_id, r.click_id, r.error_id, r.lag_s)
+                for r in spark.sql("SELECT * FROM ssj_outer").collect()
+            }
+
+        # inner match emits promptly; the unmatched click must NOT
+        assert _wait(lambda: (1, 100, 900, 3600) in got(), timeout=60)
+        assert (2, 200, None, None) not in got()
+
+        # watermark advance on BOTH streams (equal ts → no new pair)
+        w(c_src / "b2.json", [("2024-01-02 10:00:00", 9, 101)])
+        w(e_src / "b2.json", [("2024-01-02 10:00:00", 9, 901)])
+        assert _wait(lambda: (2, 200, None, None) in got(), timeout=90)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
