@@ -487,3 +487,84 @@ def runs_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_s").alias("from_s"),
         F.max("ts_s").alias("to_s"),
     )
+
+
+@register(
+    "alert_pipeline",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, COUNT(*) AS n_hours,
+             CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean,
+             sqrt(greatest(
+               (CAST(SUM(n * n) AS DOUBLE)
+                - pow(CAST(SUM(n) AS DOUBLE), 2) / COUNT(*))
+               / (COUNT(*) - 1), 0.0)) AS std
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type,
+           CAST(s.n_hours AS BIGINT) AS n_hours,
+           ROUND(s.mean, 6) AS mean_per_hour,
+           ROUND(s.std, 6) AS std_per_hour,
+           CAST(COUNT(*) FILTER (
+             WHERE abs(h.n - s.mean) >= 2 * s.std) AS BIGINT) AS n_alert_hours,
+           ROUND(MAX(abs(h.n - s.mean) / s.std), 6) AS max_abs_z
+    FROM hourly h JOIN stats s USING (event_type)
+    WHERE s.n_hours > 1 AND s.std > 0
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def alert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end monitoring flow as ONE composed plan — the
+    log-analytics twin of curate_pipeline's composition story:
+    hourly downsample (agg_time_bucket's shape) → per-type volume
+    baseline (anomaly_zscore's decimal-exact moments, here over the
+    HOURLY frame so the alert unit is an hour of traffic, not one
+    event) → 2σ alert-hour count and worst excursion per type.
+    This is the query a deployment schedules: 'which streams had
+    abnormal hours today, and how abnormal'.
+
+    Shape: the only corpus-wide stage is the (type, hour) count agg
+    (partial-combined); stats aggregate the ≤ |types|×hours frame
+    and broadcast back onto it. Hourly counts are exact integers, so
+    mean/std/z are the same IEEE expressions in both engines."""
+    ev = tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    n = F.count("*")
+    s1 = F.sum("n").cast("double")
+    s2 = F.sum(F.col("n") * F.col("n")).cast("double")
+    var = (s2 - F.pow(s1, 2) / n) / (n - 1)
+    stats = hourly.groupBy("event_type").agg(
+        n.alias("n_hours"),
+        (s1 / n).alias("mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
+    )
+    z = F.abs(F.col("n") - F.col("mean")) / F.col("std")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter((F.col("n_hours") > 1) & (F.col("std") > 0))
+        .groupBy(
+            "event_type",
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+            F.round("mean", 6).alias("mean_per_hour"),
+            F.round("std", 6).alias("std_per_hour"),
+        )
+        .agg(
+            # literal-for-literal the oracle's predicate (abs(n-mean)
+            # >= 2*std, NOT z >= 2): the two are algebraically equal
+            # but are different float expressions, and a boundary hour
+            # could land on opposite sides by one ULP
+            F.count(
+                F.when(
+                    F.abs(F.col("n") - F.col("mean")) >= 2 * F.col("std"), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_alert_hours"),
+            F.round(F.max(z), 6).alias("max_abs_z"),
+        )
+    )
