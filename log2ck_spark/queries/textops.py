@@ -308,3 +308,69 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("precision_share"),
     )
+
+
+_TRI_TOPK = 5
+
+
+@register(
+    "char_trigram_profile",
+    oracle=f"""
+    WITH tris AS (
+      SELECT lang,
+             unnest(list_transform(
+               range(1, greatest(length(text) - 2, 0) + 1),
+               i -> substr(text, CAST(i AS INTEGER), 3))) AS tri
+      FROM documents WHERE lang IS NOT NULL
+    ), counts AS (
+      SELECT lang, tri, COUNT(*) AS n FROM tris GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, tri, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, tri) AS rnk
+      FROM counts
+    )
+    SELECT lang, CAST(rnk AS INTEGER) AS rnk, tri, n
+    FROM ranked WHERE rnk <= {_TRI_TOPK}
+    """,
+)
+def char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram profile (top-{k} trigrams by
+    frequency) — the statistical basis of real language ID (Cavnar &
+    Trenkle 1994's n-gram profiles; text_lang_id's regex heuristic is
+    the cheap approximation, THIS is the model it approximates). The
+    profile doubles as a corpus-drift reference: compare per-batch
+    profiles against it to spot encoding bugs or language mislabels.
+
+    Trigrams are built INSIDE the row (sequence+transform slicing —
+    codegen'd, no per-character explode), so the only corpus-wide
+    stage is the (lang, trigram) count agg; ranking windows run on
+    the aggregated profile, partitioned by lang."""
+    d = tbl(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    # sequence end is INCLUSIVE (and descends for end < start — the
+    # shingles() trap), so guard short texts explicitly: positions
+    # 1..len-2, empty array under 3 chars
+    n_pos = F.length("text") - 2
+    tris = F.when(
+        n_pos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.substring(F.col("text"), i, 3),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        d.select("lang", F.explode(tris).alias("tri"))
+        .groupBy("lang", "tri")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("lang").orderBy(F.desc("n"), F.asc("tri"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _TRI_TOPK)
+        .select("lang", "rnk", "tri", "n")
+    )
+
+
+char_trigram_profile.__doc__ = char_trigram_profile.__doc__.format(k=_TRI_TOPK)
