@@ -558,3 +558,93 @@ def sample_by_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "n_docs")
         .agg(F.count(F.when(keep, 1)).alias("n_sampled"))
     )
+
+
+@register(
+    "corpus_report",
+    oracle="""
+    WITH scored AS (
+      SELECT source, lang, n_chars, md5(text) AS digest,
+             len(string_split(text, ' ')) AS n_tokens,
+             (len(string_split(text, ' ')) BETWEEN 15 AND 90
+              AND 1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+                             AS DOUBLE) / len(string_split(text, ' '))
+                  <= 0.55
+              AND CAST(len(array_to_string(string_split(text, ' '), ''))
+                       AS DOUBLE) / len(string_split(text, ' '))
+                  BETWEEN 3.0 AND 8.0
+              AND len(list_filter(string_split(text, ' '),
+                                  x -> x IN ('a', 'the'))) > 0) AS ok
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6)
+             AS mean_tokens,
+           ROUND(CAST(COUNT(*) FILTER (WHERE ok) AS DOUBLE) / COUNT(*), 6)
+             AS gopher_pass_rate,
+           ROUND(1.0 - CAST(COUNT(DISTINCT digest) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM scored GROUP BY source
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus report card: one row per source with the numbers a
+    curation run is judged by — volume (docs, chars, mean tokens),
+    quality (Gopher-gate pass rate, textops3's exact rule set),
+    redundancy (exact-dup rate via content digests), and language
+    diversity. This is the artifact every ingest batch publishes
+    before it is admitted to a training mixture, and the input to
+    mixture_weights' source weighting.
+
+    ONE corpus scan computes every signal (the Gopher predicate,
+    token stats and digest are all scan expressions); the per-source
+    aggregation carries two distinct-aggregates (digest, lang), which
+    Spark executes with expand — still a single pass over the scan
+    output, grouped on the low-cardinality source key."""
+    from log2ck_spark.queries.textops3 import (
+        _MAX_DUP_TOKEN_FRAC,
+        _MAX_MEAN_WORD_LEN,
+        _MAX_WORDS,
+        _MIN_MEAN_WORD_LEN,
+        _MIN_WORDS,
+    )
+
+    d = (
+        tbl(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", "lang", "n_chars", F.md5("text").alias("digest"),
+                tokens("text").alias("t"))
+    )
+    n = F.size("t")
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("t")).cast("double") / n
+    mean_wl = F.length(F.array_join("t", "")).cast("double") / n
+    n_stop = F.size(F.filter("t", lambda x: x.isin("a", "the")))
+    ok = (
+        n.between(_MIN_WORDS, _MAX_WORDS)
+        & (dup_frac <= _MAX_DUP_TOKEN_FRAC)
+        & mean_wl.between(_MIN_MEAN_WORD_LEN, _MAX_MEAN_WORD_LEN)
+        & (n_stop > 0)
+    )
+    scored = d.select(
+        "source", "lang", "n_chars", "digest", n.alias("n_tokens"),
+        ok.alias("ok"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count("*"), 6
+        ).alias("mean_tokens"),
+        F.round(
+            F.count(F.when(F.col("ok"), 1)).cast("double") / F.count("*"), 6
+        ).alias("gopher_pass_rate"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct("digest").cast("double") / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
