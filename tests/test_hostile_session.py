@@ -27,7 +27,8 @@ from tests.oracle_harness import compare, run_oracle
 sf = "/root/testdata/sf0.001"
 names = ["agg_time_bucket", "parse_monolog", "parse_accesslog",
          "rate_counter", "stream_tumbling_agg", "retention_cohort",
-         "agg_latest_by_key"]
+         "agg_latest_by_key", "seasonal_hour_profile", "alert_pipeline",
+         "drift_psi", "series_similarity_search", "iat_stats"]
 fails = []
 for name in names:
     problems = compare(QUERIES[name](spark, sf), run_oracle(ORACLES[name], sf))
