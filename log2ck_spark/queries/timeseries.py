@@ -521,3 +521,56 @@ def series_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("corr"), F.asc("user_id"))
         .limit(10)
     )
+
+
+@register(
+    "forecast_features",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr,
+           n,
+           lag(n, 1) OVER w AS lag_1,
+           lag(n, 24) OVER w AS lag_24,
+           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY hr
+                             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS sum_24h,
+           CAST(hour(hr) AS INTEGER) AS hod,
+           CAST(isodow(hr) AS INTEGER) AS dow
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    """,
+)
+def forecast_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-forecasting feature assembly: the hourly series per
+    metric widened with its own lags (t-1, t-24), a rolling 24 h sum,
+    and calendar features (hour-of-day, ISO day-of-week) — the
+    standard autoregressive design matrix a gradient-boosted or
+    linear forecaster trains on, built where the data lives. Lags are
+    ROW-based over the observed hourly frame (missing hours simply
+    don't exist as rows — same convention both engines).
+
+    One corpus agg to the hourly frame; every feature window shares
+    the event_type partitioning of that tiny frame. All features are
+    exact integers; the hour key is emitted as a formatted string
+    (cross-engine-stable timestamp round-trip)."""
+    ev = tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    w24 = w.rowsBetween(-23, 0)
+    return hourly.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hr"),
+        "n",
+        F.lag("n", 1).over(w).alias("lag_1"),
+        F.lag("n", 24).over(w).alias("lag_24"),
+        F.sum("n").over(w24).cast("bigint").alias("sum_24h"),
+        F.hour("hr").cast("int").alias("hod"),
+        # ISO weekday (Mon=1..Sun=7) from Spark's Sun=1 dayofweek
+        (((F.dayofweek("hr") + 5) % 7) + 1).cast("int").alias("dow"),
+    )
