@@ -574,3 +574,52 @@ def forecast_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ISO weekday (Mon=1..Sun=7) from Spark's Sun=1 dayofweek
         (((F.dayofweek("hr") + 5) % 7) + 1).cast("int").alias("dow"),
     )
+
+
+@register(
+    "forecast_eval",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), pred AS (
+      SELECT event_type, n,
+             lag(n, 24) OVER (PARTITION BY event_type ORDER BY hr) AS yhat
+      FROM hourly
+    )
+    SELECT event_type,
+           COUNT(yhat) AS n_scored,
+           CAST(SUM(abs(n - yhat)) AS BIGINT) AS total_abs_err,
+           ROUND(CAST(SUM(abs(n - yhat)) AS DOUBLE) / COUNT(yhat), 6)
+             AS mae,
+           ROUND(CAST(SUM(abs(n - yhat)) AS DOUBLE) / SUM(n) FILTER
+                 (WHERE yhat IS NOT NULL), 6) AS wape
+    FROM pred WHERE yhat IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast baseline evaluation: the seasonal-naive predictor
+    (ŷ(t) = n(t−24h)) scored per metric with MAE and WAPE — the
+    benchmark every real forecaster must beat, and the denominator of
+    'is the model worth running'. Pairs with forecast_features: one
+    builds the design matrix, this one anchors the error floor.
+
+    Errors are exact integer |n − ŷ| sums (no float accumulation);
+    the lag window and the scoring agg share the event_type
+    partitioning of the tiny hourly frame."""
+    ev = tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    pred = hourly.withColumn("yhat", F.lag("n", 24).over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    abs_err = F.sum(F.abs(F.col("n") - F.col("yhat")))
+    return pred.groupBy("event_type").agg(
+        F.count("yhat").alias("n_scored"),
+        abs_err.cast("bigint").alias("total_abs_err"),
+        F.round(abs_err.cast("double") / F.count("yhat"), 6).alias("mae"),
+        F.round(abs_err.cast("double") / F.sum("n"), 6).alias("wape"),
+    )
