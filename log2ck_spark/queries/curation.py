@@ -648,3 +648,52 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_rate"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
     )
+
+
+@register(
+    "contrastive_pairs",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':neg') AS h,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':neg'),
+                                  1, 8)) AS BIGINT) % 32 AS bucket
+      FROM documents
+    )
+    SELECT anchor_doc, negative_doc FROM (
+      SELECT doc_id AS anchor_doc,
+             lead(doc_id) OVER (PARTITION BY bucket ORDER BY h, doc_id)
+               AS negative_doc
+      FROM hashed)
+    WHERE negative_doc IS NOT NULL
+    """,
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    doc is paired with a pseudo-random OTHER doc — its successor in a
+    seeded md5 ring — giving uniform negatives that are reproducible
+    across reruns and stable as the corpus grows (a doc's negative
+    changes only if its hash-neighbor changes). randomSplit/rand()
+    negatives are neither. Seed in the hash key re-deals all pairs.
+
+    Scale shape: the ring is bucketed (md5-prefix mod 32) so the
+    neighbor window parallelizes per bucket — no global sort; the
+    per-bucket boundary doc simply emits no pair (uniformly ~1/bucket
+    of docs, harmless for negative sampling). Same skeleton as
+    shuffle_shards; at 100 TB raise the bucket count with the
+    corpus."""
+    d = tbl(spark, sf_dir, "documents")
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":neg"))
+    hashed = d.select(
+        "doc_id",
+        F.md5(key).alias("h"),
+        md5_bucket(key, 32).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    return (
+        hashed.select(
+            F.col("doc_id").alias("anchor_doc"),
+            F.lead("doc_id").over(w).alias("negative_doc"),
+        )
+        .filter(F.col("negative_doc").isNotNull())
+    )
