@@ -194,12 +194,17 @@ def delete_rows(
         before = spark.read.parquet(part).withColumn(
             partition_col, _F.lit(value)
         )
-        n_match = before.filter(predicate).count()
+        # SQL DELETE WHERE semantics: only rows where the predicate is
+        # TRUE are deleted; NULL-predicate rows are RETAINED (three-
+        # valued logic — `NOT (v < 100)` would silently drop a NULL v
+        # row without counting it, diverging from ClickHouse ALTER
+        # DELETE and ANSI DELETE).
+        n_match = before.filter(f"({predicate}) IS TRUE").count()
         if n_match == 0:
             continue
         tmp = _hidden_sibling(part, _TMP_SUFFIX)
         (
-            before.filter(f"NOT ({predicate})")
+            before.filter(f"({predicate}) IS NOT TRUE")
             .drop(partition_col)
             .write.mode("overwrite")
             .parquet(tmp)

@@ -134,6 +134,7 @@ sketch_count_min.__doc__ = sketch_count_min.__doc__.format(
 # --------------------------------------------------------------------------
 
 _HLL_M = 512  # 2^9 registers
+_HLL_P = 9  # log2(_HLL_M) — shift width for exact integer division
 _HLL_ALPHA = 0.7197831133217303  # 0.7213 / (1 + 1.079/512), Flajolet et al.
 _HLL_MAXRHO = 52  # 60-bit hash - 9 bucket bits -> 51 pattern bits, rho <= 52
 
@@ -205,7 +206,10 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
-    rest = F.floor(F.col("h") / _HLL_M).cast("bigint")
+    # exact integer division (shiftright by log2(m)) — floor(h / m) on a
+    # 60-bit bigint goes through double and loses low-bit precision,
+    # breaking the bit-exact cross-engine replay contract
+    rest = F.shiftright(F.col("h"), _HLL_P).cast("bigint")
     rho = F.when(rest == 0, F.lit(_HLL_MAXRHO)).otherwise(
         _HLL_MAXRHO - F.length(F.bin(rest))
     )

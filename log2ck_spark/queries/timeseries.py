@@ -203,8 +203,12 @@ def pivot_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", _EVENT_TYPES)
         .count()
     )
+    # pivot(...).count() yields NULL for a (day, type) cell with zero
+    # events; the SQL COUNT(*) FILTER yields 0 — coalesce so a sparse
+    # day matches the relational semantics.
     return wide.select(
-        "day", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
     )
 
 

@@ -44,6 +44,26 @@ def mini_sf_dir(spark, tmp_path_factory):
     return str(root)
 
 
+def test_pivot_daily_activity_sparse_day_yields_zero_not_null(
+    spark, tmp_path_factory
+):
+    """A day with zero events of some type must pivot to a 0 count
+    (SQL COUNT FILTER semantics), not the NULL Spark's pivot().count()
+    natively emits — parity broke only on sparse data, so pin it."""
+    root = tmp_path_factory.mktemp("sparse_ev")
+    import datetime as _dt
+
+    spark.createDataFrame(
+        [(1, _dt.datetime(2024, 3, 1, 10, 0, 0), 7, "click", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(root / "events.parquet"))
+    row = QUERIES["pivot_daily_activity"](spark, str(root)).collect()[0]
+    assert row.n_click == 1
+    for c in ("n_error", "n_purchase", "n_signup", "n_view"):
+        assert getattr(row, c) == 0  # not None
+
+
 def test_every_query_survives_minimal_data(spark, mini_sf_dir):
     failures = []
     for name, fn in QUERIES.items():

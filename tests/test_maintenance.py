@@ -285,6 +285,30 @@ def test_delete_rows_rewrites_only_affected_partitions(spark, tmp_path):
     assert left2.filter("user='u5'").count() == 2  # other dates intact
 
 
+def test_delete_rows_retains_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE WHERE semantics: rows where the predicate evaluates
+    to NULL are retained AND not counted — `NOT (v < 100)` three-valued
+    logic would otherwise silently drop a NULL-v row without counting
+    it (ClickHouse ALTER DELETE keeps it)."""
+    from log2ck_spark.maintenance import delete_rows
+
+    path = str(tmp_path / "tnull")
+    (
+        spark.createDataFrame(
+            [("a", 50), ("b", None), ("c", 500)], "user string, v int"
+        )
+        .withColumn("log_date", F.lit("2024-01-01"))
+        .write.partitionBy("log_date")
+        .parquet(path)
+    )
+    res = delete_rows(spark, path, "v < 100", partition_col="log_date")
+    assert res["rows_deleted"] == 1  # only the TRUE row
+    left = spark.read.parquet(path)
+    assert left.count() == 2
+    users = {r.user for r in left.collect()}
+    assert users == {"b", "c"}  # NULL-predicate row 'b' survives
+
+
 def test_delete_rows_crash_recovery_inherits_swap_invariant(spark, tmp_path):
     """A crash between the two renames leaves the hidden .old dir;
     delete_rows (like compaction) must recover it before operating."""

@@ -195,7 +195,7 @@ def test_hll_registers_stream_incrementally(spark, tmp_path):
         h = F.conv(
             F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
         ).cast("bigint")
-        rest = F.floor(F.col("h") / 512).cast("bigint")
+        rest = F.shiftright(F.col("h"), 9).cast("bigint")
         rho = F.when(rest == 0, F.lit(52)).otherwise(
             52 - F.length(F.bin(rest))
         )
