@@ -87,16 +87,16 @@ ROTATION_FIRST: tuple[str, ...] = (
     # ONLY queries whose oracle/output contract changed this round are
     # pinned — the automatic stalest-first order handles everything
     # else (never-checked first, then failed-last-check, then stalest
-    # green). r4 pins: the two vectorops queries re-emitted without raw
-    # array output columns, and similarity_lsh upgraded from no_oracle
-    # to a value-checked projection.
-    "embedding_normalize",
-    "embedding_quantize",
-    "similarity_lsh",
-    # starvation pin: never-checked since r2 registration — its
-    # reg_index (vectorops loads last) keeps losing the within-rank
-    # tiebreak to newer modules, so it would wait indefinitely.
-    "knn_classify",
+    # green). r5 pins (r4's four pins all went green r4 and are
+    # released):
+    # - multimodal_decode_fake: its oracle was upgraded from rows-only
+    #   in r3, but its only driver row is the r2 `no_oracle`, which the
+    #   rotation deliberately doesn't rank as errored — the one name
+    #   the no_oracle-exemption structurally starves.
+    "multimodal_decode_fake",
+    # - ingest_binaryfile: staging writes moved driver-side collect ->
+    #   executor-side foreachPartition in r5; re-verify externally.
+    "ingest_binaryfile",
 )
 
 

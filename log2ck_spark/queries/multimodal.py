@@ -349,31 +349,40 @@ def ingest_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: binaryFile parallelizes per file and never splits
     one (a media file is undecodable in halves); pair with
     maxPartitionBytes-sized batching so one task holds a bounded
-    payload set. The 1-in-50 sample and the driver-side file writes
-    are FIXTURE SCAFFOLDING (a deployment's media files already
-    exist on storage); the measured query path — the binaryFile scan
-    and digesting — is fully distributed and sample-size-independent."""
+    payload set. The 1-in-50 sample staging is FIXTURE SCAFFOLDING (a
+    deployment's media files already exist on storage), and the file
+    writes run EXECUTOR-SIDE via foreachPartition — each task writes
+    only its own partition's payloads, so no corpus-proportional state
+    ever reaches the driver (on a cluster this targets the shared
+    object store the binaryFile scan reads back, the normal media
+    layout). The measured query path — the binaryFile scan and
+    digesting — is fully distributed and sample-size-independent."""
+    import os
+    import shutil
+
     from log2ck_spark.io import scratch_dir
 
     path = scratch_dir(sf_dir, "binary_payloads")
     sample = binary_docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0)
-    # one file per payload, named by doc_id (binaryFile's unit IS the file)
-    (
-        sample.repartition(8)
-        .write.mode("overwrite")
-        .format("parquet")
-        .save(path + "_staging")
-    )
-    staged = spark.read.parquet(path + "_staging").collect()
-    import os
-    import shutil
-
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
-    for row in staged:
-        with open(os.path.join(path, f"{row.doc_id}.bin"), "wb") as f:
-            f.write(bytes(row.payload))
-    files = spark.read.format("binaryFile").load(path)
+
+    # one file per payload, named by doc_id (binaryFile's unit IS the
+    # file); tmp-then-rename so a rerun over a half-written dir never
+    # exposes a torn file to the scan below
+    def _write_files(rows):
+        import os as _os
+
+        for row in rows:
+            tmp = _os.path.join(path, f".{row.doc_id}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(bytes(row.payload))
+            _os.replace(tmp, _os.path.join(path, f"{row.doc_id}.bin"))
+
+    sample.select("doc_id", "payload").repartition(8).foreachPartition(
+        _write_files
+    )
+    files = spark.read.format("binaryFile").load(path + "/*.bin")
     return files.select(
         F.md5("content").alias("digest"),
         F.col("length").cast("bigint").alias("n_bytes"),

@@ -52,7 +52,20 @@ def _scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     sample = np.array([r.v for r in sample_rows])
-    n_vecs = e.count()
+    # corpus size WITHOUT a second full scan: the sample is already the
+    # 512 smallest xxhash64 values, so the k-th smallest hash IS a KMV
+    # cardinality estimator (Bar-Yossef et al. 2002, "Counting distinct
+    # elements in a data stream"): n ~= (k-1) * 2^64 / u_(k) for
+    # uniform 64-bit hashes. Deterministic given the data, and exact
+    # when the corpus is smaller than the sample cap. k only sizes the
+    # cell count (target occupancy ~_CELL_TARGET), so the ~6% KMV
+    # error at 512 mins is immaterial — and we save one corpus scan
+    # per clustering query.
+    if len(sample_rows) < 512:
+        n_vecs = len(sample_rows)
+    else:
+        u_k = sample_rows[-1].h + 2**63  # shift signed hash to [0, 2^64)
+        n_vecs = max(512, int(511 * 2**64 / max(u_k, 1)))
     k = min(_K_MAX, max(1, n_vecs // _CELL_TARGET), len(sample))
     centroids = _kmeans_centroids(sample, k)
     cent = F.broadcast(

@@ -74,14 +74,69 @@ SINGLE_PARTITION_OK = {
 }
 
 
+# Driver-side collect() during query CONSTRUCTION is legitimate ONLY
+# for bounded frames whose size is independent of the corpus: the
+# 512-row TakeOrdered quantizer-training samples. Value = max rows one
+# collect may return for that name. Anything else is a scale-killer
+# (the r4 ingest_binaryfile staging collected a corpus-proportional
+# sample to the driver before it was rewritten executor-side).
+CONSTRUCTION_COLLECT_OK = {
+    "similarity_ivf": 512,  # hash-sampled quantizer training set
+    "embedding_kmeans": 512,  # same bounded sample (shared helper)
+    "dedup_semantic": 512,  # same bounded sample (shared helper)
+}
+
+
 @pytest.fixture(scope="module")
-def plans(spark, sf_dir):
-    out = {}
-    for name, fn in sorted(QUERIES.items()):
-        out[name] = (
-            fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        )
-    return out
+def built(spark, sf_dir):
+    """Construct every registered query ONCE, capturing (a) its
+    physical plan and (b) every DataFrame.collect() fired during
+    construction with its returned row count."""
+    from pyspark.sql import DataFrame
+
+    collects: dict[str, list[int]] = {}
+    current: dict[str, str | None] = {"name": None}
+    orig = DataFrame.collect
+
+    def tracked(self):
+        rows = orig(self)
+        if current["name"] is not None:
+            collects.setdefault(current["name"], []).append(len(rows))
+        return rows
+
+    DataFrame.collect = tracked
+    plans = {}
+    try:
+        for name, fn in sorted(QUERIES.items()):
+            current["name"] = name
+            df = fn(spark, sf_dir)
+            current["name"] = None
+            plans[name] = (
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+    finally:
+        DataFrame.collect = orig
+    return plans, collects
+
+
+@pytest.fixture(scope="module")
+def plans(built):
+    return built[0]
+
+
+def test_construction_collects_only_bounded_allowlisted(built):
+    """No registered query may pull a corpus-proportional frame to the
+    driver while BUILDING its plan. Allowlisted names may collect up to
+    their documented bound; everyone else must collect nothing."""
+    _, collects = built
+    bad = []
+    for name, sizes in collects.items():
+        cap = CONSTRUCTION_COLLECT_OK.get(name)
+        if cap is None:
+            bad.append((name, "collect() outside allowlist", sizes))
+        elif any(s > cap for s in sizes):
+            bad.append((name, f"collect exceeded documented cap {cap}", sizes))
+    assert not bad, bad
 
 
 def test_no_cartesian_products_anywhere(plans):
