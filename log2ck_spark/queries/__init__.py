@@ -97,6 +97,13 @@ ROTATION_FIRST: tuple[str, ...] = (
     # - ingest_binaryfile: staging writes moved driver-side collect ->
     #   executor-side foreachPartition in r5; re-verify externally.
     "ingest_binaryfile",
+    # - r5 oracle upgrades from rows-only to full value checks:
+    #   dedup_embedding_lsh (inlined seed-7 hyperplanes), similarity_ivf
+    #   (deterministic md5-seeded coarse quantizer), dedup_semantic
+    #   (deterministic seed-vector Voronoi cells, nprobe=4).
+    "dedup_embedding_lsh",
+    "similarity_ivf",
+    "dedup_semantic",
 )
 
 

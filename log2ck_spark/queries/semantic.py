@@ -122,13 +122,109 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NPROBE = 2  # probe cells per vector for candidate generation
+# Probe cells per vector for candidate generation. Seed-vector cells
+# are less balanced than trained centroids, so recall needs wider
+# probing: measured drop-set recall at the fixtures is 0.42/0.55
+# (nprobe=2), 0.74/0.83 (3), 0.90/0.93 (4) — 4 buys back more recall
+# than trained-centroid nprobe=2 had, at 4x its pair flops (still
+# cell-bounded: posting n*nprobe rows into k cells keeps occupancy
+# ~nprobe*n/k, and k grows with n).
+_NPROBE = 4
 
 
-@register("dedup_semantic")
+def _semdedup_oracle() -> str:
+    """Full SQL replay of dedup_semantic. The cell structure is a pure
+    function of the table — k = min(64, max(1, n // 32)) seed vectors
+    chosen by smallest md5(vec_id) — so DuckDB reproduces the identical
+    Voronoi cells, multi-probe postings, within-cell cosine verify, and
+    min-id survivorship. d2 ordering is float-noise safe (an
+    engine-order flip needs two distances within ~1e-12; exact ties
+    break on cluster_id in both engines)."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    params AS (
+      SELECT LEAST({_K_MAX}, GREATEST(1, COUNT(*) // {_CELL_TARGET})) AS k
+      FROM e
+    ),
+    seeds AS (
+      SELECT v AS c, CAST(rn - 1 AS INTEGER) AS cluster_id FROM (
+        SELECT v, ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM e
+      ), params WHERE rn <= params.k
+    ),
+    scored AS (
+      SELECT e.vec_id, e.v, s.cluster_id,
+             POWER(list_distance(e.v, s.c), 2) AS d2
+      FROM e CROSS JOIN seeds s
+    ),
+    ranked AS (
+      SELECT vec_id, v, cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, cluster_id) AS pr
+      FROM scored
+    ),
+    probed AS (SELECT * FROM ranked WHERE pr <= {_NPROBE}),
+    assigned AS (SELECT vec_id, cluster_id FROM ranked WHERE pr = 1),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM probed a
+      JOIN probed b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {_SEMDEDUP_TAU}
+    ),
+    drops AS (SELECT doc_b AS vec_id, COUNT(*) AS n_dups FROM pairs GROUP BY 1)
+    SELECT a.vec_id, a.cluster_id,
+           CAST(d.n_dups IS NULL AS INTEGER) AS is_kept,
+           CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups
+    FROM assigned a LEFT JOIN drops d USING (vec_id)
+    """
+
+
+def _seed_scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cluster_id, d2) for every (vector, seed-centroid)
+    pair — dedup_semantic's cell front half. Unlike `_scored_cells`
+    (Lloyd's k-means on a driver sample, used by embedding_kmeans),
+    the centroids here are the k corpus vectors with the SMALLEST
+    md5(vec_id): a deterministic, layout-independent selection that is
+    a pure function of the table, which makes the whole SemDeDup
+    pipeline SQL-replayable (see _semdedup_oracle) — upgrading it from
+    a rows-only driver check to a full value check. Cell balance is
+    slightly worse than trained centroids; multi-probe posting keeps
+    recall (asserted in tests).
+
+    k sizing uses ONE exact count — a column-pruned metadata-cheap
+    scan — instead of the KMV estimate, because the oracle must derive
+    the identical k; the count rides the same job wave as the seed
+    TakeOrdered."""
+    e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    n = e.count()
+    k = min(_K_MAX, max(1, n // _CELL_TARGET))
+    seed_rows = (
+        e.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("hh"))
+        .orderBy("hh", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [(j, [float(x) for x in r.v]) for j, r in enumerate(seed_rows)],
+            "cluster_id int, c array<double>",
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.crossJoin(cent).select("vec_id", "v", "cluster_id", d2.alias("d2"))
+
+
+@register("dedup_semantic", oracle=_semdedup_oracle())
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: drop a vector iff some vector with a smaller id that
-    shares one of its {nprobe} nearest k-means cells sits within
+    shares one of its {nprobe} nearest Voronoi cells sits within
     cosine >= {tau} — semantic near-dup removal whose pair expansion
     is confined to cells instead of the corpus (the paper's trick for
     making O(n^2) dedup tractable: cluster first, compare within
@@ -137,9 +233,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits (vec_id, cluster_id, is_kept, n_dups) for every vector.
     Multi-probe candidates: wide-angle near-dups (tau=0.4 is a 66°
     cone) frequently straddle a Voronoi boundary, so each vector posts
-    into its {nprobe} nearest cells — measured recall at the fixture
-    jumps from ~0.45 (1 probe) while candidate volume only doubles;
-    the reported cluster_id stays the hard 1-NN assignment.
+    into its {nprobe} nearest cells (recall-vs-flops numbers at the
+    _NPROBE constant); the reported cluster_id stays the hard 1-NN
+    assignment.
     Scale shape: cells hold ~n/k members and k grows with n, so the
     per-cell pair expansion is bounded; the only shuffles are the
     per-vector top-nprobe agg and one groupBy over candidate pairs.
@@ -147,6 +243,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output rerun-deterministic. Precision vs the brute-force pair
     set is 1.0 by construction (exact cosine verify); recall is
     cluster-split-dependent and asserted in tests.
+
+    Cells are deterministic seed-vector Voronoi cells (see
+    _seed_scored_cells) rather than the paper's trained k-means — the
+    partitioner is a free choice in SemDeDup (any cell structure gives
+    precision 1.0; only recall varies), and the deterministic one lets
+    the DuckDB oracle replay the ENTIRE pipeline value-for-value
+    (_semdedup_oracle) instead of the weaker rows-only check.
 
     Execution: the within-cell comparison runs as ONE vectorized
     cosine matrix per cell (Arrow-batched applyInPandas) — the
@@ -157,7 +260,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1) and is quadratic in rows, not flops."""
     import pandas as pd
 
-    scored = _scored_cells(spark, sf_dir)
+    scored = _seed_scored_cells(spark, sf_dir)
     wv = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
     # persist the top-nprobe frame: it feeds BOTH the hard assignment
     # and the per-cell kernel, and its upstream is the corpus x k

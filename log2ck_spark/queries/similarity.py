@@ -215,7 +215,48 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_embedding_lsh")
+_DEDUP_LSH_TABLES, _DEDUP_LSH_BITS, _DEDUP_LSH_SEED = 16, 4, 7
+_DEDUP_LSH_TAU = 0.4
+
+
+def _dedup_lsh_oracle() -> str:
+    """Full SQL replay of dedup_embedding_lsh (same recipe that
+    upgraded similarity_lsh from rows-only to value-checked in r4):
+    the 16x4 seed-7 hyperplanes are a pure function of
+    (dim, n_planes, seed), so DuckDB reproduces the identical
+    bucketing, candidate pair set, and exact-cosine verification —
+    recall vs brute force is irrelevant to the check because the
+    oracle replays the SAME approximate algorithm."""
+    planes = _hyperplanes(
+        _TESTDATA_DIM, _DEDUP_LSH_TABLES * _DEDUP_LSH_BITS, seed=_DEDUP_LSH_SEED
+    )
+    sig_selects = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl,"
+        f" {_lsh_sig_sql(planes, t, _DEDUP_LSH_BITS)} AS sig FROM e"
+        for t in range(_DEDUP_LSH_TABLES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sigs AS (
+      {sig_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sigs a
+      JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.vec_a, c.vec_b,
+             ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.vec_a
+      JOIN e eb ON eb.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, cos FROM scored WHERE cos >= {_DEDUP_LSH_TAU}
+    """
+
+
+@register("dedup_embedding_lsh", oracle=_dedup_lsh_oracle())
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-CORPUS embedding near-dup at scale: hyperplane-LSH bucket
     the whole table, generate candidate pairs only WITHIN buckets,
@@ -237,11 +278,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall ≈ 0.94 at 16 bits × 32 tables with tiny buckets — that
     configuration scales to 10^9 vectors; for wide-angle thresholds use
     IVF (similarity_ivf's shape) or an ANN graph instead of LSH.
-    Rows-only check (seeded-numpy planes aren't SQL-expressible);
-    brute-force ground truth drives the recall test instead."""
+    Value-checked: the seeded planes inline as SQL literals and the
+    oracle replays the identical pipeline (see _dedup_lsh_oracle);
+    brute-force ground truth still drives the recall test."""
     from log2ck_spark.queries.dedup import _candidate_pairs
 
-    threshold = 0.4
+    threshold = _DEDUP_LSH_TAU
     e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -251,8 +293,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # many tables (16×4 ⇒ theoretical recall ≈ 0.94, measured ~0.9 at
     # sf0.01; 8×6 measured 0.41). Coarser buckets cost candidate
     # expansion (n/16 per bucket), the price of a low threshold.
-    n_tables, bits = 16, 4
-    sig_udf = plane_signatures(_hyperplanes(dim, n_tables * bits, seed=7), bits)
+    n_tables, bits = _DEDUP_LSH_TABLES, _DEDUP_LSH_BITS
+    sig_udf = plane_signatures(
+        _hyperplanes(dim, n_tables * bits, seed=_DEDUP_LSH_SEED), bits
+    )
     buckets = e.select(
         F.col("vec_id").alias("doc_id"),
         F.posexplode(sig_udf("v")).alias("table", "sig"),
@@ -272,42 +316,103 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_ivf")
+_IVF_K, _IVF_NPROBE = 16, 4
+
+
+def _ivf_oracle() -> str:
+    """Full SQL replay of similarity_ivf: the coarse quantizer is the
+    k corpus vectors with the smallest md5(vec_id) — a deterministic,
+    layout-independent selection DuckDB reproduces exactly — so the
+    entire IVF pipeline (seed lists, nearest-list assignment, per-query
+    nprobe probing, exact-cosine re-scoring, top-k) replays
+    cross-engine. Near-tie ordering on d2 is float-noise safe: an
+    engine-order flip needs two distances within ~1e-12, and exact ties
+    (duplicate vectors) break on list_id in both engines."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT v AS c, CAST(ROW_NUMBER() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) - 1 AS INTEGER) AS list_id
+      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.v, s.list_id,
+             POWER(list_distance(e.v, s.c), 2) AS d2
+      FROM e CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, v, list_id FROM (
+        SELECT vec_id, v, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, list_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, list_id FROM (
+        SELECT vec_id, v, list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, list_id) AS rn
+        FROM scored WHERE vec_id < {N_QUERIES}
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    ranked AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.v), 6) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY ROUND(list_cosine_similarity(p.qv, a.v), 6) DESC,
+                        a.vec_id
+             ) AS rank
+      FROM probes p JOIN assigned a USING (list_id)
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """
+
+
+@register("similarity_ivf", oracle=_ivf_oracle())
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer -> assign each
-    vector to its nearest centroid (one distributed pass, centroids as
+    """IVF (inverted-file) ANN: coarse quantizer -> assign each vector
+    to its nearest centroid (one distributed pass, centroids as
     broadcast literals) -> probe the nprobe closest centroid lists per
     query -> exact cosine re-score within the probed lists.
 
-    Scale shape: the quantizer trains on a driver-side sample (16
-    centroids here; ~sqrt(n) in production); assignment and probing are
-    single-scan column expressions; each query touches nprobe/k of the
-    corpus instead of all of it. Approximate -> rows-only check; recall
-    vs brute force is asserted in tests."""
+    The coarse quantizer is the k corpus vectors with the SMALLEST
+    md5(vec_id) — a deterministic hash-sample of real data points (the
+    random/sampled coarse-quantizer IVF variant; FAISS's k-means
+    training likewise just refines a random data-vector init). Chosen
+    over Lloyd-trained centroids deliberately: centroid selection
+    becomes a pure function of the table that DuckDB replays, which
+    upgrades this ANN path from a rows-only check to a FULL value
+    check (see _ivf_oracle) at the cost of somewhat less balanced
+    lists. `embedding_kmeans` remains the genuine Lloyd's-trained
+    clustering operator.
+
+    Scale shape: quantizer selection is a TakeOrdered over md5 keys (a
+    k-row driver collect, k=16; ~sqrt(n) in production); assignment
+    and probing are single-scan column expressions; each query touches
+    nprobe/k of the corpus instead of all of it. Recall vs brute force
+    is asserted in tests."""
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    k, nprobe = 16, 4
-    # Quantizer training sample: take the 512 rows with the SMALLEST
-    # xxhash64(vec_id) — a deterministic hash-sample whose membership
-    # is independent of file/partition layout (a bare limit() drains
-    # the first partition and trains the quantizer on one shard's
-    # distribution). orderBy+limit compiles to TakeOrderedAndProject:
-    # each task keeps a 512-row heap, the driver merges — no full sort,
-    # no full shuffle, bounded collect.
-    sample_rows = (
-        e.select("v", F.xxhash64("vec_id").alias("h"))
-        .orderBy("h")
-        .limit(512)
+    k, nprobe = _IVF_K, _IVF_NPROBE
+    # Deterministic, layout-independent seed selection: the k rows
+    # with the smallest md5(vec_id). orderBy+limit compiles to
+    # TakeOrderedAndProject — per-task k-row heaps, bounded collect.
+    seed_rows = (
+        e.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("hh"))
+        .orderBy("hh", "vec_id")
+        .limit(k)
         .collect()
     )
-    sample = np.array([r.v for r in sample_rows])
     # a corpus smaller than k lists: one list per vector is the
-    # degenerate-but-correct quantizer (choice(replace=False) would
-    # throw); nprobe shrinks with it.
-    k = min(k, len(sample))
+    # degenerate-but-correct quantizer; nprobe shrinks with it.
+    k = len(seed_rows)
     nprobe = min(nprobe, k)
-    centroids = _kmeans_centroids(sample, k)
 
     # centroids as a k-row broadcast table: ONE distance expression for
     # all k (vs k inlined literal-array expressions, which blow up the
@@ -315,7 +420,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost; at 10^10 vectors you chunk the crossJoin by centroid block.
     cent = F.broadcast(
         spark.createDataFrame(
-            [(j, [float(x) for x in centroids[j]]) for j in range(k)],
+            [(j, [float(x) for x in r.v]) for j, r in enumerate(seed_rows)],
             "list_id int, c array<double>",
         )
     )
@@ -326,7 +431,10 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored_lists = e.crossJoin(cent).select("vec_id", "v", "list_id", d2.alias("d2"))
     assigned = scored_lists.groupBy("vec_id").agg(
-        F.min_by("list_id", "d2").alias("list_id"), F.first("v").alias("v")
+        # struct tie-break: min_by on d2 alone is documented
+        # nondeterministic on exact ties (duplicate seed vectors)
+        F.min_by("list_id", F.struct("d2", "list_id")).alias("list_id"),
+        F.first("v").alias("v"),
     )
     wq = Window.partitionBy("query_id").orderBy("d2", "list_id")
     probes = (
