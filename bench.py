@@ -140,6 +140,27 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # Full-registry sweep at sf0.01: ONE end-to-end run of EVERY
+    # registered query, so no operator ever lacks a timing record (the
+    # r4 blind spot: 111 of 169 registered names had never been timed,
+    # making a regression there invisible). Headline numbers above
+    # remain the tuned-warmup sf0.1 figures; this sweep is a coarse
+    # regression tripwire, not a throughput claim — single run, JVM
+    # already warm from the headline pass.
+    registry: dict[str, float] = {}
+    if os.path.isdir(warm_dir):
+        for name in sorted(QUERIES):
+            if name in timings:
+                continue
+            t0 = time.time()
+            try:
+                QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                registry[name] = round(time.time() - t0, 3)
+            except Exception:
+                registry[name] = -1.0  # failed: surface, don't hide
+
     total = round(sum(timings.values()), 3)
     # The headline set GROWS each round (r3: 27 queries, r4: 40), so
     # the grand total is not comparable across rounds. r3_subset_total
@@ -154,6 +175,10 @@ def main() -> None:
                 "unit": "sec",
                 "r3_subset_total": r3_subset,
                 "queries": timings,
+                "registry_sf001": registry,
+                "registry_sf001_total": round(
+                    sum(v for v in registry.values() if v > 0), 3
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

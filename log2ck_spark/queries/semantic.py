@@ -199,7 +199,11 @@ def _seed_scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
         "vec_id", as_double("embedding").alias("v")
     )
-    n = e.count()
+    # count the RAW scan, not `e`: counting after the cast+fanout would
+    # cast every embedding and shuffle the corpus just to count rows;
+    # on the bare scan Catalyst prunes every column and the job reads
+    # parquet row-group metadata only.
+    n = tbl(spark, sf_dir, "embeddings").count()
     k = min(_K_MAX, max(1, n // _CELL_TARGET))
     seed_rows = (
         e.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("hh"))
