@@ -359,3 +359,168 @@ def test_stream_stream_left_outer_join_emits_on_watermark_expiry(
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def _state_rows(q):
+    """Total state-store rows across the query's stateful operators,
+    from the most recent progress event (None until one arrives)."""
+    p = q.lastProgress
+    if not p or not p.get("stateOperators"):
+        return None
+    return sum(op["numRowsTotal"] for op in p["stateOperators"])
+
+
+def test_stream_stream_join_state_bounded_by_watermark(spark, tmp_path):
+    """The scale claim behind stream_stream_join: join state holds only
+    rows inside the watermark horizon, NOT stream history. Feed three
+    batches — fill, out-of-order arrival (inside the watermark, must
+    still join), then a far-future batch on both streams — and assert
+    the state-store row count DROPS once the watermark passes the old
+    rows' horizon. Without eviction a 100 TB/day stream pair would
+    accrete state forever."""
+    import json as _json
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from log2ck_spark.queries.streamq import join_clicks_to_errors
+
+    c_src, e_src = tmp_path / "clicks", tmp_path / "errors"
+    c_src.mkdir(), e_src.mkdir()
+
+    def w(path, rows):
+        path.write_text(
+            "\n".join(
+                _json.dumps({"ts": ts, "user_id": u, "event_id": i})
+                for ts, u, i in rows
+            )
+        )
+
+    # batch 1: 20 clicks, one error for user 3
+    w(c_src / "b1.json", [("2024-01-01 10:00:00", u, 100 + u) for u in range(20)])
+    w(e_src / "b1.json", [("2024-01-01 11:00:00", 3, 900)])
+
+    schema = "ts timestamp, user_id bigint, event_id bigint"
+    c_stream = (
+        spark.readStream.schema(schema).json(str(c_src))
+        .withWatermark("ts", "10 minutes")
+    )
+    e_stream = (
+        spark.readStream.schema(schema).json(str(e_src))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        join_clicks_to_errors(c_stream, e_stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def got():
+            return {
+                (r.user_id, r.click_id, r.error_id)
+                for r in spark.sql("SELECT * FROM ssj_state").collect()
+            }
+
+        assert _wait(lambda: (3, 103, 900) in got(), timeout=60)
+        assert _wait(lambda: (_state_rows(q) or 0) >= 21, timeout=60), (
+            f"state should hold all b1 rows, saw {_state_rows(q)}"
+        )
+        filled = _state_rows(q)
+
+        # batch 2: OUT-OF-ORDER error (5 min before the batch-1 max,
+        # inside the 10-min watermark slack) — must still join
+        w(e_src / "b2.json", [("2024-01-01 10:55:00", 7, 901)])
+        assert _wait(lambda: (7, 107, 901) in got(), timeout=60), (
+            "late-but-inside-watermark row failed to join"
+        )
+
+        # batch 3: far-future rows on BOTH streams push the min
+        # watermark past b1's 6 h join horizon -> b1 state evicts
+        w(c_src / "b3.json", [("2024-01-03 10:00:00", 50, 150)])
+        w(e_src / "b3.json", [("2024-01-03 10:00:00", 50, 950)])
+        assert _wait(
+            lambda: (_state_rows(q) or 10**9) < filled, timeout=90
+        ), f"state never shrank: filled={filled}, now={_state_rows(q)}"
+        # bounded: only batch-3 rows (and bookkeeping) may remain
+        assert _state_rows(q) <= 4, f"residual state {_state_rows(q)}"
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
+def test_run_intervals_state_is_per_key_not_per_event(spark, tmp_path):
+    """run_intervals' scale claim: checkpointed state is THREE SCALARS
+    PER KEY (open-run state/count/next-run-id), independent of how
+    many events stream through. Feed three batches x many events over
+    two keys — including an out-of-order event WITHIN a batch (the
+    encoder sorts by ts_s inside each group) — and assert the state
+    row count stays exactly |keys| while runs keep closing."""
+    from log2ck_spark.streaming.stateful import run_intervals
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def w(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                '{"key": "%s", "state": "%s", "ts_s": %d, "event_id": %d}'
+                % r
+                for r in rows
+            )
+        )
+
+    w("b1.json", [("u1", "A", t, t) for t in range(1, 11)]
+      + [("u2", "X", t, 100 + t) for t in range(1, 11)])
+    stream = spark.readStream.schema(
+        "key string, state string, ts_s long, event_id long"
+    ).json(str(src))
+    q = (
+        run_intervals(stream)
+        .writeStream.format("memory")
+        .queryName("runs_state")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def closed():
+            return {
+                (r.key, r.run_id, r.state, r.n_events)
+                for r in spark.sql("select * from runs_state").collect()
+            }
+
+        # batch 2: close both open runs; u1's batch arrives out of
+        # order WITHIN the batch (B at 12 before A-tail at 11)
+        w("b2.json", [("u1", "B", 12, 12), ("u1", "A", 11, 11)]
+          + [("u2", "Y", 11, 111)])
+        assert _wait(
+            lambda: ("u1", 0, "A", 11) in closed()
+            and ("u2", 0, "X", 10) in closed(),
+            timeout=60,
+        ), f"runs not closed: {closed()}"
+
+        # batch 3: 100 more events per key, all EXTENDING the open
+        # runs (same state) — no new closure, and crucially the state
+        # row count must stay exactly |keys|, not grow with events
+        w("b3.json", [("u1", "B", 100 + t, 200 + t) for t in range(100)]
+          + [("u2", "Y", 100 + t, 400 + t) for t in range(100)])
+        # make sure batch 3's 200 rows actually went through before
+        # reading the state metric (state was also 2 after batch 2)
+        assert _wait(
+            lambda: any(
+                p["numInputRows"] >= 200 for p in q.recentProgress
+            ),
+            timeout=60,
+        ), "batch 3 never processed"
+        assert _wait(lambda: (_state_rows(q) or 0) == 2, timeout=60), (
+            f"state rows {_state_rows(q)} != 2 keys"
+        )
+        # and still only the two closures from batch 2
+        assert {c[:2] for c in closed()} == {("u1", 0), ("u2", 0)}
+    finally:
+        q.stop()
+        q.awaitTermination(30)
