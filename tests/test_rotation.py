@@ -100,3 +100,18 @@ def test_silent_value_mismatch_counts_as_failed(tmp_path, monkeypatch):
     last = q._last_checked_rounds()
     assert last["mismatched"] == (99, True)
     assert last["healthy"] == (99, False)
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py's HEADLINE list must reference only registered query
+    names — a rename in the registry would otherwise surface as a
+    KeyError at round-bench time, failing BENCH_r{N} outright."""
+    import bench
+
+    from log2ck_spark.queries import QUERIES, load_all
+
+    load_all()
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, missing
+    # and the r3 cross-round comparison subset must stay intact
+    assert len(bench.HEADLINE) >= 27
