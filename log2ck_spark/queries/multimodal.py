@@ -382,7 +382,15 @@ def ingest_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample.select("doc_id", "payload").repartition(8).foreachPartition(
         _write_files
     )
-    files = spark.read.format("binaryFile").load(path + "/*.bin")
+    # pathGlobFilter (not a path glob): skips any .tmp leftover from a
+    # failed task retry AND, unlike `load(path + "/*.bin")`, returns an
+    # empty frame instead of PATH_NOT_FOUND when the sample is empty
+    # (degenerate fixtures).
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
     return files.select(
         F.md5("content").alias("digest"),
         F.col("length").cast("bigint").alias("n_bytes"),

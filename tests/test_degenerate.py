@@ -64,6 +64,20 @@ def test_pivot_daily_activity_sparse_day_yields_zero_not_null(
         assert getattr(row, c) == 0  # not None
 
 
+def test_ingest_binaryfile_empty_sample_yields_zero_rows(
+    spark, tmp_path_factory
+):
+    """A corpus where the 1-in-50 staging sample selects NOTHING must
+    produce an empty frame, not a PATH_NOT_FOUND from scanning an
+    empty staging dir (pathGlobFilter vs path-glob regression)."""
+    root = tmp_path_factory.mktemp("nobin")
+    spark.createDataFrame(
+        [(1, "a", "en", "s", 1), (2, "b", "en", "s", 1), (3, "c", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(root / "documents.parquet"))
+    assert QUERIES["ingest_binaryfile"](spark, str(root)).count() == 0
+
+
 def test_every_query_survives_minimal_data(spark, mini_sf_dir):
     failures = []
     for name, fn in QUERIES.items():
