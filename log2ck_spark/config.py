@@ -32,7 +32,8 @@ class SinkConfig:
     the optional client lib being importable)."""
 
     path: str = ""
-    kind: str = "parquet"  # parquet | delta | clickhouse | memory
+    # parquet | delta | clickhouse | clickhouse_http | memory
+    kind: str = "parquet"
     partition_col: str = "log_date"
     sort_cols: tuple[str, ...] = ("created_at",)  # readme.md:122 ORDER BY
     ttl_days: Optional[int] = 10  # readme.md:123 TTL

@@ -177,6 +177,8 @@ def writer_for(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
         return foreach_batch_writer(sink)
     if sink.kind == "clickhouse":
         return clickhouse_writer(sink)
+    if sink.kind == "clickhouse_http":
+        return clickhouse_http_writer(sink)
     if sink.kind == "memory":
         name = str(sink.options.get("name", "default"))
 
@@ -200,6 +202,108 @@ def writer_for(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
 
         return _write_delta
     raise ValueError(f"unknown sink kind: {sink.kind!r}")
+
+
+def rows_to_json_each_row(rows) -> "list[bytes]":
+    """Serialize rows (Row / dict / sequence of (name, value) pairs)
+    to ClickHouse JSONEachRow lines (one JSON object per row, UTF-8).
+    Timestamps emit as 'YYYY-MM-DD HH:MM:SS[.ffffff]' strings — the
+    format ClickHouse's DateTime/DateTime64 JSON input accepts."""
+    import datetime as _dt
+    import json as _json
+
+    def _conv(v):
+        if isinstance(v, _dt.datetime):
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f").rstrip("0").rstrip(".")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            return v.decode("latin-1")  # CK String is byte-transparent
+        return v
+
+    out = []
+    for row in rows:
+        d = row.asDict() if hasattr(row, "asDict") else dict(row)
+        out.append(
+            _json.dumps(
+                {k: _conv(v) for k, v in d.items()}, ensure_ascii=False
+            ).encode("utf-8")
+        )
+    return out
+
+
+def http_insert_in_batches(
+    url: str,
+    table: str,
+    rows,
+    batch_size: int = CK_INSERT_BATCH,
+    timeout_s: float = 30.0,
+) -> int:
+    """Batched INSERT over ClickHouse's public HTTP interface: POST
+    `INSERT INTO <table> FORMAT JSONEachRow` with newline-delimited
+    JSON bodies, one request per `batch_size` rows — the same
+    accumulate-then-flush contract as `insert_in_batches`
+    (`Worker.php:71-80`), but on the stdlib-only wire path, so it is
+    testable against a live local HTTP endpoint and deployable with no
+    optional client lib. A non-200 raises, failing the Spark task —
+    at-least-once via engine task retry + the batch replay note on
+    `foreach_batch_writer` (idempotence comes from a Replacing/
+    deduplicating target table, the standard CK recipe)."""
+    import urllib.parse as _up
+    import urllib.request as _ur
+
+    endpoint = (
+        url.rstrip("/")
+        + "/?query="
+        + _up.quote(f"INSERT INTO {table} FORMAT JSONEachRow")
+    )
+
+    def _flush(buf: list[bytes]) -> None:
+        req = _ur.Request(
+            endpoint,
+            data=b"\n".join(buf) + b"\n",
+            headers={"Content-Type": "application/x-ndjson"},
+            method="POST",
+        )
+        with _ur.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310
+            if resp.status != 200:
+                raise RuntimeError(
+                    f"ClickHouse HTTP insert failed: {resp.status}"
+                )
+
+    buf: list[bytes] = []
+    n = 0
+    for line in rows_to_json_each_row(rows):
+        buf.append(line)
+        if len(buf) >= batch_size:
+            _flush(buf)
+            n += len(buf)
+            buf = []
+    if buf:
+        _flush(buf)
+        n += len(buf)
+    return n
+
+
+def clickhouse_http_writer(
+    sink: SinkConfig,
+) -> Callable[[DataFrame, int], None]:
+    """ClickHouse sink over the HTTP interface (kind="clickhouse_http").
+    Zero optional dependencies; inserts run per-partition on executors
+    (one HTTP connection each, never per row), mirroring the
+    clickhouse_connect writer's shape."""
+    opts: dict[str, Any] = dict(sink.options)
+    table = str(opts.pop("table"))
+    url = str(opts.pop("url"))
+    batch_size = int(opts.pop("batch_size", CK_INSERT_BATCH))
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        def _insert_partition(rows):
+            http_insert_in_batches(url, table, rows, batch_size=batch_size)
+
+        batch_df.rdd.foreachPartition(_insert_partition)
+
+    return _write
 
 
 def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
