@@ -373,6 +373,13 @@ def ingest_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _write_files(rows):
         import os as _os
 
+        # executors create the dir themselves: the driver's makedirs
+        # above only exists on the driver's filesystem. NOTE this
+        # staging requires `path` to resolve to SHARED storage on a
+        # real cluster (object store / NFS) — with executor-local
+        # disks the scan below would silently see zero files; in this
+        # sandbox (local mode) driver and executors share the repo FS.
+        _os.makedirs(path, exist_ok=True)
         for row in rows:
             tmp = _os.path.join(path, f".{row.doc_id}.tmp")
             with open(tmp, "wb") as f:

@@ -140,6 +140,8 @@ def _semdedup_oracle() -> str:
     min-id survivorship. d2 ordering is float-noise safe (an
     engine-order flip needs two distances within ~1e-12; exact ties
     break on cluster_id in both engines)."""
+    from log2ck_spark.queries.similarity import SEED_ORDER_SQL
+
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     params AS (
@@ -149,7 +151,7 @@ def _semdedup_oracle() -> str:
     seeds AS (
       SELECT v AS c, CAST(rn - 1 AS INTEGER) AS cluster_id FROM (
         SELECT v, ROW_NUMBER() OVER (
-                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                 ORDER BY {SEED_ORDER_SQL}) AS rn
         FROM e
       ), params WHERE rn <= params.k
     ),
@@ -196,6 +198,12 @@ def _seed_scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — instead of the KMV estimate, because the oracle must derive
     the identical k; the count rides the same job wave as the seed
     TakeOrdered."""
+    from log2ck_spark.queries.similarity import (
+        seed_centroid_rows,
+        seed_centroid_table,
+        squared_distance_expr,
+    )
+
     e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -205,23 +213,9 @@ def _seed_scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet row-group metadata only.
     n = tbl(spark, sf_dir, "embeddings").count()
     k = min(_K_MAX, max(1, n // _CELL_TARGET))
-    seed_rows = (
-        e.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("hh"))
-        .orderBy("hh", "vec_id")
-        .limit(k)
-        .collect()
-    )
-    cent = F.broadcast(
-        spark.createDataFrame(
-            [(j, [float(x) for x in r.v]) for j, r in enumerate(seed_rows)],
-            "cluster_id int, c array<double>",
-        )
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    seed_rows = seed_centroid_rows(e, k)
+    cent = seed_centroid_table(spark, seed_rows, "cluster_id")
+    d2 = squared_distance_expr()
     return e.crossJoin(cent).select("vec_id", "v", "cluster_id", d2.alias("d2"))
 
 

@@ -318,6 +318,51 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_K, _IVF_NPROBE = 16, 4
 
+# DuckDB ORDER BY expression matching the Spark-side seed selection —
+# the single source of truth for "smallest md5(vec_id), vec_id" shared
+# by _ivf_oracle and semantic._semdedup_oracle. A tie-break/cast change
+# here changes both replays together.
+SEED_ORDER_SQL = "md5(CAST(vec_id AS VARCHAR)), vec_id"
+
+
+def seed_centroid_rows(e: DataFrame, k: int) -> list:
+    """The k corpus rows with the SMALLEST md5(vec_id): deterministic,
+    layout-independent, and a pure function of the table — the
+    SQL-replayable coarse-quantizer selection shared by similarity_ivf
+    and dedup_semantic (SEED_ORDER_SQL is its DuckDB twin).
+    orderBy+limit compiles to TakeOrderedAndProject — per-task k-row
+    heaps, bounded driver collect."""
+    return (
+        e.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("hh"))
+        .orderBy("hh", "vec_id")
+        .limit(k)
+        .collect()
+    )
+
+
+def seed_centroid_table(spark, seed_rows: list, id_name: str) -> DataFrame:
+    """The collected seeds as a broadcast k-row (id, vector) table —
+    ONE distance expression serves all k (vs k inlined literal-array
+    expressions, which blow up the generated code)."""
+    return F.broadcast(
+        spark.createDataFrame(
+            [(j, [float(x) for x in r.v]) for j, r in enumerate(seed_rows)],
+            f"{id_name} int, c array<double>",
+        )
+    )
+
+
+def squared_distance_expr():
+    """Codegen'd sum((v_i - c_i)^2) fold — used for centroid ORDERING
+    only, so cross-engine float-noise on the absolute value is safe
+    (an order flip needs two distances within ~1e-12; exact ties from
+    duplicate vectors break on the centroid id in both engines)."""
+    return F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
 
 def _ivf_oracle() -> str:
     """Full SQL replay of similarity_ivf: the coarse quantizer is the
@@ -332,9 +377,9 @@ def _ivf_oracle() -> str:
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     seeds AS (
       SELECT v AS c, CAST(ROW_NUMBER() OVER (
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ORDER BY {SEED_ORDER_SQL}
              ) - 1 AS INTEGER) AS list_id
-      FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}
+      FROM e ORDER BY {SEED_ORDER_SQL} LIMIT {_IVF_K}
     ),
     scored AS (
       SELECT e.vec_id, e.v, s.list_id,
@@ -400,35 +445,16 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("v")
     )
     k, nprobe = _IVF_K, _IVF_NPROBE
-    # Deterministic, layout-independent seed selection: the k rows
-    # with the smallest md5(vec_id). orderBy+limit compiles to
-    # TakeOrderedAndProject — per-task k-row heaps, bounded collect.
-    seed_rows = (
-        e.select("vec_id", "v", F.md5(F.col("vec_id").cast("string")).alias("hh"))
-        .orderBy("hh", "vec_id")
-        .limit(k)
-        .collect()
-    )
+    seed_rows = seed_centroid_rows(e, k)
     # a corpus smaller than k lists: one list per vector is the
     # degenerate-but-correct quantizer; nprobe shrinks with it.
     k = len(seed_rows)
     nprobe = min(nprobe, k)
 
-    # centroids as a k-row broadcast table: ONE distance expression for
-    # all k (vs k inlined literal-array expressions, which blow up the
-    # generated code). corpus x k rows is the standard IVF assignment
-    # cost; at 10^10 vectors you chunk the crossJoin by centroid block.
-    cent = F.broadcast(
-        spark.createDataFrame(
-            [(j, [float(x) for x in r.v]) for j, r in enumerate(seed_rows)],
-            "list_id int, c array<double>",
-        )
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # corpus x k rows is the standard IVF assignment cost; at 10^10
+    # vectors you chunk the crossJoin by centroid block.
+    cent = seed_centroid_table(spark, seed_rows, "list_id")
+    d2 = squared_distance_expr()
     scored_lists = e.crossJoin(cent).select("vec_id", "v", "list_id", d2.alias("d2"))
     assigned = scored_lists.groupBy("vec_id").agg(
         # struct tie-break: min_by on d2 alone is documented

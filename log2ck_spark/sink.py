@@ -207,10 +207,19 @@ def writer_for(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
 def rows_to_json_each_row(rows) -> "list[bytes]":
     """Serialize rows (Row / dict / sequence of (name, value) pairs)
     to ClickHouse JSONEachRow lines (one JSON object per row, UTF-8).
-    Timestamps emit as 'YYYY-MM-DD HH:MM:SS[.ffffff]' strings — the
-    format ClickHouse's DateTime/DateTime64 JSON input accepts."""
+
+    * Timestamps emit as 'YYYY-MM-DD HH:MM:SS[.ffffff]' strings — the
+      format ClickHouse's DateTime/DateTime64 JSON input accepts.
+    * Binary columns emit BASE64 (JSON strings cannot carry raw bytes:
+      a latin-1 decode re-encodes every byte >= 0x80 as two UTF-8
+      bytes — silent corruption). Decode CK-side with base64Decode()
+      or target a column with a materialized decode.
+    * Non-finite floats emit as null (bare NaN/Infinity tokens are not
+      valid JSON and would poison the whole batch line set)."""
+    import base64 as _b64
     import datetime as _dt
     import json as _json
+    import math as _math
 
     def _conv(v):
         if isinstance(v, _dt.datetime):
@@ -218,7 +227,13 @@ def rows_to_json_each_row(rows) -> "list[bytes]":
         if isinstance(v, _dt.date):
             return v.isoformat()
         if isinstance(v, (bytes, bytearray)):
-            return v.decode("latin-1")  # CK String is byte-transparent
+            return _b64.b64encode(bytes(v)).decode("ascii")
+        if isinstance(v, float) and not _math.isfinite(v):
+            return None
+        if isinstance(v, (list, tuple)):
+            return [_conv(x) for x in v]
+        if isinstance(v, dict):
+            return {k: _conv(x) for k, x in v.items()}
         return v
 
     out = []
@@ -226,7 +241,9 @@ def rows_to_json_each_row(rows) -> "list[bytes]":
         d = row.asDict() if hasattr(row, "asDict") else dict(row)
         out.append(
             _json.dumps(
-                {k: _conv(v) for k, v in d.items()}, ensure_ascii=False
+                {k: _conv(v) for k, v in d.items()},
+                ensure_ascii=False,
+                allow_nan=False,
             ).encode("utf-8")
         )
     return out
@@ -238,6 +255,9 @@ def http_insert_in_batches(
     rows,
     batch_size: int = CK_INSERT_BATCH,
     timeout_s: float = 30.0,
+    user: "str | None" = None,
+    password: "str | None" = None,
+    params: "dict[str, str] | None" = None,
 ) -> int:
     """Batched INSERT over ClickHouse's public HTTP interface: POST
     `INSERT INTO <table> FORMAT JSONEachRow` with newline-delimited
@@ -252,21 +272,28 @@ def http_insert_in_batches(
     import urllib.parse as _up
     import urllib.request as _ur
 
-    endpoint = (
-        url.rstrip("/")
-        + "/?query="
-        + _up.quote(f"INSERT INTO {table} FORMAT JSONEachRow")
-    )
+    qs = {"query": f"INSERT INTO {table} FORMAT JSONEachRow"}
+    qs.update(params or {})  # database=..., CK settings, etc.
+    endpoint = url.rstrip("/") + "/?" + _up.urlencode(qs)
+    headers = {"Content-Type": "application/x-ndjson"}
+    # CK's HTTP auth headers (public interface contract); absent ->
+    # the server's default user, same as the reference's bare DSN.
+    if user is not None:
+        headers["X-ClickHouse-User"] = user
+    if password is not None:
+        headers["X-ClickHouse-Key"] = password
 
     def _flush(buf: list[bytes]) -> None:
         req = _ur.Request(
             endpoint,
             data=b"\n".join(buf) + b"\n",
-            headers={"Content-Type": "application/x-ndjson"},
+            headers=headers,
             method="POST",
         )
+        # urlopen raises HTTPError for >= 400; any 2xx is success
+        # (204/202 behind proxies are still accepted inserts).
         with _ur.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310
-            if resp.status != 200:
+            if not 200 <= resp.status < 300:
                 raise RuntimeError(
                     f"ClickHouse HTTP insert failed: {resp.status}"
                 )
@@ -296,10 +323,23 @@ def clickhouse_http_writer(
     table = str(opts.pop("table"))
     url = str(opts.pop("url"))
     batch_size = int(opts.pop("batch_size", CK_INSERT_BATCH))
+    user = opts.pop("user", None)
+    password = opts.pop("password", None)
+    # everything else (database, CK settings like async_insert) rides
+    # the query string — nothing is silently dropped
+    params = {k: str(v) for k, v in opts.items()}
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         def _insert_partition(rows):
-            http_insert_in_batches(url, table, rows, batch_size=batch_size)
+            http_insert_in_batches(
+                url,
+                table,
+                rows,
+                batch_size=batch_size,
+                user=user,
+                password=password,
+                params=params,
+            )
 
         batch_df.rdd.foreachPartition(_insert_partition)
 

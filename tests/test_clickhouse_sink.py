@@ -239,7 +239,7 @@ def test_http_insert_batching_and_wire_format():
     """http_insert_in_batches against a LIVE local endpoint: 8 rows at
     batch_size=3 -> exactly 3 POSTs (3/3/2 lines), the query string is
     the INSERT, and the JSONEachRow bodies round-trip the values."""
-    from urllib.parse import unquote
+    from urllib.parse import parse_qs, urlparse
 
     from log2ck_spark.sink import http_insert_in_batches
 
@@ -250,7 +250,8 @@ def test_http_insert_batching_and_wire_format():
         assert n == 8
         assert len(srv.requests) == 3
         assert all(
-            "INSERT INTO logs FORMAT JSONEachRow" in unquote(p)
+            parse_qs(urlparse(p).query)["query"]
+            == ["INSERT INTO logs FORMAT JSONEachRow"]
             for p, _ in srv.requests
         )
         sizes = [
@@ -372,4 +373,57 @@ def test_tail_to_clickhouse_http_stream_end_to_end(spark, tmp_path):
         ), got
     finally:
         stop_all(spark)
+        srv.close()
+
+
+def test_http_insert_binary_nan_and_auth_options():
+    """Wire-format edge cases: binary values must arrive base64 (JSON
+    can't carry raw bytes — a latin-1/UTF-8 round trip corrupts every
+    byte >= 0x80), non-finite floats become null (bare NaN is invalid
+    JSON), and user/password/database options reach the request as
+    CK's public auth headers / query params instead of being dropped."""
+    import base64
+    import math
+    from urllib.parse import parse_qs, urlparse
+
+    from log2ck_spark.sink import http_insert_in_batches
+
+    srv = _RecordingCKServer()
+    # capture headers too
+    import http.server
+
+    orig_handler = srv.httpd.RequestHandlerClass
+    headers_seen = []
+
+    class H2(orig_handler):
+        def do_POST(self):  # noqa: N802
+            headers_seen.append(dict(self.headers))
+            super().do_POST()
+
+    srv.httpd.RequestHandlerClass = H2
+    try:
+        payload = bytes(range(256))
+        rows = [
+            {"k": 1, "blob": payload, "x": float("nan")},
+            {"k": 2, "blob": b"", "x": float("inf")},
+        ]
+        n = http_insert_in_batches(
+            srv.url,
+            "logs",
+            rows,
+            user="ingest",
+            password="s3cret",
+            params={"database": "mydb"},
+        )
+        assert n == 2
+        got = {r["k"]: r for r in srv.rows()}
+        assert base64.b64decode(got[1]["blob"]) == payload  # byte-exact
+        assert got[1]["x"] is None and got[2]["x"] is None
+        assert headers_seen[0].get("X-Clickhouse-User") == "ingest"
+        assert headers_seen[0].get("X-Clickhouse-Key") == "s3cret"
+        qs = parse_qs(urlparse(srv.requests[0][0]).query)
+        assert qs["database"] == ["mydb"]
+        assert "INSERT INTO logs" in qs["query"][0]
+        assert not math.isnan(0)  # keep math import honest
+    finally:
         srv.close()

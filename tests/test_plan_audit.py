@@ -74,37 +74,77 @@ SINGLE_PARTITION_OK = {
 }
 
 
-# Driver-side collect() during query CONSTRUCTION is legitimate ONLY
-# for bounded frames whose size is independent of the corpus: the
-# 512-row TakeOrdered quantizer-training samples. Value = max rows one
-# collect may return for that name. Anything else is a scale-killer
-# (the r4 ingest_binaryfile staging collected a corpus-proportional
-# sample to the driver before it was rewritten executor-side).
+# Driver-side row pulls (collect/take/head/first/toPandas/
+# toLocalIterator) during query CONSTRUCTION are legitimate ONLY for
+# bounded frames whose size is independent of the corpus. Value = max
+# rows any single pull may return for that name — caps are EXACT to
+# the documented bound, not rounded up, so a loosened regression trips
+# the guard. Anything else is a scale-killer (the r4 ingest_binaryfile
+# staging collected a corpus-proportional sample to the driver before
+# it was rewritten executor-side).
 CONSTRUCTION_COLLECT_OK = {
-    "similarity_ivf": 512,  # hash-sampled quantizer training set
-    "embedding_kmeans": 512,  # same bounded sample (shared helper)
-    "dedup_semantic": 512,  # same bounded sample (shared helper)
+    "similarity_ivf": 16,  # k=16 md5-seed quantizer rows
+    "embedding_kmeans": 512,  # 512-row hash-sampled Lloyd training set
+    "dedup_semantic": 64,  # <= _K_MAX=64 md5-seed cell centroids
+    "dedup_embedding_lsh": 1,  # first(): O(1) embedding-dim probe
+    "similarity_lsh": 1,  # first(): O(1) embedding-dim probe
+    "dedup_embedding": 1,  # first(): O(1) embedding-dim probe
 }
 
 
 @pytest.fixture(scope="module")
 def built(spark, sf_dir):
     """Construct every registered query ONCE, capturing (a) its
-    physical plan and (b) every DataFrame.collect() fired during
-    construction with its returned row count."""
+    physical plan and (b) every driver-side row pull fired during
+    construction with its returned row count. All pull surfaces are
+    intercepted — collect, take, head, first, toPandas,
+    toLocalIterator — so a corpus-proportional toPandas() can't slip
+    past a collect-only guard."""
     from pyspark.sql import DataFrame
 
-    collects: dict[str, list[int]] = {}
+    pulls: dict[str, list[int]] = {}
     current: dict[str, str | None] = {"name": None}
-    orig = DataFrame.collect
 
-    def tracked(self):
-        rows = orig(self)
+    def _record(n):
         if current["name"] is not None:
-            collects.setdefault(current["name"], []).append(len(rows))
+            pulls.setdefault(current["name"], []).append(n)
+
+    orig_collect = DataFrame.collect
+    orig_take = DataFrame.take
+    orig_head = DataFrame.head
+    orig_topandas = DataFrame.toPandas
+    orig_iter = DataFrame.toLocalIterator
+
+    def t_collect(self):
+        rows = orig_collect(self)
+        _record(len(rows))
         return rows
 
-    DataFrame.collect = tracked
+    def t_take(self, num):
+        rows = orig_take(self, num)
+        _record(len(rows))
+        return rows
+
+    def t_head(self, n=None):
+        out = orig_head(self, n)
+        _record(1 if n is None else len(out))
+        return out
+
+    def t_topandas(self):
+        pdf = orig_topandas(self)
+        _record(len(pdf))
+        return pdf
+
+    def t_iter(self, prefetchPartitions=False):  # noqa: N803
+        # size unknowable lazily: treat any use as unbounded (1<<60)
+        _record(1 << 60)
+        return orig_iter(self, prefetchPartitions)
+
+    DataFrame.collect = t_collect
+    DataFrame.take = t_take
+    DataFrame.head = t_head
+    DataFrame.toPandas = t_topandas
+    DataFrame.toLocalIterator = t_iter
     plans = {}
     try:
         for name, fn in sorted(QUERIES.items()):
@@ -115,8 +155,12 @@ def built(spark, sf_dir):
                 df._jdf.queryExecution().executedPlan().toString()
             )
     finally:
-        DataFrame.collect = orig
-    return plans, collects
+        DataFrame.collect = orig_collect
+        DataFrame.take = orig_take
+        DataFrame.head = orig_head
+        DataFrame.toPandas = orig_topandas
+        DataFrame.toLocalIterator = orig_iter
+    return plans, pulls
 
 
 @pytest.fixture(scope="module")
@@ -126,16 +170,16 @@ def plans(built):
 
 def test_construction_collects_only_bounded_allowlisted(built):
     """No registered query may pull a corpus-proportional frame to the
-    driver while BUILDING its plan. Allowlisted names may collect up to
-    their documented bound; everyone else must collect nothing."""
-    _, collects = built
+    driver while BUILDING its plan. Allowlisted names may pull up to
+    their documented bound; everyone else must pull nothing."""
+    _, pulls = built
     bad = []
-    for name, sizes in collects.items():
+    for name, sizes in pulls.items():
         cap = CONSTRUCTION_COLLECT_OK.get(name)
         if cap is None:
-            bad.append((name, "collect() outside allowlist", sizes))
+            bad.append((name, "driver row pull outside allowlist", sizes))
         elif any(s > cap for s in sizes):
-            bad.append((name, f"collect exceeded documented cap {cap}", sizes))
+            bad.append((name, f"pull exceeded documented cap {cap}", sizes))
     assert not bad, bad
 
 
