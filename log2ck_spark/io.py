@@ -69,3 +69,20 @@ def scratch_dir(*keys: str) -> str:
     path = os.path.join(SCRATCH_ROOT, f"{os.path.basename(keys[0].rstrip('/'))}-{digest}")
     os.makedirs(SCRATCH_ROOT, exist_ok=True)
     return path
+
+
+def ensure_staged(path: str, write) -> str:
+    """Idempotent fixture staging: run ``write(path)`` only when `path`
+    lacks a ``_SUCCESS`` marker (Spark's file writers commit one; a
+    custom writer must create it LAST). Staged corpora are pure
+    functions of their scratch key — the testdata under an sf_dir is
+    immutable — so a committed write never needs repeating; re-staging
+    identical bytes on every invocation just buries the measured read
+    path under fixture overhead. Crash-safe: ``mode("overwrite")``
+    deletes the directory (marker included) before rewriting, so a
+    half-finished restage can never present a stale marker. Remove
+    ``.scratch/`` to force a rebuild (keys embed a content version —
+    bump the key when the generator changes)."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write(path)
+    return path

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from log2ck_spark.config import EngineConfig, SinkConfig, TailSpec
-from log2ck_spark.io import scratch_dir, tbl
+from log2ck_spark.io import ensure_staged, scratch_dir, tbl
 from log2ck_spark.parse import enrich, parse_lines, split_valid, with_log_date
 from log2ck_spark.pipeline import transform_chain
 from log2ck_spark.queries import register
@@ -79,8 +79,10 @@ def ingest_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 batch analog: write the corpus as real text files, read them
     back with spark.read.text (the same source the streaming path
     tails), count. Streaming variant covered in tests/test_streaming."""
-    path = scratch_dir(sf_dir, "monolog_corpus")
-    monolog_lines(spark, sf_dir).write.mode("overwrite").text(path)
+    path = ensure_staged(
+        scratch_dir(sf_dir, "monolog_corpus"),
+        lambda p: monolog_lines(spark, sf_dir).write.mode("overwrite").text(p),
+    )
     lines = spark.read.text(path)
     return lines.agg(
         F.count("*").alias("n_lines"),
@@ -276,8 +278,10 @@ def ingest_tail_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming path is exercised in tests/test_tail_source.py)."""
     from log2ck_spark.sources import register_tail_source
 
-    path = scratch_dir(sf_dir, "tail_snapshot_corpus")
-    monolog_lines(spark, sf_dir).write.mode("overwrite").text(path)
+    path = ensure_staged(
+        scratch_dir(sf_dir, "tail_snapshot_corpus"),
+        lambda p: monolog_lines(spark, sf_dir).write.mode("overwrite").text(p),
+    )
     register_tail_source(spark)
     lines = (
         spark.read.format("tailf")
@@ -326,20 +330,22 @@ def ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     block. The oracle derives the expected rows from the events view
     independently, so serialization, quoting, and type round-trips
     are all cross-checked."""
-    path = scratch_dir(sf_dir, "events_jsonl")
-    ev = tbl(spark, sf_dir, "events", fanout=True)
-    ev.select(
-        F.to_json(
-            F.struct(
-                F.col("event_id"),
-                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-                F.col("user_id"),
-                F.col("event_type"),
-                F.col("value"),
-                F.col("props"),
-            )
-        ).alias("value")
-    ).write.mode("overwrite").text(path)
+    def _stage(p: str) -> None:
+        ev = tbl(spark, sf_dir, "events", fanout=True)
+        ev.select(
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+                    F.col("user_id"),
+                    F.col("event_type"),
+                    F.col("value"),
+                    F.col("props"),
+                )
+            ).alias("value")
+        ).write.mode("overwrite").text(p)
+
+    path = ensure_staged(scratch_dir(sf_dir, "events_jsonl"), _stage)
     back = spark.read.schema(_EVENTS_JSON_SCHEMA).json(path)
     return back.select(
         "event_id",
@@ -359,16 +365,18 @@ def ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads, and type coercion. Headerless with a declared schema: at
     scale a header row per file is both a skew hazard (every task
     skips it) and an inference trap."""
-    path = scratch_dir(sf_dir, "events_csv")
-    ev = tbl(spark, sf_dir, "events", fanout=True)
-    ev.select(
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    ).write.mode("overwrite").option("header", "false").csv(path)
+    def _stage(p: str) -> None:
+        ev = tbl(spark, sf_dir, "events", fanout=True)
+        ev.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).write.mode("overwrite").option("header", "false").csv(p)
+
+    path = ensure_staged(scratch_dir(sf_dir, "events_csv"), _stage)
     back = (
         spark.read.schema(_EVENTS_JSON_SCHEMA)
         .option("header", "false")
@@ -394,16 +402,18 @@ def ingest_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB ORC gives the same pruned columnar scan properties as
     parquet (stripe stats, dictionary encoding); this query proves
     the engine is format-agnostic at the storage boundary."""
-    path = scratch_dir(sf_dir, "events_orc")
-    ev = tbl(spark, sf_dir, "events", fanout=True)
-    ev.select(
-        "event_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    ).write.mode("overwrite").orc(path)
+    def _stage(p: str) -> None:
+        ev = tbl(spark, sf_dir, "events", fanout=True)
+        ev.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).write.mode("overwrite").orc(p)
+
+    path = ensure_staged(scratch_dir(sf_dir, "events_orc"), _stage)
     back = spark.read.orc(path)
     return back.select(
         "event_id",

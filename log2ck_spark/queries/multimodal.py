@@ -360,35 +360,44 @@ def ingest_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from log2ck_spark.io import scratch_dir
+    from log2ck_spark.io import ensure_staged, scratch_dir
 
-    path = scratch_dir(sf_dir, "binary_payloads")
-    sample = binary_docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0)
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
+    def _stage(path: str) -> None:
+        sample = binary_docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0)
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
 
-    # one file per payload, named by doc_id (binaryFile's unit IS the
-    # file); tmp-then-rename so a rerun over a half-written dir never
-    # exposes a torn file to the scan below
-    def _write_files(rows):
-        import os as _os
+        # one file per payload, named by doc_id (binaryFile's unit IS
+        # the file); tmp-then-rename so a rerun over a half-written dir
+        # never exposes a torn file to the scan below
+        def _write_files(rows):
+            import os as _os
 
-        # executors create the dir themselves: the driver's makedirs
-        # above only exists on the driver's filesystem. NOTE this
-        # staging requires `path` to resolve to SHARED storage on a
-        # real cluster (object store / NFS) — with executor-local
-        # disks the scan below would silently see zero files; in this
-        # sandbox (local mode) driver and executors share the repo FS.
-        _os.makedirs(path, exist_ok=True)
-        for row in rows:
-            tmp = _os.path.join(path, f".{row.doc_id}.tmp")
-            with open(tmp, "wb") as f:
-                f.write(bytes(row.payload))
-            _os.replace(tmp, _os.path.join(path, f"{row.doc_id}.bin"))
+            # executors create the dir themselves: the driver's
+            # makedirs above only exists on the driver's filesystem.
+            # NOTE this staging requires `path` to resolve to SHARED
+            # storage on a real cluster (object store / NFS) — with
+            # executor-local disks the scan below would silently see
+            # zero files; in this sandbox (local mode) driver and
+            # executors share the repo FS.
+            _os.makedirs(path, exist_ok=True)
+            for row in rows:
+                tmp = _os.path.join(path, f".{row.doc_id}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(bytes(row.payload))
+                _os.replace(tmp, _os.path.join(path, f"{row.doc_id}.bin"))
 
-    sample.select("doc_id", "payload").repartition(8).foreachPartition(
-        _write_files
-    )
+        sample.select("doc_id", "payload").repartition(8).foreachPartition(
+            _write_files
+        )
+        # commit marker LAST (ensure_staged contract): created only
+        # after every partition's writes have returned, and the rmtree
+        # above removes it first on a restage, so a crash mid-stage
+        # can never leave a marker over a torn directory.
+        with open(os.path.join(path, "_SUCCESS"), "w"):
+            pass
+
+    path = ensure_staged(scratch_dir(sf_dir, "binary_payloads"), _stage)
     # pathGlobFilter (not a path glob): skips any .tmp leftover from a
     # failed task retry AND, unlike `load(path + "/*.bin")`, returns an
     # empty frame instead of PATH_NOT_FOUND when the sample is empty

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from log2ck_spark.functions.numeric import DECIMAL, davg, dsum, oracle_davg, oracle_dsum
-from log2ck_spark.io import scratch_dir, tbl
+from log2ck_spark.io import ensure_staged, scratch_dir, tbl
 from log2ck_spark.queries import register
 
 # --------------------------------------------------------------------------
@@ -48,14 +48,16 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate; Catalyst's PruneFileSourcePartitions reads only the 7
     matching date directories. At 100 TB this is the difference between
     scanning 10 days and scanning 10 years."""
-    out = scratch_dir(sf_dir, "events_by_date")
-    (
-        tbl(spark, sf_dir, "events")
-        .withColumn("event_date", F.to_date("ts"))
-        .write.mode("overwrite")
-        .partitionBy("event_date")
-        .parquet(out)
-    )
+    def _stage(p: str) -> None:
+        (
+            tbl(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(p)
+        )
+
+    out = ensure_staged(scratch_dir(sf_dir, "events_by_date"), _stage)
     df = spark.read.parquet(out).filter(
         F.col("event_date").between("2024-01-05", "2024-01-11")
     )

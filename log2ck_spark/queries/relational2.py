@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log2ck_spark.functions.numeric import dsum, oracle_dsum
-from log2ck_spark.io import scratch_dir, tbl
+from log2ck_spark.io import ensure_staged, scratch_dir, tbl
 from log2ck_spark.queries import register
 
 # --------------------------------------------------------------------------
@@ -280,13 +280,15 @@ def ingest_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-log ingestion: write events as JSON lines, read back
     with an explicit schema (no inference job — mandatory at scale),
     aggregate. Exercises the JSON source the streaming path shares."""
-    path = scratch_dir(sf_dir, "json_corpus")
-    ev = tbl(spark, sf_dir, "events")
-    ev.select(
-        F.to_json(F.struct("event_id", "user_id", "event_type", "value")).alias(
-            "value"
-        )
-    ).write.mode("overwrite").text(path)
+    def _stage(p: str) -> None:
+        ev = tbl(spark, sf_dir, "events")
+        ev.select(
+            F.to_json(
+                F.struct("event_id", "user_id", "event_type", "value")
+            ).alias("value")
+        ).write.mode("overwrite").text(p)
+
+    path = ensure_staged(scratch_dir(sf_dir, "json_corpus"), _stage)
     schema = "event_id bigint, user_id bigint, event_type string, value double"
     back = spark.read.schema(schema).json(path)
     return back.agg(
