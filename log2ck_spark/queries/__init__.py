@@ -100,10 +100,13 @@ ROTATION_FIRST: tuple[str, ...] = (
     # - r5 oracle upgrades from rows-only to full value checks:
     #   dedup_embedding_lsh (inlined seed-7 hyperplanes), similarity_ivf
     #   (deterministic md5-seeded coarse quantizer), dedup_semantic
-    #   (deterministic seed-vector Voronoi cells, nprobe=4).
+    #   (deterministic seed-vector Voronoi cells, nprobe=4),
+    #   embedding_kmeans (fixed-point Lloyd training replayed by
+    #   unrolled integer-exact CTEs).
     "dedup_embedding_lsh",
     "similarity_ivf",
     "dedup_semantic",
+    "embedding_kmeans",
 )
 
 

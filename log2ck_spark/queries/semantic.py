@@ -6,10 +6,12 @@ web-scale through semantic deduplication", 2023 — public paper).
 Both follow the IVF recipe already in similarity.py: train a small
 quantizer on a deterministic driver-side hash-sample, broadcast the
 centroids, and keep every corpus-sized step distributed (one
-assignment scan; pair expansion only WITHIN clusters). Iterative +
-seeded-numpy training isn't ANSI-SQL-expressible, so both register
-rows-only; tests/test_semantic.py asserts determinism and precision
-against the brute-force ground truth instead.
+assignment scan; pair expansion only WITHIN clusters). Both carry
+FULL DuckDB value oracles: dedup_semantic via deterministic
+seed-vector Voronoi cells, embedding_kmeans via fixed-point Lloyd
+training whose integer arithmetic the oracle replays bit-for-bit
+(unrolled iteration CTEs); tests/test_semantic.py adds determinism,
+convergence, and precision/recall against brute-force ground truth.
 """
 
 from __future__ import annotations
@@ -18,7 +20,6 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from log2ck_spark.functions.numeric import dsum
 from log2ck_spark.functions.vectors import as_double
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
@@ -27,63 +28,108 @@ _K_MAX = 64  # cluster cap for the fixture (~sqrt(n) in production)
 _CELL_TARGET = 32  # aim for ~32 members per cell: k = n / 32, capped
 _SEMDEDUP_TAU = 0.4  # same near-dup threshold as dedup_embedding
 
+# Fixed-point Lloyd's parameters. Q is a POWER OF TWO so x * Q is an
+# exact IEEE-754 operation (pure exponent shift, identical in Spark,
+# numpy and DuckDB); FLOOR of an identical double is identical, so the
+# quantization z = floor(v * Q) is bit-reproducible across engines.
+# From there every training step is int64 arithmetic: distances are
+# integer sums (order-independent, no float-accumulation drift) and
+# centroid updates are integer division — which is what lets the
+# oracle replay the ENTIRE training loop value-for-value. Q = 2^20
+# keeps ~6 decimal digits of the unit-scale embedding components; for
+# ||v||~1, 64-dim fixtures d2 <= 64*(2*0.6*Q)^2 ~ 1e14 and corpus
+# inertia sums stay far inside int64 (switch the final sum to
+# decimal(38,0) past ~10^4x this SF).
+#
+# _OFFSET makes every quantized component non-negative: numpy's `//`
+# FLOORS but DuckDB's `//` TRUNCATES toward zero (measured: -7//2 is
+# -4 vs -3), so centroid means of negative sums would drift one ulp
+# apart. On non-negative ints the two coincide; the shift is exact
+# (integer), cancels in every difference, and divides out exactly in
+# the mean (floor((S + n*O)/n) = O + floor(S/n)), so distances,
+# assignments, and inertia are identical to the unshifted floor-
+# division semantics. 2^24 covers |x| <= 16 at Q=2^20.
+_Q = 1 << 20
+_OFFSET = 1 << 24
+_LLOYD_ITERS = 4  # unrolled 1:1 in the oracle SQL — keep in sync
+_SAMPLE_CAP = 512  # driver-side training sample (documented IVF bound)
+
+
+def _fixedpoint_lloyd(sample_z: np.ndarray, k: int) -> np.ndarray:
+    """Lloyd's k-means on quantized int64 vectors, initialized with the
+    first k sample rows (the sample arrives in (md5(vec_id), vec_id)
+    order, so init == the seed-quantizer selection shared with
+    similarity_ivf / dedup_semantic; training refines it). All ops are
+    int64: argmin ties resolve to the smallest cluster_id (numpy takes
+    the first minimum — same as the oracle's ORDER BY d2, cluster_id),
+    empty clusters keep their previous centroid, updates use floor
+    division. Deterministic and exactly SQL-replayable by construction.
+    """
+    cent = sample_z[:k].copy()
+    for _ in range(_LLOYD_ITERS):
+        d2 = ((sample_z[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = sample_z[assign == j]
+            if len(members):
+                cent[j] = members.sum(axis=0) // len(members)
+    return cent
+
+
+def _quantize_expr(col: str):
+    """array<double> -> array<bigint>: floor(x * Q) + OFFSET, Q a power
+    of two — the exact-by-construction quantization shared with the
+    oracle (OFFSET keeps components non-negative; see above)."""
+    return F.transform(
+        F.col(col),
+        lambda x: F.floor(x * F.lit(float(_Q))) + F.lit(_OFFSET),
+    )
+
 
 def _scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, cluster_id, d2) for EVERY (vector, centroid) pair —
-    the shared clustering front half: deterministic hash-sampled
-    quantizer training on the driver (bounded 512-row TakeOrdered
-    collect, the documented IVF exception), then ONE distributed
-    scoring scan with the k centroids broadcast as a tiny table.
+    """(vec_id, z, cluster_id, d2) for EVERY (vector, centroid) pair —
+    the clustering front half: quantize the corpus (see _Q), train
+    fixed-point Lloyd's on the driver over the _SAMPLE_CAP rows with
+    the smallest md5(vec_id) (bounded TakeOrdered collect, the
+    documented IVF exception), then ONE distributed integer scoring
+    scan with the k centroids broadcast as a tiny table.
 
-    k is sized to the corpus (target ~{cell} members/cell, capped):
-    oversized k on a small corpus makes single-digit cells that split
-    near-dup pairs across boundaries — the wide-angle (tau=0.4, 66°)
-    recall killer; production SemDeDup scales k with n for the same
-    per-cell occupancy reason."""
-    from log2ck_spark.queries.similarity import _kmeans_centroids
-
+    k is sized to the corpus (target ~{cell} members/cell, capped) via
+    one exact count — a column-pruned, row-group-metadata-only scan —
+    because the oracle must derive the identical k; oversized k on a
+    small corpus makes single-digit cells, the recall killer at
+    tau=0.4 (66°), and production SemDeDup scales k with n for the
+    same per-cell occupancy reason."""
     e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
         "vec_id", as_double("embedding").alias("v")
     )
+    z = e.select("vec_id", _quantize_expr("v").alias("z"))
+    n = tbl(spark, sf_dir, "embeddings").count()
+    k = min(_K_MAX, max(1, n // _CELL_TARGET))
     sample_rows = (
-        e.select("v", F.xxhash64("vec_id").alias("h"))
-        .orderBy("h")
-        .limit(512)
+        z.select("z", F.md5(F.col("vec_id").cast("string")).alias("hh"), "vec_id")
+        .orderBy("hh", "vec_id")
+        .limit(_SAMPLE_CAP)
         .collect()
     )
-    sample = np.array([r.v for r in sample_rows])
-    # corpus size WITHOUT a second full scan: the sample is already the
-    # 512 smallest xxhash64 values, so the k-th smallest hash IS a KMV
-    # cardinality estimator (Bar-Yossef et al. 2002, "Counting distinct
-    # elements in a data stream"): n ~= (k-1) * 2^64 / u_(k) for
-    # uniform 64-bit hashes. Deterministic given the data, and exact
-    # when the corpus is smaller than the sample cap. k only sizes the
-    # cell count (target occupancy ~_CELL_TARGET), so the ~6% KMV
-    # error at 512 mins is immaterial — and we save one corpus scan
-    # per clustering query.
-    if len(sample_rows) < 512:
-        n_vecs = len(sample_rows)
-    else:
-        u_k = sample_rows[-1].h + 2**63  # shift signed hash to [0, 2^64)
-        n_vecs = max(512, int(511 * 2**64 / max(u_k, 1)))
-    k = min(_K_MAX, max(1, n_vecs // _CELL_TARGET), len(sample))
-    centroids = _kmeans_centroids(sample, k)
-    cent = F.broadcast(
+    sample_z = np.array([r.z for r in sample_rows], dtype=np.int64)
+    cent = _fixedpoint_lloyd(sample_z, min(k, len(sample_z)))
+    cent_df = F.broadcast(
         spark.createDataFrame(
-            [(j, [float(x) for x in centroids[j]]) for j in range(k)],
-            "cluster_id int, c array<double>",
+            [(j, [int(x) for x in cent[j]]) for j in range(len(cent))],
+            "cluster_id int, c array<bigint>",
         )
     )
     d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
+        F.zip_with(F.col("z"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return e.crossJoin(cent).select("vec_id", "v", "cluster_id", d2.alias("d2"))
+    return z.crossJoin(cent_df).select("vec_id", "z", "cluster_id", d2.alias("d2"))
 
 
 def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """vec_id, v, cluster_id (nearest centroid), d2 — hard 1-NN
+    """vec_id, cluster_id (nearest centroid), d2 — hard 1-NN
     assignment over `_scored_cells` (one corpus x k agg). Ties on d2
     (possible when duplicate sample vectors seed twin centroids) break
     to the smallest cluster_id via the struct ordering — min_by on d2
@@ -97,27 +143,117 @@ def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cluster_id", F.struct("d2", "cluster_id")
             ).alias("cluster_id"),
             F.min("d2").alias("d2"),
-            F.first("v").alias("v"),
         )
     )
 
 
-@register("embedding_kmeans")
+def _lloyd_iteration_sql(i: int) -> str:
+    """One unrolled Lloyd step as CTEs: a{i} assigns the sample to
+    c{i-1} (argmin integer d2, ties to smallest cluster_id), m{i}
+    takes per-dimension floor-division means, c{i} carries forward
+    centroids of empty clusters. Mirrors _fixedpoint_lloyd exactly."""
+    return f"""
+    a{i} AS (
+      SELECT rn, z, cluster_id FROM (
+        SELECT rn, z, cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY rn
+                                  ORDER BY d2, cluster_id) AS pr
+        FROM (
+          SELECT s.rn, s.z, c.cluster_id,
+                 list_sum(list_transform(list_zip(s.z, c.c),
+                          p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
+          FROM samp s CROSS JOIN c{i - 1} c)
+      ) WHERE pr = 1
+    ),
+    m{i} AS (
+      SELECT cluster_id, LIST(s ORDER BY dim) AS c FROM (
+        SELECT cluster_id, dim, CAST(SUM(zd) // COUNT(*) AS BIGINT) AS s
+        FROM (SELECT cluster_id, UNNEST(z) AS zd,
+                     generate_subscripts(z, 1) AS dim FROM a{i})
+        GROUP BY cluster_id, dim
+      ) GROUP BY cluster_id
+    ),
+    c{i} AS (
+      SELECT p.cluster_id, COALESCE(m.c, p.c) AS c
+      FROM c{i - 1} p LEFT JOIN m{i} m USING (cluster_id)
+    )"""
+
+
+def _kmeans_oracle() -> str:
+    """Full SQL replay of embedding_kmeans INCLUDING the training loop:
+    quantization, md5-ordered sample, seed init, and _LLOYD_ITERS
+    unrolled fixed-point Lloyd iterations are all integer-exact (see
+    _Q), so DuckDB reproduces the trained centroids bit-for-bit and
+    the final corpus assignment + inertia value-for-value — upgrading
+    the one remaining trained-model query from the driver's rows-only
+    check to a full value check."""
+    from log2ck_spark.queries.similarity import SEED_ORDER_SQL
+
+    iters = ",".join(_lloyd_iteration_sql(i) for i in range(1, _LLOYD_ITERS + 1))
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * {float(_Q)!r}) AS BIGINT)
+                                 + {_OFFSET}) AS z
+      FROM embeddings
+    ),
+    params AS (
+      SELECT LEAST({_K_MAX}, GREATEST(1, COUNT(*) // {_CELL_TARGET})) AS k
+      FROM e
+    ),
+    samp AS (
+      SELECT z, rn FROM (
+        SELECT z, ROW_NUMBER() OVER (ORDER BY {SEED_ORDER_SQL}) AS rn
+        FROM e
+      ) WHERE rn <= {_SAMPLE_CAP}
+    ),
+    c0 AS (
+      SELECT CAST(rn - 1 AS INTEGER) AS cluster_id, z AS c
+      FROM samp, params WHERE rn <= params.k
+    ),
+    {iters},
+    final AS (
+      SELECT vec_id, cluster_id, d2 FROM (
+        SELECT vec_id, cluster_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d2, cluster_id) AS pr
+        FROM (
+          SELECT e.vec_id, c.cluster_id,
+                 list_sum(list_transform(list_zip(e.z, c.c),
+                          p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
+          FROM e CROSS JOIN c{_LLOYD_ITERS} c)
+      ) WHERE pr = 1
+    )
+    SELECT cluster_id, COUNT(*) AS n_members,
+           CAST(SUM(d2) AS BIGINT) AS inertia
+    FROM final GROUP BY cluster_id
+    """
+
+
+@register("embedding_kmeans", oracle=_kmeans_oracle())
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus k-means as a query: cluster id -> member count + exact
-    (decimal-summed, order-independent) inertia, the topic/domain
-    bucketing step of mixture design and the coarse structure behind
-    IVF and SemDeDup. Training cost is O(sample); the corpus pays one
-    broadcast-assignment scan and one tiny partial agg — no step
-    scales worse than linearly. Rows-only (iterative seeded training);
-    tests assert determinism and that every vector lands in exactly
-    one cluster."""
+    integer inertia (in quantized units, i.e. ~Q^2 x the float
+    inertia; see _Q), the topic/domain bucketing step of mixture
+    design and the coarse structure behind IVF and SemDeDup. Training
+    cost is O(sample); the corpus pays one broadcast-assignment scan
+    and one tiny partial agg — no step scales worse than linearly.
+
+    Training is fixed-point Lloyd's (_fixedpoint_lloyd): quantizing to
+    int64 first makes every distance, argmin, and centroid update an
+    exact integer op, which (a) removes float-accumulation
+    nondeterminism from partial-aggregation order — the result is
+    bit-identical on any cluster layout — and (b) lets the DuckDB
+    oracle replay the whole training loop (unrolled CTEs, see
+    _kmeans_oracle) for a full value check where iterative float
+    k-means could only ever be rows-only."""
     return (
         _assigned(spark, sf_dir)
         .groupBy("cluster_id")
         .agg(
             F.count("*").alias("n_members"),
-            F.round(dsum("d2"), 6).alias("inertia"),
+            F.sum("d2").alias("inertia"),
         )
     )
 

@@ -80,25 +80,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def _kmeans_centroids(
-    sample: np.ndarray, k: int, iters: int = 10, seed: int = 42
-) -> np.ndarray:
-    """Tiny deterministic Lloyd's k-means for the IVF coarse quantizer.
-    Runs on a driver-side SAMPLE (the standard IVF training recipe —
-    at 10^10 vectors you still train the quantizer on ~10^5 sampled
-    rows); assignment of the full corpus stays distributed."""
-    rng = np.random.default_rng(seed)
-    centroids = sample[rng.choice(len(sample), size=k, replace=False)]
-    for _ in range(iters):
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for j in range(k):
-            members = sample[assign == j]
-            if len(members):
-                centroids[j] = members.mean(axis=0)
-    return centroids
-
-
 _LSH_TABLES, _LSH_BITS = 4, 8
 _TESTDATA_DIM = 64  # every /root/testdata embeddings table is 64-dim
 

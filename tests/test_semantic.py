@@ -1,7 +1,8 @@
-"""Invariant tests for the rows-only semantic operators
-(embedding_kmeans / dedup_semantic): determinism, partition of the
-corpus, and precision/recall of SemDeDup against the brute-force
-near-dup ground truth."""
+"""Invariant tests for the semantic operators (embedding_kmeans /
+dedup_semantic): determinism, partition of the corpus, Lloyd
+convergence of the fixed-point trainer, mutation tests proving both
+DuckDB value oracles have teeth, and precision/recall of SemDeDup
+against the brute-force near-dup ground truth."""
 
 from __future__ import annotations
 
@@ -68,54 +69,109 @@ def test_semdedup_emits_every_vector_once(spark, sf_dir):
 
 
 def test_kmeans_training_invariants_on_fixture_sample(spark, sf_dir):
-    """Lloyd's-specific evidence for the one remaining rows-only
-    operator: (a) each iteration is non-increasing in sample inertia
-    (the textbook convergence guarantee), and (b) the corpus
-    assignment inertia under trained centroids beats the untrained
-    seed-init assignment — i.e. the training half actually earns its
-    keep over the replayable seed-quantizer used by dedup_semantic."""
+    """Lloyd's-specific evidence for the fixed-point trainer: (a) each
+    iteration is non-increasing in sample inertia (the textbook
+    convergence guarantee survives quantization: the update step's
+    floor-division mean is within rounding of the true minimizer), and
+    (b) trained centroids strictly beat the seed init on the sample —
+    i.e. the training half actually earns its keep over the bare
+    seed-quantizer used by dedup_semantic."""
     import numpy as np
 
     from log2ck_spark.functions.vectors import as_double
-    from log2ck_spark.queries.similarity import _kmeans_centroids
+    from log2ck_spark.queries.semantic import (
+        _LLOYD_ITERS,
+        _fixedpoint_lloyd,
+        _quantize_expr,
+        _SAMPLE_CAP,
+    )
 
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
-    sample = np.array(
+    sample_z = np.array(
         [
-            r.v
-            for r in e.select("v", F.xxhash64("vec_id").alias("h"))
-            .orderBy("h")
-            .limit(512)
+            r.z
+            for r in e.select(
+                _quantize_expr("v").alias("z"),
+                F.md5(F.col("vec_id").cast("string")).alias("hh"),
+                "vec_id",
+            )
+            .orderBy("hh", "vec_id")
+            .limit(_SAMPLE_CAP)
             .collect()
-        ]
+        ],
+        dtype=np.int64,
     )
-    k = min(16, len(sample))
+    k = min(16, len(sample_z))
 
-    def inertia(centroids):
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        return d2.min(axis=1).sum()
+    def inertia(cents):
+        d2 = ((sample_z[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return int(d2.min(axis=1).sum())
 
-    rng = np.random.default_rng(42)
-    cents = sample[rng.choice(len(sample), size=k, replace=False)].copy()
-    prev = inertia(cents)
-    init_inertia = prev
-    for _ in range(10):
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    # step-by-step replay of _fixedpoint_lloyd with an inertia probe:
+    # floor-division means round each component by < 1 quantized unit,
+    # so per-iteration inertia can rise by at most n * dims (one unit
+    # squared per component) — negligible vs the ~1e12 inertia scale.
+    cents = sample_z[:k].copy()
+    init_inertia = inertia(cents)
+    prev = init_inertia
+    slack = len(sample_z) * sample_z.shape[1]
+    for _ in range(_LLOYD_ITERS):
+        d2 = ((sample_z[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
         for j in range(k):
-            members = sample[assign == j]
+            members = sample_z[assign == j]
             if len(members):
-                cents[j] = members.mean(axis=0)
+                cents[j] = members.sum(axis=0) // len(members)
         cur = inertia(cents)
-        assert cur <= prev + 1e-9, "Lloyd iteration increased inertia"
+        assert cur <= prev + slack, "Lloyd iteration increased inertia"
         prev = cur
-    # the shared helper must land exactly where this replay lands
-    trained = _kmeans_centroids(sample, k)
-    assert np.allclose(trained, cents)
+    # the shared helper must land exactly where this replay lands —
+    # bit-identical, not allclose: the whole point of fixed-point
+    trained = _fixedpoint_lloyd(sample_z, k)
+    assert (trained == cents).all()
     # and training must strictly beat the raw seed init on the sample
     assert inertia(trained) < init_inertia
+
+
+def test_kmeans_oracle_has_teeth(spark, sf_dir):
+    """Mutation test of the r5 value check: an UNDER-TRAINED Spark run
+    (zero Lloyd iterations = bare seed init) must produce a different
+    result than the fully-trained oracle replay — proving the DuckDB
+    replay checks the training loop itself, not just the assignment
+    scan."""
+    import duckdb
+
+    import log2ck_spark.queries.semantic as sem
+    from log2ck_spark.queries import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    oracle = {
+        tuple(r)
+        for r in con.execute(ORACLES["embedding_kmeans"]).fetchall()
+    }
+
+    def spark_rows():
+        return {
+            tuple(r)
+            for r in QUERIES["embedding_kmeans"](spark, sf_dir).collect()
+        }
+
+    assert spark_rows() == oracle  # healthy: exact match
+    orig = sem._LLOYD_ITERS
+    try:
+        sem._LLOYD_ITERS = 0  # mutate: skip training entirely
+        assert spark_rows() != oracle, (
+            "oracle failed to distinguish untrained seed init from "
+            f"{orig} Lloyd iterations — the value check has no teeth"
+        )
+    finally:
+        sem._LLOYD_ITERS = orig
 
 
 def test_semdedup_oracle_has_teeth(spark, sf_dir):
