@@ -87,6 +87,13 @@ HEADLINE = [
     "runs_encode",
     "series_similarity_search",
     "pmi_collocations",
+    # r5: the rotation-pinned oracle upgrades get per-round sf0.1
+    # throughput tracking alongside their fresh correctness rows
+    "embedding_kmeans",
+    "similarity_ivf",
+    "dedup_embedding_lsh",
+    "multimodal_decode_fake",
+    "ingest_binaryfile",
 ]
 
 
