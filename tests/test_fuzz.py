@@ -138,3 +138,66 @@ def test_logfmt_round_trip_arbitrary_keys(spark):
     m = df.select(F.expr("str_to_map(value, ' ', '=')").alias("kv"))
     row = m.collect()[0]
     assert row.kv == {"a": "1", "b": "two", "c": "3.5", "extra_key": "kept"}
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point Lloyd cross-engine contract (embedding_kmeans oracle)
+# ---------------------------------------------------------------------------
+
+# Non-negative int64 components, as _quantize_expr guarantees via its
+# offset — the property that makes numpy's floor `//` and DuckDB's
+# truncating `//` coincide. The strategy stays deliberately small so
+# hypothesis explores shapes (duplicate vectors -> distance ties,
+# singleton clusters, k == n) rather than magnitudes.
+_component = st.integers(min_value=0, max_value=1 << 25)
+_vectors = st.integers(min_value=2, max_value=4).flatmap(
+    lambda dim: st.lists(
+        st.lists(_component, min_size=dim, max_size=dim),
+        min_size=1,
+        max_size=24,
+    )
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_vectors, st.integers(min_value=1, max_value=5))
+def test_fixedpoint_lloyd_matches_duckdb_replay(vecs, k):
+    """The trainer and the oracle's unrolled CTE replay must agree
+    BIT-FOR-BIT on arbitrary non-negative integer inputs — ties,
+    empty clusters, k == n, duplicates included. This is the exact
+    cross-engine division/argmin contract the embedding_kmeans value
+    check rides on (and the test that would have caught the
+    floor-vs-truncate `//` divergence up front)."""
+    import duckdb
+    import numpy as np
+
+    from log2ck_spark.queries.semantic import (
+        _LLOYD_ITERS,
+        _fixedpoint_lloyd,
+        _lloyd_iteration_sql,
+    )
+
+    k = min(k, len(vecs))
+    sample = np.array(vecs, dtype=np.int64)
+    trained = _fixedpoint_lloyd(sample, k)
+
+    values = ",".join(
+        f"({rn + 1}, [{','.join(str(x) for x in v)}]::BIGINT[])"
+        for rn, v in enumerate(vecs)
+    )
+    iters = ",".join(
+        _lloyd_iteration_sql(i) for i in range(1, _LLOYD_ITERS + 1)
+    )
+    rows = duckdb.connect().execute(f"""
+        WITH samp(rn, z) AS (VALUES {values}),
+        c0 AS (
+          SELECT CAST(rn - 1 AS INTEGER) AS cluster_id, z AS c
+          FROM samp WHERE rn <= {k}
+        ),
+        {iters}
+        SELECT cluster_id, c FROM c{_LLOYD_ITERS} ORDER BY cluster_id
+    """).fetchall()
+    replayed = np.array([r[1] for r in rows], dtype=np.int64)
+    assert (trained == replayed).all(), (
+        f"cross-engine Lloyd divergence:\nnumpy={trained}\nduck={replayed}"
+    )
