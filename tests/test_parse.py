@@ -50,6 +50,17 @@ def test_invalid_lines_go_to_dead_letter(spark):
     assert "[not-a-date] app.INFO: bad ts {} []" in dead_raws
 
 
+def test_sep_byte_lines_dead_letter_not_missplit(spark):
+    """The single-pass extract's documented contract edge: a line
+    containing the \x01 field separator dead-letters (recoverable)
+    rather than silently mis-splitting its own fields — even when it
+    otherwise matches the grammar."""
+    hostile = '[2024-01-01 10:00:00] app.INFO: msg with \x01 byte {} []'
+    valid, dead = split_valid(parse_lines(_lines_df(spark, [hostile])))
+    assert valid.count() == 0
+    assert dead.collect()[0]["raw_line"] == hostile
+
+
 def test_enrich_overwrites_callback_columns(spark):
     """Reference order: enrichment AFTER callback, overwriting it
     (Worker.php:146-148)."""
