@@ -64,24 +64,29 @@ def parse_lines(
     edge: \\x01 (ASCII SOH) does not occur in any text log grammar
     this engine parses, and a dead-lettered pathological line is
     recoverable while a silently mis-split one is not.
+
+    Group columns are meaningful ONLY where ``_valid`` — consume
+    through :func:`split_valid` (every in-repo caller does). On an
+    unmatched line `regexp_replace` passes the raw line through, so
+    its first "field" is the whole line and the rest coalesce to "".
+    The columns are deliberately NOT wrapped in `when(_valid, ...)`
+    guards: codegen's subexpression elimination cannot hoist from a
+    conditional branch, so per-group guards re-run the replace+split
+    once per column — measured 1.26x slower end-to-end than this
+    unguarded shape, forfeiting most of the single-pass win. The win
+    itself scales with pattern cost: ~2x on the backtracking-heavy
+    7-group access-log grammar, roughly break-even on the trivial
+    monolog one (array materialization offsets the saved passes).
     """
     line = F.col(line_col)
     repl = _SEP.join(f"${i}" for i in range(1, len(groups) + 1))
-    staged = df.select(
-        line.alias("_raw"),
-        F.split(F.regexp_replace(line, pattern, repl), _SEP).alias("_parts"),
-        (line.rlike(pattern) & ~line.contains(_SEP)).alias("_valid"),
-    )
-    cols: list[Column] = [F.col("_raw")]
+    parts = F.split(F.regexp_replace(line, pattern, repl), _SEP)
+    cols: list[Column] = [line.alias("_raw")]
     for i, g in enumerate(groups):
-        # "" for invalid lines — the regexp_extract no-match contract
-        # downstream callers were written against
-        cols.append(
-            F.when(F.col("_valid"), F.get("_parts", i))
-            .otherwise(F.lit(""))
-            .alias(g)
-        )
-    out = staged.select(*cols, F.col("_valid"))
+        cols.append(F.coalesce(F.get(parts, i), F.lit("")).alias(g))
+    out = df.select(
+        *cols, (line.rlike(pattern) & ~line.contains(_SEP)).alias("_valid")
+    )
     if ts_group and ts_group in groups:
         # try_to_timestamp: unparseable datetimes yield NULL (→ dead
         # letter) instead of failing the job under ANSI mode (Spark 4
