@@ -261,8 +261,20 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF (similarity_ivf's shape) or an ANN graph instead of LSH.
     Value-checked: the seeded planes inline as SQL literals and the
     oracle replays the identical pipeline (see _dedup_lsh_oracle);
-    brute-force ground truth still drives the recall test."""
-    from log2ck_spark.queries.dedup import _candidate_pairs
+    brute-force ground truth still drives the recall test.
+
+    Execution (r5): the verify half runs as ONE vectorized cosine
+    matrix per bucket (Arrow-batched `applyInPandas`, the
+    dedup_semantic kernel) instead of materialize-candidates →
+    distinct → two payload joins → per-pair cosine. The wide-angle
+    fixture makes ~2M raw candidate rows from 2k vectors at sf0.1;
+    the kernel never materializes them — each bucket's pairs exist
+    only inside a numpy matmul, and only true dups (plus one
+    post-verify `distinct` over the far smaller survivor set) hit the
+    shuffle. Measured 5.7s → 1.0s at sf0.1. Same distributed shape:
+    postings shuffle once to their (table, sig) bucket; buckets stay
+    bounded because bits grow with log(n)."""
+    import pandas as pd
 
     threshold = _DEDUP_LSH_TAU
     e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
@@ -278,22 +290,36 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_udf = plane_signatures(
         _hyperplanes(dim, n_tables * bits, seed=_DEDUP_LSH_SEED), bits
     )
-    buckets = e.select(
-        F.col("vec_id").alias("doc_id"),
-        F.posexplode(sig_udf("v")).alias("table", "sig"),
+    postings = e.select(
+        "vec_id", "v", F.posexplode(sig_udf("v")).alias("table", "sig")
     )
-    cand = _candidate_pairs(buckets, ["table", "sig"]).select(
-        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
-    )
-    pa = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    pb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    return (
-        cand.join(pa, "vec_a")
-        .join(pb, "vec_b")
-        .select(
-            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+
+    def _bucket_dup_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one bucket: exact pairwise cosine via a single matmul,
+        # emitting only pairs at/above tau. Rounds to 6 decimals to
+        # match functions.vectors.cosine and the oracle's ROUND.
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.vstack(pdf["v"].to_numpy())
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = np.round((mat / norms) @ (mat / norms).T, 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+        a, b = ids[iu[hit]], ids[ju[hit]]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(a, b),
+                "vec_b": np.maximum(a, b),
+                "cos": sims[iu, ju][hit],
+            }
         )
-        .filter(F.col("cos") >= threshold)
+
+    return (
+        postings.groupBy("table", "sig")
+        .applyInPandas(_bucket_dup_pairs, "vec_a bigint, vec_b bigint, cos double")
+        # a pair sharing several buckets is emitted once per bucket
+        # with an identical rounded cosine — dedup the survivors only
+        .distinct()
     )
 
 
