@@ -62,10 +62,46 @@ def tbl(
     return df
 
 
+# Bump when a staging GENERATOR changes semantics without its inputs
+# changing (belt to the automatic source fingerprint's suspenders).
+STAGING_VERSION = "v2"
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the parquet tables under `sf_dir`
+    (relative name + mtime_ns + size of every file). Staged corpora
+    are pure functions of these tables, so folding this into the
+    scratch key means an in-place testdata regeneration (it happened
+    in round 2) silently invalidates every staged corpus instead of
+    silently serving stale data while the DuckDB oracles read the
+    fresh source — the stale-but-self-consistent failure mode."""
+    parts: list[str] = []
+    for root, dirs, files in os.walk(sf_dir):
+        dirs.sort()
+        for name in sorted(files):
+            p = os.path.join(root, name)
+            try:
+                st = os.stat(p)
+            except OSError:
+                parts.append(f"{os.path.relpath(p, sf_dir)}:gone")
+                continue
+            parts.append(
+                f"{os.path.relpath(p, sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
+            )
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def scratch_dir(*keys: str) -> str:
     """A writable scratch path inside the repo (we must not write
-    outside /root/repo). Keyed so different sf_dirs don't collide."""
-    digest = hashlib.md5("|".join(keys).encode()).hexdigest()[:12]
+    outside /root/repo). Keyed so different sf_dirs don't collide;
+    when the first key is a source directory (every call site passes
+    sf_dir first), its content fingerprint and STAGING_VERSION join
+    the key so regenerated testdata or a changed generator re-stages
+    instead of reading stale bytes (see _source_fingerprint)."""
+    all_keys = list(keys) + [STAGING_VERSION]
+    if keys and os.path.isdir(keys[0]):
+        all_keys.append(_source_fingerprint(keys[0]))
+    digest = hashlib.md5("|".join(all_keys).encode()).hexdigest()[:12]
     path = os.path.join(SCRATCH_ROOT, f"{os.path.basename(keys[0].rstrip('/'))}-{digest}")
     os.makedirs(SCRATCH_ROOT, exist_ok=True)
     return path
@@ -80,9 +116,11 @@ def ensure_staged(path: str, write) -> str:
     identical bytes on every invocation just buries the measured read
     path under fixture overhead. Crash-safe: ``mode("overwrite")``
     deletes the directory (marker included) before rewriting, so a
-    half-finished restage can never present a stale marker. Remove
-    ``.scratch/`` to force a rebuild (keys embed a content version —
-    bump the key when the generator changes)."""
+    half-finished restage can never present a stale marker. Staleness
+    vs the SOURCE is handled by `scratch_dir` itself (source content
+    fingerprint + STAGING_VERSION in the key), so a testdata
+    regeneration or generator change lands in a fresh directory;
+    remove ``.scratch/`` only to reclaim space."""
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write(path)
     return path

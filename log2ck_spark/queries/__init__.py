@@ -84,29 +84,36 @@ def load_all() -> None:
 # ROTATION.md. Python dicts preserve insertion order, so a plain
 # rebuild is enough.
 ROTATION_FIRST: tuple[str, ...] = (
-    # ONLY queries whose oracle/output contract changed this round are
-    # pinned — the automatic stalest-first order handles everything
-    # else (never-checked first, then failed-last-check, then stalest
-    # green). r5 pins (r4's four pins all went green r4 and are
-    # released):
-    # - multimodal_decode_fake: its oracle was upgraded from rows-only
-    #   in r3, but its only driver row is the r2 `no_oracle`, which the
-    #   rotation deliberately doesn't rank as errored — the one name
-    #   the no_oracle-exemption structurally starves.
-    "multimodal_decode_fake",
-    # - ingest_binaryfile: staging writes moved driver-side collect ->
-    #   executor-side foreachPartition in r5; re-verify externally.
-    "ingest_binaryfile",
-    # - r5 oracle upgrades from rows-only to full value checks:
-    #   dedup_embedding_lsh (inlined seed-7 hyperplanes), similarity_ivf
-    #   (deterministic md5-seeded coarse quantizer), dedup_semantic
-    #   (deterministic seed-vector Voronoi cells, nprobe=4),
-    #   embedding_kmeans (fixed-point Lloyd training replayed by
-    #   unrolled integer-exact CTEs).
+    # ONLY queries whose code/oracle changed after their latest driver
+    # row are pinned — the automatic stalest-first order handles
+    # everything else (never-checked first, then failed-last-check,
+    # then stalest green). r6 pins (r5's six pins all went green r5
+    # and are released):
+    # - r5 code changes that landed AFTER these names' latest driver
+    #   rows (the r5 verdict's explicit list): parse.py's single-pass
+    #   regex rewrite (parse_accesslog/parse_logfmt rows are r4,
+    #   pre-rewrite), the similarity module refactor around
+    #   similarity_lsh (also needs a clean driver bench datapoint vs
+    #   its r4 0.885 s), the idempotent-staging change under the
+    #   ingest connectors, pivot_agg's sparse-cell fix, ttl_expire's
+    #   NULL-predicate delete fix.
+    "parse_accesslog",
+    "parse_logfmt",
+    "similarity_lsh",
+    "ingest_jsonl",
+    "ingest_csv",
+    "ingest_orc",
+    "ingest_tail_snapshot",
+    "pivot_agg",
+    "ttl_expire",
+    # - r6 code/oracle changes needing fresh rows: vocab_coverage's
+    #   ranking rewritten to a bounded TakeOrdered head (no more
+    #   unpartitioned full-vocab window); dedup_embedding_lsh and
+    #   dedup_semantic oracles gained the zero-norm cosine guard
+    #   mirroring the Spark kernels (advisor item).
+    "vocab_coverage",
     "dedup_embedding_lsh",
-    "similarity_ivf",
     "dedup_semantic",
-    "embedding_kmeans",
 )
 
 

@@ -64,7 +64,16 @@ def _fixedpoint_lloyd(sample_z: np.ndarray, k: int) -> np.ndarray:
     the first minimum — same as the oracle's ORDER BY d2, cluster_id),
     empty clusters keep their previous centroid, updates use floor
     division. Deterministic and exactly SQL-replayable by construction.
+
+    Degenerate contract: a zero-row sample (empty embeddings table) or
+    k == 0 returns an empty (0, dim) centroid array — downstream the
+    broadcast centroid table is empty and every query degrades to an
+    empty result, never an exception (the 1-D empty np.array would
+    otherwise IndexError on the [:, None, :] broadcast below).
     """
+    if k <= 0 or len(sample_z) == 0:
+        dim = sample_z.shape[1] if sample_z.ndim == 2 else 0
+        return np.empty((0, dim), dtype=np.int64)
     cent = sample_z[:k].copy()
     for _ in range(_LLOYD_ITERS):
         d2 = ((sample_z[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -305,10 +314,17 @@ def _semdedup_oracle() -> str:
     probed AS (SELECT * FROM ranked WHERE pr <= {_NPROBE}),
     assigned AS (SELECT vec_id, cluster_id FROM ranked WHERE pr = 1),
     pairs AS (
+      -- zero-norm guard mirroring the Spark kernel (norms==0 -> 1.0,
+      -- cosine 0, pair suppressed): list_cosine_similarity yields NaN
+      -- for a zero vector and DuckDB orders NaN above all values, so
+      -- an unguarded NaN >= tau would pass here.
       SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
       FROM probed a
       JOIN probed b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {_SEMDEDUP_TAU}
+      WHERE CASE WHEN list_dot_product(a.v, a.v) = 0
+                   OR list_dot_product(b.v, b.v) = 0 THEN 0
+                 ELSE ROUND(list_cosine_similarity(a.v, b.v), 6)
+            END >= {_SEMDEDUP_TAU}
     ),
     drops AS (SELECT doc_b AS vec_id, COUNT(*) AS n_dups FROM pairs GROUP BY 1)
     SELECT a.vec_id, a.cluster_id,

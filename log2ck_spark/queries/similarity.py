@@ -84,6 +84,16 @@ _LSH_TABLES, _LSH_BITS = 4, 8
 _TESTDATA_DIM = 64  # every /root/testdata embeddings table is 64-dim
 
 
+def _corpus_dim(e: DataFrame) -> int:
+    """Embedding width read from one corpus row (bounded 1-row pull).
+    Falls back to _TESTDATA_DIM on a zero-row table: `.first()` is
+    None there, and the degenerate contract is "empty result, never
+    exception" — with no rows the plane dimensionality is irrelevant,
+    but the hyperplane constructor still needs a positive dim."""
+    row = e.select(F.size("v").alias("d")).first()
+    return row.d if row is not None else _TESTDATA_DIM
+
+
 def _lsh_sig_sql(planes: list[list[float]], t: int, bits: int) -> str:
     """One table's bucket id as a DuckDB expression: bit b set iff
     v · plane[t*bits+b] > 0 (the exact sign test the Arrow UDF runs)."""
@@ -151,7 +161,7 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
         "vec_id", as_double("embedding").alias("v")
     )
-    dim = e.select(F.size("v").alias("d")).first().d
+    dim = _corpus_dim(e)
     n_tables, bits = _LSH_TABLES, _LSH_BITS
     planes = _hyperplanes(dim, n_tables * bits)
 
@@ -227,8 +237,15 @@ def _dedup_lsh_oracle() -> str:
       JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
     ),
     scored AS (
+      -- zero-norm guard mirroring the Spark kernel (norms==0 -> 1.0,
+      -- so cosine 0): DuckDB's list_cosine_similarity yields NaN for
+      -- a zero vector and DuckDB orders NaN above every value, so an
+      -- unguarded NaN >= tau would emit pairs Spark suppresses.
       SELECT c.vec_a, c.vec_b,
-             ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+             CASE WHEN list_dot_product(ea.v, ea.v) = 0
+                    OR list_dot_product(eb.v, eb.v) = 0 THEN 0
+                  ELSE ROUND(list_cosine_similarity(ea.v, eb.v), 6)
+             END AS cos
       FROM cand c
       JOIN e ea ON ea.vec_id = c.vec_a
       JOIN e eb ON eb.vec_id = c.vec_b
@@ -280,7 +297,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
         "vec_id", as_double("embedding").alias("v")
     )
-    dim = e.select(F.size("v").alias("d")).first().d
+    dim = _corpus_dim(e)
     # Recall-first banding: the 0.4 threshold sits at a wide angle
     # (66°), so per-bit agreement is only ~0.63 — few bits per table,
     # many tables (16×4 ⇒ theoretical recall ≈ 0.94, measured ~0.9 at

@@ -215,9 +215,17 @@ def rows_to_json_each_row(rows) -> "list[bytes]":
       bytes — silent corruption). Decode CK-side with base64Decode()
       or target a column with a materialized decode.
     * Non-finite floats emit as null (bare NaN/Infinity tokens are not
-      valid JSON and would poison the whole batch line set)."""
+      valid JSON and would poison the whole batch line set).
+    * Nested StructType values arrive as Row — a tuple subclass, so the
+      asDict check must run BEFORE the list/tuple branch or the field
+      names are lost into a bare JSON array (wrong for ClickHouse
+      JSON/named-Tuple object input).
+    * decimal.Decimal emits as str (lossless; CK's Decimal JSON input
+      accepts quoted numerics) — json.dumps would otherwise raise
+      TypeError and poison the whole batch."""
     import base64 as _b64
     import datetime as _dt
+    import decimal as _decimal
     import json as _json
     import math as _math
 
@@ -228,8 +236,12 @@ def rows_to_json_each_row(rows) -> "list[bytes]":
             return v.isoformat()
         if isinstance(v, (bytes, bytearray)):
             return _b64.b64encode(bytes(v)).decode("ascii")
+        if isinstance(v, _decimal.Decimal):
+            return str(v)
         if isinstance(v, float) and not _math.isfinite(v):
             return None
+        if hasattr(v, "asDict"):  # pyspark Row (nested struct)
+            return {k: _conv(x) for k, x in v.asDict().items()}
         if isinstance(v, (list, tuple)):
             return [_conv(x) for x in v]
         if isinstance(v, dict):

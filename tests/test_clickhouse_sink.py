@@ -427,3 +427,32 @@ def test_http_insert_binary_nan_and_auth_options():
         assert not math.isnan(0)  # keep math import honest
     finally:
         srv.close()
+
+
+def test_json_each_row_nested_struct_and_decimal():
+    """Two serializer edge types the executor actually hands us:
+    nested StructType values arrive as Row — a *tuple subclass*, so an
+    unordered isinstance chain would emit a field-nameless JSON array
+    (wrong for CK JSON/named-Tuple object input) — and decimal.Decimal
+    (Spark DecimalType) is not JSON-serializable natively and must
+    emit as a lossless quoted numeric, not TypeError the whole batch."""
+    import decimal
+    import json
+
+    from pyspark.sql import Row
+
+    from log2ck_spark.sink import rows_to_json_each_row
+
+    rows = [
+        Row(
+            k=1,
+            geo=Row(lat=decimal.Decimal("48.85830"), city="paris"),
+            amount=decimal.Decimal("19.99"),
+            tags=[Row(n=1), Row(n=2)],
+        )
+    ]
+    (line,) = rows_to_json_each_row(rows)
+    got = json.loads(line.decode("utf-8"))
+    assert got["geo"] == {"lat": "48.85830", "city": "paris"}  # names kept
+    assert got["amount"] == "19.99"  # lossless, not float-rounded
+    assert got["tags"] == [{"n": 1}, {"n": 2}]  # Rows inside arrays too

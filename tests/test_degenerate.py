@@ -78,6 +78,49 @@ def test_ingest_binaryfile_empty_sample_yields_zero_rows(
     assert QUERIES["ingest_binaryfile"](spark, str(root)).count() == 0
 
 
+_EMBEDDING_QUERIES = (
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "dedup_semantic",
+    "embedding_centroid",
+    "embedding_dim_stats",
+    "embedding_kmeans",
+    "embedding_normalize",
+    "embedding_quantize",
+    "knn_classify",
+    "similarity_ivf",
+    "similarity_lsh",
+    "similarity_topk",
+)
+
+
+def test_embedding_queries_survive_empty_table(spark, tmp_path_factory):
+    """ZERO-row embeddings table (one step past the 1-3-row mini
+    fixture): every embedding-path query must return an empty frame,
+    not raise — the driver-side training/seed collects come back
+    empty (1-D empty np.array, None from .first()) and previously
+    IndexError'd in _fixedpoint_lloyd / AttributeError'd on .first().d
+    instead of degrading."""
+    root = tmp_path_factory.mktemp("empty_emb")
+    src = "/root/testdata/sf0.001"
+    for name in TABLES:
+        df = tbl(spark, src, name)
+        if name == "embeddings":
+            df = df.limit(0)
+        else:
+            df = df.limit(3)
+        df.coalesce(1).write.parquet(str(root / f"{name}.parquet"))
+    failures = []
+    for name in _EMBEDDING_QUERIES:
+        try:
+            rows = QUERIES[name](spark, str(root)).collect()
+            if rows:
+                failures.append((name, f"expected empty, got {len(rows)} rows"))
+        except Exception as e:  # noqa: BLE001 - report all at once
+            failures.append((name, str(e).splitlines()[0][:120]))
+    assert not failures, failures
+
+
 def test_every_query_survives_minimal_data(spark, mini_sf_dir):
     failures = []
     for name, fn in QUERIES.items():

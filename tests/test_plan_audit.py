@@ -39,6 +39,7 @@ BNLJ_OK = {
     "tpch_q11_important_share",  # scalar threshold subquery (spec)
     "tpch_q22_global_sales_opportunity",  # scalar avg-balance subquery (spec)
     "ttl_expire",  # scalar retention-cutoff aggregate
+    "vocab_coverage",  # joins the 1-row total-token-mass aggregate
 }
 
 # Exchange SinglePartition is legitimate ONLY for one-row (or
@@ -59,7 +60,7 @@ SINGLE_PARTITION_OK = {
     "join_semi_anti",
     "mixture_weights",  # window over the |languages|-row aggregate
     "sample_by_mixture",  # same weights subtree as mixture_weights
-    "vocab_coverage",  # ranking window over the |vocab|-row aggregate
+    "vocab_coverage",  # window over the _VOCAB_TOP-row head + scalar total
     "pmi_collocations",  # 1-row unigram/bigram total aggregates
     "series_similarity_search",  # 1-row reference-moments aggregates
     "profile_columns",
