@@ -229,7 +229,7 @@ def main() -> None:
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
-def _previous_bench() -> "tuple[dict, dict, str | None]":
+def _previous_bench(root: str = None) -> "tuple[dict, dict, str | None]":
     """(headline_times, registry_times, source_name) from the newest
     parseable bench record. Driver-written BENCH_r{N}.json (highest N
     whose `parsed` is non-null) wins; the bench_registry.json sidecar
@@ -237,8 +237,10 @@ def _previous_bench() -> "tuple[dict, dict, str | None]":
     import glob
     import re
 
+    if root is None:
+        root = _REPO_ROOT
     best_n, parsed = -1, None
-    for p in glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json")):
+    for p in glob.glob(os.path.join(root, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if not m:
             continue
@@ -256,7 +258,7 @@ def _previous_bench() -> "tuple[dict, dict, str | None]":
             f"BENCH_r{best_n:02d}.json",
         )
     try:
-        with open(os.path.join(_REPO_ROOT, "bench_registry.json")) as f:
+        with open(os.path.join(root, "bench_registry.json")) as f:
             rec = json.load(f)
         return (
             rec.get("queries") or {},
