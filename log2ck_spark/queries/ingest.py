@@ -258,7 +258,10 @@ def sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = SinkConfig(path=scratch_dir(sf_dir, "sink_table"))
     write_batch(table, sink)
-    back = spark.read.parquet(sink.path)
+    # Read back under the writer's schema: inference fails on the
+    # zero-row case (partitionBy writes no data files), and an
+    # explicit schema also skips the footer-sampling job.
+    back = spark.read.schema(table.schema).parquet(sink.path)
     return back.groupBy(
         F.date_format("log_date", "yyyy-MM-dd").alias("log_date"), F.col("level")
     ).agg(F.count("*").alias("n"))

@@ -48,17 +48,19 @@ def scan_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate; Catalyst's PruneFileSourcePartitions reads only the 7
     matching date directories. At 100 TB this is the difference between
     scanning 10 days and scanning 10 years."""
+    staged = tbl(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+
     def _stage(p: str) -> None:
-        (
-            tbl(spark, sf_dir, "events")
-            .withColumn("event_date", F.to_date("ts"))
-            .write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(p)
-        )
+        staged.write.mode("overwrite").partitionBy("event_date").parquet(p)
 
     out = ensure_staged(scratch_dir(sf_dir, "events_by_date"), _stage)
-    df = spark.read.parquet(out).filter(
+    # Explicit schema (the writer's own) instead of inference: skips
+    # the footer-sampling job, pins drift, and — degenerate contract —
+    # a zero-row source writes no partition directories at all, which
+    # schema inference fails on where an explicit schema reads empty.
+    df = spark.read.schema(staged.schema).parquet(out).filter(
         F.col("event_date").between("2024-01-05", "2024-01-11")
     )
     # date rendered as string: DATE-typed outputs round-trip differently

@@ -121,6 +121,26 @@ def test_embedding_queries_survive_empty_table(spark, tmp_path_factory):
     assert not failures, failures
 
 
+def test_partitioned_readback_survives_all_empty_tables(
+    spark, tmp_path_factory
+):
+    """ALL tables at zero rows. A full sweep (run out-of-band) shows
+    exactly two queries ever broke here — the two that write a
+    date-partitioned sink and read it back: partitionBy on a zero-row
+    frame commits no partition directories, so schema INFERENCE fails
+    where an explicit reader schema yields the contractual empty
+    frame. Pin those two; the embedding-path zero-row class has its
+    own test above."""
+    root = tmp_path_factory.mktemp("empty_all")
+    src = "/root/testdata/sf0.001"
+    for name in TABLES:
+        tbl(spark, src, name).limit(0).coalesce(1).write.parquet(
+            str(root / f"{name}.parquet")
+        )
+    for name in ("scan_partition_prune", "sink_table"):
+        assert QUERIES[name](spark, str(root)).collect() == []
+
+
 def test_every_query_survives_minimal_data(spark, mini_sf_dir):
     failures = []
     for name, fn in QUERIES.items():
