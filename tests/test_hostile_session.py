@@ -28,7 +28,13 @@ sf = "/root/testdata/sf0.001"
 names = ["agg_time_bucket", "parse_monolog", "parse_accesslog",
          "rate_counter", "stream_tumbling_agg", "retention_cohort",
          "agg_latest_by_key", "seasonal_hour_profile", "alert_pipeline",
-         "drift_psi", "series_similarity_search", "iat_stats"]
+         "drift_psi", "series_similarity_search", "iat_stats",
+         # date-partitioned sink round-trips + DATE/interval functions:
+         # a non-UTC session shifts to_date/date_format unless the
+         # reader pins UTC, and the partition-column values written
+         # under one zone must read back identically under another
+         "scan_partition_prune", "sink_table", "ttl_expire",
+         "datetime_funcs", "time_weighted_avg", "pivot_daily_activity"]
 fails = []
 for name in names:
     problems = compare(QUERIES[name](spark, sf), run_oracle(ORACLES[name], sf))
