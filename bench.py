@@ -155,24 +155,32 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    # Full-registry sweep at sf0.01: ONE end-to-end run of EVERY
-    # registered query, so no operator ever lacks a timing record (the
-    # r4 blind spot: 111 of 169 registered names had never been timed,
-    # making a regression there invisible). Headline numbers above
-    # remain the tuned-warmup sf0.1 figures; this sweep is a coarse
-    # regression tripwire, not a throughput claim — single run, JVM
-    # already warm from the headline pass.
+    # Full-registry sweep at sf0.01: every registered query end-to-end,
+    # so no operator ever lacks a timing record (the r4 blind spot: 111
+    # of 169 registered names had never been timed, making a regression
+    # there invisible). Two runs, report the MIN: these numbers feed
+    # the >2x regression tripwire, and a single cold run folds one-off
+    # costs — corpus staging after a .scratch wipe, first-touch janino
+    # compiles — into the recorded baseline (observed: a 0.66 s query
+    # recorded as 21 s because its run paid a from-scratch staging
+    # write), which would then mask every future real regression of
+    # that name. Headline numbers above remain the tuned-warmup sf0.1
+    # figures; this sweep stays a coarse tripwire, not a throughput
+    # claim.
     registry: dict[str, float] = {}
     if os.path.isdir(warm_dir):
         for name in sorted(QUERIES):
             if name in timings:
                 continue
-            t0 = time.time()
+            best = float("inf")
             try:
-                QUERIES[name](spark, warm_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                registry[name] = round(time.time() - t0, 3)
+                for _ in range(2):
+                    t0 = time.time()
+                    QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.time() - t0)
+                registry[name] = round(best, 3)
             except Exception:
                 registry[name] = -1.0  # failed: surface, don't hide
 
@@ -186,13 +194,19 @@ def main() -> None:
     # Cross-round regression tripwire: diff against the most recent
     # parseable bench record (driver BENCH_r*.json first, then our own
     # bench_registry.json sidecar). Headline compares to prior headline
-    # (sf0.1 min-of-2) and registry to prior registry (sf0.01 single
-    # run) — never cross-SF. A name trips at >2x slower AND >0.25 s
-    # absolute (the sweep is single-run; doubling a 40 ms query is
-    # noise, doubling a 2 s one is a regression).
-    prev_head, prev_reg, prev_src = _previous_bench()
+    # ONLY when the baseline ran the same SF (a quick sf0.01 smoke must
+    # not mask — or spuriously flag — sf0.1 numbers); the registry
+    # sweep is pinned to sf0.01 by construction, so it always
+    # compares. A name trips at >2x slower AND >0.25 s absolute (the
+    # sweep is single-run; doubling a 40 ms query is noise, doubling a
+    # 2 s one is a regression).
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    prev_head, prev_reg, prev_src, prev_sf = _previous_bench()
     regressions: dict[str, dict] = {}
-    for cur, prev, tag in ((timings, prev_head, "headline"), (registry, prev_reg, "registry")):
+    pairs = [(registry, prev_reg, "registry")]
+    if prev_sf == sf_val:
+        pairs.append((timings, prev_head, "headline"))
+    for cur, prev, tag in pairs:
         for name, t in cur.items():
             old = prev.get(name)
             if old and old > 0 and t > 0 and t > 2 * old and t - old > 0.25:
@@ -202,38 +216,72 @@ def main() -> None:
                     "set": tag,
                 }
     registry_total = round(sum(v for v in registry.values() if v > 0), 3)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     registry_line = {
         "registry_sf001": registry,
         "registry_sf001_total": registry_total,
     }
+    # The PRINTED regressions map must stay bounded or a slow machine
+    # (every query >2x vs a committed fast-box baseline) re-creates the
+    # r5 giant-line truncation. Print the worst few; the sidecar keeps
+    # the full map.
+    worst = dict(
+        sorted(
+            regressions.items(), key=lambda kv: -kv[1]["now"] / kv[1]["prev"]
+        )[:_REGRESSIONS_PRINT_CAP]
+    )
     headline_line = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "r3_subset_total": r3_subset,
         "queries": timings,
-        "regressions": regressions,
+        "regressions": worst,
+        "regressions_total": len(regressions),
         "regressions_baseline": prev_src,
         "sf": sf_val,
     }
-    # Sidecar: the complete record, immune to stdout-capture limits.
-    with open(os.path.join(_REPO_ROOT, "bench_registry.json"), "w") as f:
-        json.dump({**headline_line, **registry_line}, f, indent=1)
+    # Sidecar: the complete record, immune to stdout-capture limits —
+    # but only the OFFICIAL scale may overwrite it, or a quick
+    # small-SF smoke run would clobber the committed cross-round
+    # baseline with incomparable timings.
+    if sf_val == 0.1:
+        with open(os.path.join(_REPO_ROOT, "bench_registry.json"), "w") as f:
+            json.dump(
+                {**headline_line, "regressions": regressions, **registry_line},
+                f,
+                indent=1,
+            )
     print(json.dumps(registry_line))
     sys.stdout.flush()
     # Compact headline JSON LAST — the line the driver must parse.
     print(json.dumps(headline_line))
 
 
+_REGRESSIONS_PRINT_CAP = 8
+
+
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
-def _previous_bench(root: str = None) -> "tuple[dict, dict, str | None]":
-    """(headline_times, registry_times, source_name) from the newest
-    parseable bench record. Driver-written BENCH_r{N}.json (highest N
-    whose `parsed` is non-null) wins; the bench_registry.json sidecar
-    is the fallback for rounds whose driver capture truncated."""
+def _read_sidecar(root: str) -> "dict | None":
+    try:
+        with open(os.path.join(root, "bench_registry.json")) as f:
+            rec = json.load(f)
+        return rec if isinstance(rec, dict) else None
+    except (OSError, ValueError):
+        return None
+
+
+def _previous_bench(root: str = None) -> "tuple[dict, dict, str | None, object]":
+    """(headline_times, registry_times, source_name, baseline_sf) from
+    the newest parseable bench record. Driver-written BENCH_r{N}.json
+    (highest N whose `parsed` is non-null) wins for the headline map;
+    the bench_registry.json sidecar is the fallback for rounds whose
+    driver capture truncated — AND the standing source of the registry
+    map, because under this protocol the driver's parsed final line
+    deliberately does not carry registry_sf001 (it prints on its own
+    earlier line), so a driver record alone would leave the ~106
+    registry-only queries permanently baseline-less."""
     import glob
     import re
 
@@ -251,22 +299,23 @@ def _previous_bench(root: str = None) -> "tuple[dict, dict, str | None]":
             continue
         if isinstance(rec, dict) and int(m.group(1)) > best_n:
             best_n, parsed = int(m.group(1)), rec
+    side = _read_sidecar(root)
     if parsed is not None:
+        reg = parsed.get("registry_sf001") or {}
+        src = f"BENCH_r{best_n:02d}.json"
+        if not reg and side is not None:
+            reg = side.get("registry_sf001") or {}
+            if reg:
+                src += "+sidecar"
+        return parsed.get("queries") or {}, reg, src, parsed.get("sf")
+    if side is not None:
         return (
-            parsed.get("queries") or {},
-            parsed.get("registry_sf001") or {},
-            f"BENCH_r{best_n:02d}.json",
-        )
-    try:
-        with open(os.path.join(root, "bench_registry.json")) as f:
-            rec = json.load(f)
-        return (
-            rec.get("queries") or {},
-            rec.get("registry_sf001") or {},
+            side.get("queries") or {},
+            side.get("registry_sf001") or {},
             "bench_registry.json",
+            side.get("sf"),
         )
-    except (OSError, ValueError):
-        return {}, {}, None
+    return {}, {}, None, None
 
 
 if __name__ == "__main__":

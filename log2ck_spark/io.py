@@ -97,14 +97,31 @@ def scratch_dir(*keys: str) -> str:
     when the first key is a source directory (every call site passes
     sf_dir first), its content fingerprint and STAGING_VERSION join
     the key so regenerated testdata or a changed generator re-stages
-    instead of reading stale bytes (see _source_fingerprint)."""
+    instead of reading stale bytes (see _source_fingerprint).
+
+    The dir name embeds the full human-readable label (source basename
+    + every extra key) ahead of the digest, which makes superseded
+    generations of the SAME corpus identifiable — they are deleted on
+    the spot, so a testdata regeneration swaps staging in place
+    instead of accumulating an orphaned multi-GB copy per mtime
+    change. Other corpora's dirs never share the label prefix and are
+    never touched."""
+    import re
+    import shutil
+
     all_keys = list(keys) + [STAGING_VERSION]
     if keys and os.path.isdir(keys[0]):
         all_keys.append(_source_fingerprint(keys[0]))
     digest = hashlib.md5("|".join(all_keys).encode()).hexdigest()[:12]
-    path = os.path.join(SCRATCH_ROOT, f"{os.path.basename(keys[0].rstrip('/'))}-{digest}")
+    label = "-".join(
+        re.sub(r"[^A-Za-z0-9_.]+", "_", k)
+        for k in [os.path.basename(keys[0].rstrip("/")), *keys[1:]]
+    )
     os.makedirs(SCRATCH_ROOT, exist_ok=True)
-    return path
+    for stale in os.listdir(SCRATCH_ROOT):
+        if stale.startswith(f"{label}-") and stale != f"{label}-{digest}":
+            shutil.rmtree(os.path.join(SCRATCH_ROOT, stale), ignore_errors=True)
+    return os.path.join(SCRATCH_ROOT, f"{label}-{digest}")
 
 
 def ensure_staged(path: str, write) -> str:

@@ -91,7 +91,9 @@ def _corpus_dim(e: DataFrame) -> int:
     exception" — with no rows the plane dimensionality is irrelevant,
     but the hyperplane constructor still needs a positive dim."""
     row = e.select(F.size("v").alias("d")).first()
-    return row.d if row is not None else _TESTDATA_DIM
+    # row.d can be None (NULL embedding) or -1 (legacy sizeOfNull) —
+    # both must fall back, not feed numpy a bad dimension.
+    return row.d if row is not None and row.d and row.d > 0 else _TESTDATA_DIM
 
 
 def _lsh_sig_sql(planes: list[list[float]], t: int, bits: int) -> str:
