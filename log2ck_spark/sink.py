@@ -231,7 +231,23 @@ def rows_to_json_each_row(rows) -> "list[bytes]":
 
     def _conv(v):
         if isinstance(v, _dt.datetime):
-            return v.strftime("%Y-%m-%d %H:%M:%S.%f").rstrip("0").rstrip(".")
+            # isoformat, not strftime: %Y does not zero-pad years
+            # before 1000 on glibc, silently emitting variable-width
+            # timestamps (found by the serializer fuzz test). Spark
+            # hands naive datetimes; a tz-aware one (hand-built rows)
+            # is normalized to the UTC instant rather than having its
+            # offset silently dropped. Keep the trailing-zero trim on
+            # the fractional part.
+            if v.tzinfo is not None:
+                try:
+                    v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                except (OverflowError, OSError):
+                    # datetime.min/max within an offset of the epoch
+                    # bounds cannot shift to UTC; keep the wall-clock
+                    # fields rather than poison the batch.
+                    v = v.replace(tzinfo=None)
+            s = v.isoformat(sep=" ")
+            return s.rstrip("0").rstrip(".") if "." in s else s
         if isinstance(v, _dt.date):
             return v.isoformat()
         if isinstance(v, (bytes, bytearray)):

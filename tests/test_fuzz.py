@@ -201,3 +201,84 @@ def test_fixedpoint_lloyd_matches_duckdb_replay(vecs, k):
     assert (trained == replayed).all(), (
         f"cross-engine Lloyd divergence:\nnumpy={trained}\nduck={replayed}"
     )
+
+
+# ------------------------------------------------------------------
+# JSONEachRow wire serializer: every value shape the executor can hand
+# the ClickHouse HTTP sink must become one VALID JSON line with the
+# documented conversions — never a TypeError poisoning the batch,
+# never a bare NaN token, never silent byte corruption.
+# ------------------------------------------------------------------
+
+_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+    st.text(max_size=40),
+    st.binary(max_size=40),
+    st.decimals(allow_nan=False, allow_infinity=False, places=4),
+    st.datetimes(timezones=st.none() | st.timezones()),
+    st.dates(),
+)
+_value = st.recursive(
+    _scalar,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=10), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.dictionaries(st.text(min_size=1, max_size=10), _value, max_size=5))
+def test_json_each_row_serializes_arbitrary_rows(row):
+    import base64
+    import datetime
+    import decimal
+    import json
+    import math
+
+    from log2ck_spark.sink import rows_to_json_each_row
+
+    (line_bytes,) = rows_to_json_each_row([row])
+    assert b"\n" not in line_bytes  # one row == one line, framing-safe
+    got = json.loads(line_bytes.decode("utf-8"))  # must be valid JSON
+
+    def check(orig, out):
+        if isinstance(orig, float) and not math.isfinite(orig):
+            assert out is None
+        elif isinstance(orig, (bytes, bytearray)):
+            assert base64.b64decode(out) == bytes(orig)  # byte-exact
+        elif isinstance(orig, decimal.Decimal):
+            assert decimal.Decimal(out) == orig  # lossless
+        elif isinstance(orig, datetime.datetime):
+            # reparsable zero-padded value (fromisoformat accepts the
+            # trimmed-fraction form); tz-aware inputs land as the
+            # equivalent UTC-naive instant
+            want = orig
+            if want.tzinfo is not None:
+                try:
+                    want = want.astimezone(datetime.timezone.utc).replace(
+                        tzinfo=None
+                    )
+                except (OverflowError, OSError):
+                    # mirror the serializer's epoch-bound fallback
+                    want = want.replace(tzinfo=None)
+            assert out.startswith(want.date().isoformat())
+            assert datetime.datetime.fromisoformat(out) == want
+        elif isinstance(orig, datetime.date):
+            assert out == orig.isoformat()
+        elif isinstance(orig, list):
+            assert isinstance(out, list) and len(out) == len(orig)
+            for o, u in zip(orig, out):
+                check(o, u)
+        elif isinstance(orig, dict):
+            assert set(out) == set(orig)
+            for k in orig:
+                check(orig[k], out[k])
+        else:
+            assert out == orig
+
+    check(row, got)
