@@ -247,7 +247,9 @@ def rows_to_json_each_row(rows) -> "list[bytes]":
                     # fields rather than poison the batch.
                     v = v.replace(tzinfo=None)
             s = v.isoformat(sep=" ")
-            return s.rstrip("0").rstrip(".") if "." in s else s
+            # isoformat omits a zero fraction entirely, so '.' implies
+            # a nonzero digit survives the trim.
+            return s.rstrip("0") if "." in s else s
         if isinstance(v, _dt.date):
             return v.isoformat()
         if isinstance(v, (bytes, bytearray)):
@@ -257,12 +259,25 @@ def rows_to_json_each_row(rows) -> "list[bytes]":
         if isinstance(v, float) and not _math.isfinite(v):
             return None
         if hasattr(v, "asDict"):  # pyspark Row (nested struct)
-            return {k: _conv(x) for k, x in v.asDict().items()}
+            return {_key(k): _conv(x) for k, x in v.asDict().items()}
         if isinstance(v, (list, tuple)):
             return [_conv(x) for x in v]
         if isinstance(v, dict):
-            return {k: _conv(x) for k, x in v.items()}
+            return {_key(k): _conv(x) for k, x in v.items()}
         return v
+
+    def _key(k):
+        # JSON object keys must be strings; Spark MapType keys may be
+        # dates, timestamps, decimals, or binary (all legal map key
+        # types), which json.dumps rejects with TypeError — poisoning
+        # the whole batch. Render them through the same conversions as
+        # values, then force str (json.dumps would coerce bare
+        # int/float/bool itself, but doing it here keeps key text
+        # identical to the value rendering).
+        if isinstance(k, str):
+            return k
+        k = _conv(k)
+        return k if isinstance(k, str) else _json.dumps(k)
 
     out = []
     for row in rows:

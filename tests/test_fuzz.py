@@ -267,7 +267,13 @@ def test_json_each_row_serializes_arbitrary_rows(row):
                     # mirror the serializer's epoch-bound fallback
                     want = want.replace(tzinfo=None)
             assert out.startswith(want.date().isoformat())
-            assert datetime.datetime.fromisoformat(out) == want
+            # pre-3.11 fromisoformat only accepts 3- or 6-digit
+            # fractions; pad the trimmed fraction before parsing
+            iso = out
+            if "." in iso:
+                head, frac = iso.rsplit(".", 1)
+                iso = head + "." + frac.ljust(6, "0")
+            assert datetime.datetime.fromisoformat(iso) == want
         elif isinstance(orig, datetime.date):
             assert out == orig.isoformat()
         elif isinstance(orig, list):
@@ -282,3 +288,34 @@ def test_json_each_row_serializes_arbitrary_rows(row):
             assert out == orig
 
     check(row, got)
+
+
+def test_json_each_row_map_keys_of_every_legal_type():
+    """Spark MapType keys may be any non-map type — date, timestamp,
+    decimal, binary, int — and json.dumps rejects non-primitive keys
+    with TypeError, poisoning the batch. Keys must render through the
+    same conversions as values, as strings."""
+    import datetime
+    import decimal
+    import json
+
+    from log2ck_spark.sink import rows_to_json_each_row
+
+    rows = [
+        {
+            "by_date": {datetime.date(2024, 1, 2): 1},
+            "by_ts": {datetime.datetime(2024, 1, 2, 3, 4, 5): 2},
+            "by_dec": {decimal.Decimal("1.50"): 3},
+            "by_bin": {b"\x00\xff": 4},
+            "by_int": {7: 5},
+            "by_nan": {float("nan"): 6},
+        }
+    ]
+    (line,) = rows_to_json_each_row(rows)
+    got = json.loads(line.decode("utf-8"))
+    assert got["by_date"] == {"2024-01-02": 1}
+    assert got["by_ts"] == {"2024-01-02 03:04:05": 2}
+    assert got["by_dec"] == {"1.50": 3}
+    assert got["by_bin"] == {"AP8=": 4}  # base64 of 00 ff
+    assert got["by_int"] == {"7": 5}  # json's own int-key coercion
+    assert got["by_nan"] == {"null": 6}  # non-finite -> null, as text
