@@ -110,3 +110,13 @@ def test_headline_line_stays_tail_buffer_sized_even_under_mass_regression():
         }
     )
     assert len(line) < 4096, len(line)
+
+
+def test_r3_subset_is_exactly_the_r3_bench_set():
+    """r3_subset_total is the cross-round apples-to-apples number; its
+    definition is 'the 27 names BENCH_r03 timed'. If someone reorders
+    or edits the head of HEADLINE the metric silently changes meaning
+    — pin the prefix to the recorded r3 set."""
+    with open(bench._REPO_ROOT + "/BENCH_r03.json") as f:
+        r3 = json.load(f)["parsed"]["queries"]
+    assert bench.HEADLINE[: len(r3)] == list(r3)
