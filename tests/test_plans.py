@@ -310,3 +310,16 @@ def test_shuffle_shards_no_global_sort(spark, sf_dir):
     plan = _plan(spark, "shuffle_shards", sf_dir)
     assert "Exchange SinglePartition" not in plan, plan[:2000]
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_similarity_lsh_query_side_filter_reaches_scan(spark, sf_dir):
+    """The broadcast (query) side of the LSH bucket join filters
+    vec_id < N_QUERIES; that predicate must land in the parquet scan's
+    DataFilters — if a refactor hoists it above the signature UDF, the
+    query side silently recomputes signatures for the WHOLE corpus
+    just to extract a handful of query rows (fine on fixtures, a full
+    extra corpus pass at 10^10 vectors)."""
+    plan = _plan(spark, "similarity_lsh", sf_dir)
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    filtered = [s for s in scans if re.search(r"vec_id#\d+L < 5", s)]
+    assert len(filtered) >= 1, plan[:3000]
