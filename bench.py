@@ -9,7 +9,11 @@ tail capture and cost the round its official number):
   truncation and feeds next round's regression tripwire);
 * the FINAL stdout line is the compact headline JSON —
   {"metric", "value", "unit", "r3_subset_total", "queries",
-  "regressions", "sf"} — small enough for any tail buffer.
+  "regressions", "env_drift", "calib", "sf"} — small enough for any
+  tail buffer. `env_drift` is the median per-query ratio vs the prior
+  record (uniform machine slowdown, divided out before the regression
+  threshold); `calib` is a fixed synthetic CPU anchor so judges can
+  compare machines across rounds with one division.
 
 Each query is forced end-to-end with a noop sink (full computation, no
 collect cost). One tiny warmup action first so JVM/codegen startup
@@ -123,6 +127,20 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.01"
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    # Machine-calibration anchor: a fixed synthetic CPU-bound query
+    # (no I/O, no shuffle, no data dependence) timed every round and
+    # published as `calib` in the headline line. Cross-round judges can
+    # divide any two rounds' calib values to read off raw machine speed
+    # without recomputing median per-query ratios — r6's apparent
+    # regressions were a uniform 1.25x sandbox slowdown that had to be
+    # reverse-engineered; this key makes that one division.
+    calib = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(100_000_000).selectExpr("sum(xxhash64(id))").collect()
+        calib = min(calib, time.time() - t0)
+    calib = round(calib, 3)
+
     # Two measured iterations per query, report the MIN (JMH/TPC warm-run
     # practice). First executions at a new SF show 2-4x run-to-run
     # variance from janino compile + GC + page-cache state; the min is
@@ -196,25 +214,13 @@ def main() -> None:
     # bench_registry.json sidecar). Headline compares to prior headline
     # ONLY when the baseline ran the same SF (a quick sf0.01 smoke must
     # not mask — or spuriously flag — sf0.1 numbers); the registry
-    # sweep is pinned to sf0.01 by construction, so it always
-    # compares. A name trips at >2x slower AND >0.25 s absolute (the
-    # sweep is single-run; doubling a 40 ms query is noise, doubling a
-    # 2 s one is a regression).
+    # sweep is pinned to sf0.01 by construction, so it always compares.
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     prev_head, prev_reg, prev_src, prev_sf = _previous_bench()
-    regressions: dict[str, dict] = {}
     pairs = [(registry, prev_reg, "registry")]
     if prev_sf == sf_val:
         pairs.append((timings, prev_head, "headline"))
-    for cur, prev, tag in pairs:
-        for name, t in cur.items():
-            old = prev.get(name)
-            if old and old > 0 and t > 0 and t > 2 * old and t - old > 0.25:
-                regressions[name] = {
-                    "now": t,
-                    "prev": round(old, 3),
-                    "set": tag,
-                }
+    regressions, env_drift = detect_regressions(pairs)
     registry_total = round(sum(v for v in registry.values() if v > 0), 3)
     registry_line = {
         "registry_sf001": registry,
@@ -225,9 +231,9 @@ def main() -> None:
     # r5 giant-line truncation. Print the worst few; the sidecar keeps
     # the full map.
     worst = dict(
-        sorted(
-            regressions.items(), key=lambda kv: -kv[1]["now"] / kv[1]["prev"]
-        )[:_REGRESSIONS_PRINT_CAP]
+        sorted(regressions.items(), key=lambda kv: -kv[1]["norm"])[
+            :_REGRESSIONS_PRINT_CAP
+        ]
     )
     headline_line = {
         "metric": "headline_queries_total",
@@ -238,6 +244,8 @@ def main() -> None:
         "regressions": worst,
         "regressions_total": len(regressions),
         "regressions_baseline": prev_src,
+        "env_drift": env_drift,
+        "calib": calib,
         "sf": sf_val,
     }
     # Sidecar: the complete record, immune to stdout-capture limits —
@@ -258,6 +266,64 @@ def main() -> None:
 
 
 _REGRESSIONS_PRINT_CAP = 8
+
+# Below this many (now, prev) pairs a median is dominated by the very
+# queries being judged, so normalization is skipped (env_drift = 1.0).
+_ENV_DRIFT_MIN_PAIRS = 5
+
+
+def detect_regressions(
+    pairs: "list[tuple[dict, dict, str]]",
+) -> "tuple[dict[str, dict], float]":
+    """Median-normalized tripwire over (current, previous, set-name)
+    timing-map pairs. The raw `now > 2*prev` test is environment-naive:
+    r6 measured a uniform 1.25x sandbox slowdown, under which a real
+    1.6x code regression hides (1.6*1.25 = 2.0x raw barely trips), and
+    a faster machine loosens the effective bar past 2.5x. So first
+    estimate environment drift as the MEDIAN per-query ratio across
+    every comparable pair — uniform machine speed moves the median,
+    a single regressed query cannot — then trip on the
+    DRIFT-NORMALIZED ratio: (now/prev)/drift > 2, plus a >0.25 s
+    absolute floor (the registry sweep times single runs; doubling a
+    40 ms query is noise, doubling a 2 s one is a regression).
+    Returns ({name: {now, prev, set, norm}}, env_drift)."""
+    ratios = [
+        t / old
+        for cur, prev, _tag in pairs
+        for name, t in cur.items()
+        if (old := prev.get(name)) and old > 0 and t > 0
+    ]
+    if len(ratios) >= _ENV_DRIFT_MIN_PAIRS:
+        ratios.sort()
+        mid = len(ratios) // 2
+        env_drift = round(
+            ratios[mid]
+            if len(ratios) % 2
+            else (ratios[mid - 1] + ratios[mid]) / 2,
+            3,
+        )
+        # 0.001 floor: a ZeroDivisionError here would lose the round's
+        # whole bench output, the one failure this protocol exists to
+        # prevent (needs every prev timing >= 1000x current — absurd,
+        # but a corrupt baseline file could fake it).
+        env_drift = max(env_drift, 0.001)
+    else:
+        env_drift = 1.0
+    regressions: dict[str, dict] = {}
+    for cur, prev, tag in pairs:
+        for name, t in cur.items():
+            old = prev.get(name)
+            if not (old and old > 0 and t > 0):
+                continue
+            norm = (t / old) / env_drift
+            if norm > 2 and t - old > 0.25:
+                regressions[name] = {
+                    "now": t,
+                    "prev": round(old, 3),
+                    "set": tag,
+                    "norm": round(norm, 2),
+                }
+    return regressions, env_drift
 
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
@@ -294,19 +360,31 @@ def _previous_bench(root: str = None) -> "tuple[dict, dict, str | None, object]"
             continue
         try:
             with open(p) as f:
-                rec = json.load(f).get("parsed")
+                rec = json.load(f)
+            # Valid-JSON-but-not-an-object (e.g. a top-level list) must
+            # be skipped like junk, not AttributeError out of main()
+            # before anything prints — one malformed driver record must
+            # never cost the round its bench output.
+            rec = rec.get("parsed") if isinstance(rec, dict) else None
         except (OSError, ValueError):
             continue
         if isinstance(rec, dict) and int(m.group(1)) > best_n:
             best_n, parsed = int(m.group(1)), rec
     side = _read_sidecar(root)
     if parsed is not None:
-        reg = parsed.get("registry_sf001") or {}
         src = f"BENCH_r{best_n:02d}.json"
-        if not reg and side is not None:
-            reg = side.get("registry_sf001") or {}
-            if reg:
-                src += "+sidecar"
+        # Registry map: the sidecar WINS when both exist. Every official
+        # sf0.1 run overwrites the sidecar, so it is at least as fresh
+        # as the newest driver record; an old-protocol driver record
+        # (pre-r6 final lines embedded registry_sf001) can be rounds
+        # stale and must not shadow it. The driver record stays
+        # authoritative for the headline map — it is the line the
+        # driver actually parsed from the same run.
+        reg = (side or {}).get("registry_sf001") or {}
+        if reg:
+            src += "+sidecar"
+        else:
+            reg = parsed.get("registry_sf001") or {}
         return parsed.get("queries") or {}, reg, src, parsed.get("sf")
     if side is not None:
         return (

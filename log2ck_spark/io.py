@@ -113,9 +113,17 @@ def scratch_dir(*keys: str) -> str:
     if keys and os.path.isdir(keys[0]):
         all_keys.append(_source_fingerprint(keys[0]))
     digest = hashlib.md5("|".join(all_keys).encode()).hexdigest()[:12]
+    # The label (the delete-by-prefix key below) must identify the
+    # CORPUS, not just its basename: two source dirs sharing a basename
+    # (e.g. .../a/sf0.01 and .../b/sf0.01) differ only in the digest,
+    # and a basename-only label would make each alternation rmtree the
+    # other's live staging. Fold a short hash of the full first key in
+    # so only true regenerations of the SAME corpus (same path, new
+    # content fingerprint) match the prefix.
+    src_tag = hashlib.md5(keys[0].rstrip("/").encode()).hexdigest()[:6]
     label = "-".join(
         re.sub(r"[^A-Za-z0-9_.]+", "_", k)
-        for k in [os.path.basename(keys[0].rstrip("/")), *keys[1:]]
+        for k in [f"{os.path.basename(keys[0].rstrip('/'))}_{src_tag}", *keys[1:]]
     )
     os.makedirs(SCRATCH_ROOT, exist_ok=True)
     for stale in os.listdir(SCRATCH_ROOT):

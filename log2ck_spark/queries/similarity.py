@@ -85,14 +85,21 @@ _TESTDATA_DIM = 64  # every /root/testdata embeddings table is 64-dim
 
 
 def _corpus_dim(e: DataFrame) -> int:
-    """Embedding width read from one corpus row (bounded 1-row pull).
-    Falls back to _TESTDATA_DIM on a zero-row table: `.first()` is
-    None there, and the degenerate contract is "empty result, never
-    exception" — with no rows the plane dimensionality is irrelevant,
-    but the hyperplane constructor still needs a positive dim."""
-    row = e.select(F.size("v").alias("d")).first()
-    # row.d can be None (NULL embedding) or -1 (legacy sizeOfNull) —
-    # both must fall back, not feed numpy a bad dimension.
+    """Embedding width read from one NON-DEGENERATE corpus row (bounded
+    1-row pull; the size() predicate pushes into the same scan, so this
+    is still a take(1) that stops at the first qualifying row).
+    Probing row 1 unconditionally (the r6 advisor finding) meant a
+    corpus whose FIRST row happened to carry a NULL/empty embedding got
+    _TESTDATA_DIM hyperplanes even when the rest of the corpus was
+    non-64-dim — a runtime dot-product dimension error (or silently
+    wrong LSH signatures) instead of the intended degenerate-only
+    fallback. Falls back to _TESTDATA_DIM only when NO row has a
+    non-empty embedding: there the plane dimensionality is irrelevant
+    (every signature path drops empty vectors), but the hyperplane
+    constructor still needs a positive dim."""
+    row = (
+        e.filter(F.size("v") > 0).select(F.size("v").alias("d")).first()
+    )
     return row.d if row is not None and row.d and row.d > 0 else _TESTDATA_DIM
 
 

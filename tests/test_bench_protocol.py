@@ -72,6 +72,73 @@ def test_previous_bench_tolerates_junk_and_absence(tmp_path):
     (tmp_path / "BENCH_r09.json").write_text("{not json")
     (tmp_path / "bench_registry.json").write_text("[]")  # not a dict
     assert bench._previous_bench(str(tmp_path)) == ({}, {}, None, None)
+    # Valid JSON that is NOT an object (r6 advisor finding): must be
+    # skipped like junk, not AttributeError before anything prints.
+    (tmp_path / "BENCH_r10.json").write_text("[1, 2]")
+    assert bench._previous_bench(str(tmp_path)) == ({}, {}, None, None)
+
+
+def test_previous_bench_sidecar_registry_wins_over_driver_record(tmp_path):
+    """An old-protocol driver record can embed a rounds-stale
+    registry_sf001; the sidecar is rewritten by every official run, so
+    when both exist the sidecar's registry map must win (the driver
+    record stays authoritative for the headline map)."""
+    _write(
+        tmp_path / "BENCH_r04.json",
+        {
+            "parsed": {
+                "queries": {"q": 2.0},
+                "registry_sf001": {"r": 9.9},  # stale old-protocol map
+                "sf": 0.1,
+            }
+        },
+    )
+    _write(
+        tmp_path / "bench_registry.json",
+        {"queries": {"q": 3.3}, "registry_sf001": {"r": 0.2}, "sf": 0.1},
+    )
+    head, reg, src, sf = bench._previous_bench(str(tmp_path))
+    assert head == {"q": 2.0}  # headline still from the driver record
+    assert reg == {"r": 0.2}  # registry from the fresher sidecar
+    assert src == "BENCH_r04.json+sidecar"
+
+
+def test_detect_regressions_divides_out_uniform_drift():
+    """r6's measured failure mode: a uniform 1.25x sandbox slowdown.
+    Under the raw 2x test a real 1.6x code regression hides inside it;
+    median normalization must surface exactly the regressed query."""
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    cur = {n: 2.5 for n in prev}  # everything uniformly 2.5x slower
+    reg, drift = bench.detect_regressions([(cur, prev, "registry")])
+    assert drift == 2.5
+    assert reg == {}  # raw test would have flagged all 10
+    cur["q3"] = 6.0  # 6x raw = 2.4x normalized: a real regression
+    reg, drift = bench.detect_regressions([(cur, prev, "registry")])
+    assert drift == 2.5
+    assert set(reg) == {"q3"}
+    assert reg["q3"]["norm"] == 2.4 and reg["q3"]["set"] == "registry"
+
+
+def test_detect_regressions_fast_machine_does_not_loosen_bar():
+    """On a 2x FASTER machine the raw test needs 4x to trip; the
+    normalized test still trips at 2x of the machine-adjusted time."""
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    cur = {n: 0.5 for n in prev}
+    cur["q7"] = 1.4  # only 1.4x raw, but 2.8x vs the 0.5 drift
+    reg, drift = bench.detect_regressions([(cur, prev, "registry")])
+    assert drift == 0.5
+    assert set(reg) == {"q7"}
+
+
+def test_detect_regressions_few_pairs_skip_normalization():
+    """With fewer pairs than _ENV_DRIFT_MIN_PAIRS the median IS the
+    judged queries — fall back to raw ratios (drift 1.0) and keep the
+    absolute >0.25 s floor."""
+    reg, drift = bench.detect_regressions(
+        [({"a": 3.0, "b": 0.3}, {"a": 1.0, "b": 0.1}, "headline")]
+    )
+    assert drift == 1.0
+    assert set(reg) == {"a"}  # b is 3x but only +0.2 s: noise floor
 
 
 def test_repo_sidecar_is_current_and_parseable():
@@ -93,7 +160,7 @@ def test_headline_line_stays_tail_buffer_sized_even_under_mass_regression():
     r5's capture)."""
     fake = {n: 999.999 for n in bench.HEADLINE}
     capped = {
-        n: {"now": 999.999, "prev": 499.999, "set": "headline"}
+        n: {"now": 999.999, "prev": 499.999, "set": "headline", "norm": 99.99}
         for n in bench.HEADLINE[: bench._REGRESSIONS_PRINT_CAP]
     }
     line = json.dumps(
@@ -106,6 +173,8 @@ def test_headline_line_stays_tail_buffer_sized_even_under_mass_regression():
             "regressions": capped,
             "regressions_total": 175,
             "regressions_baseline": "BENCH_r06.json+sidecar",
+            "env_drift": 9.999,
+            "calib": 999.999,
             "sf": 0.1,
         }
     )

@@ -319,7 +319,11 @@ def test_similarity_lsh_query_side_filter_reaches_scan(spark, sf_dir):
     query side silently recomputes signatures for the WHOLE corpus
     just to extract a handful of query rows (fine on fixtures, a full
     extra corpus pass at 10^10 vectors)."""
+    from log2ck_spark.queries.similarity import N_QUERIES
+
     plan = _plan(spark, "similarity_lsh", sf_dir)
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
-    filtered = [s for s in scans if re.search(r"vec_id#\d+L < 5", s)]
+    filtered = [
+        s for s in scans if re.search(rf"vec_id#\d+L < {N_QUERIES}\b", s)
+    ]
     assert len(filtered) >= 1, plan[:3000]

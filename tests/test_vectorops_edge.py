@@ -39,3 +39,24 @@ def test_embedding_quantize_constant_vector_no_nulls(spark, tmp_path):
     # non-constant row 0: [0.0, 0.5, 1.0, 0.25] -> codes [0, 128, 255, 64]
     assert rows[0].q8_digest == _md5("0,128,255,64")
     assert rows[0].q8_sum == 0 + 128 + 255 + 64
+
+
+def test_corpus_dim_skips_leading_null_embedding(spark):
+    """r6 advisor finding: _corpus_dim probed row 1 unconditionally, so
+    a corpus whose first row carried a NULL/empty embedding silently
+    got the 64-dim fixture fallback even when the real corpus was
+    another width — wrong hyperplane dimensionality, runtime dot-
+    product errors. The probe must find the first NON-degenerate row
+    and reserve the fallback for all-degenerate corpora."""
+    import pyspark.sql.functions as F
+
+    from log2ck_spark.queries.similarity import _TESTDATA_DIM, _corpus_dim
+
+    df = spark.createDataFrame(
+        [(0, None), (1, []), (2, [1.0] * 8), (3, [2.0] * 8)],
+        "vec_id long, v array<double>",
+    )
+    assert _corpus_dim(df) == 8
+    # All-degenerate corpus: fallback, never an exception.
+    assert _corpus_dim(df.filter(F.col("vec_id") < 2)) == _TESTDATA_DIM
+    assert _corpus_dim(df.limit(0)) == _TESTDATA_DIM
