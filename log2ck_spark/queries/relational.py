@@ -399,25 +399,54 @@ def join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B14 approx_distinct — HLL approximate distinct (rows-only: HLL impls
-# differ between engines so values can't hash-match an oracle; tests
-# assert <5% relative error vs exact). Exact distinct is oracle-checked
-# in agg_group_count / distinct_exact.
+# B14 approx_distinct — HLL approximate distinct. Rows-only for five
+# rounds ("HLL impls differ between engines"), but the repo built its
+# own counter-evidence: sketches.hll_estimate replays the published
+# Flajolet et al. HLL bit-exactly in DuckDB (md5 registers, scaled-
+# integer harmonic sum), so the ESTIMATE itself is now the value-
+# checked output — the registry's last asterisk removed. Exact distinct
+# stays oracle-checked in agg_group_count / distinct_exact.
 # --------------------------------------------------------------------------
 
 
-@register("approx_distinct")
-def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct = HyperLogLog++: constant memory per group
-    vs the full dedup shuffle of exact distinct — at 100 TB this is the
-    only viable per-group cardinality estimator."""
+def _approx_distinct_oracle() -> str:
+    from log2ck_spark.queries.sketches import hll_oracle_cte
+
     return (
-        tbl(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.count("*").alias("n"),
-        )
+        hll_oracle_cte("events", "event_type", "user_id")
+        + """
+    , counts AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+    )
+    SELECT h.event_type,
+           CAST(ROUND(h.est, 0) AS BIGINT) AS approx_users,
+           c.n
+    FROM hll_est h JOIN counts c USING (event_type)
+    """
+    )
+
+
+@register("approx_distinct", oracle=_approx_distinct_oracle())
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group approximate distinct users via the engine-portable
+    HLL shared with `sketch_hll` (sketches.hll_estimate: m=512
+    registers, mergeable MAX-combine partial agg — constant memory per
+    group vs the full dedup shuffle of exact distinct, the only viable
+    per-group cardinality estimator at 100 TB). Spark's native
+    `approx_count_distinct` (HLL++) has the same scale shape and is the
+    zero-dependency production choice, but its register layout is not
+    replayable by any other engine; this portable twin makes the
+    estimate value-checkable cross-engine, not just error-bound-tested
+    (the error-bound test remains: tests/test_maintenance.py)."""
+    from log2ck_spark.queries.sketches import hll_estimate
+
+    ev = tbl(spark, sf_dir, "events")
+    est = hll_estimate(ev, "event_type", "user_id")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return est.join(counts, "event_type").select(
+        "event_type",
+        F.round("est", 0).cast("bigint").alias("approx_users"),
+        "n",
     )
 
 

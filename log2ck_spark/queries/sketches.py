@@ -258,6 +258,105 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_estimate(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group distinct-count estimate via the SAME portable HLL that
+    `sketch_hll` value-checks cross-engine (m={m} md5 registers,
+    2^{rho}-scaled integer harmonic sum, linear-counting small-range
+    correction) — factored out so `approx_distinct` shares the exact
+    oracle-replayable estimator instead of Spark's HLL++ (whose
+    register layout no other engine can replay, which kept that query
+    rows-only for five rounds). NULL values are dropped first, matching
+    COUNT(DISTINCT x)'s null semantics. Returns (group_col, est
+    DOUBLE); same mergeable two-phase shape as sketch_hll — duplicates
+    combine map-side into MAX(rho) registers, per-group state is a
+    fixed {m} registers at any cardinality."""
+    g, v = F.col(group_col), F.col(value_col)
+    h = F.conv(F.substring(F.md5(v.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    rest = F.shiftright(F.col("h"), _HLL_P).cast("bigint")
+    rho = F.when(rest == 0, F.lit(_HLL_MAXRHO)).otherwise(
+        _HLL_MAXRHO - F.length(F.bin(rest))
+    )
+    registers = (
+        df.filter(v.isNotNull())
+        .select(g.alias("g"), h.alias("h"))
+        .select("g", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("r"))
+        .groupBy("g", "bucket")
+        .agg(F.max("r").alias("m_rho"))
+    )
+    contrib = F.pow(F.lit(2.0), _HLL_MAXRHO - F.col("m_rho")).cast("bigint")
+    per_group = registers.groupBy("g").agg(
+        F.count("*").alias("occupied"),
+        (
+            F.sum(contrib)
+            + (_HLL_M - F.count("*"))
+            * F.pow(F.lit(2.0), F.lit(_HLL_MAXRHO)).cast("bigint")
+        ).cast("bigint").alias("sum_scaled"),
+    )
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * _HLL_M
+        * _HLL_M
+        * F.pow(F.lit(2.0), F.lit(_HLL_MAXRHO))
+        / F.col("sum_scaled")
+    )
+    linear = _HLL_M * F.log(
+        F.lit(float(_HLL_M)) / (_HLL_M - F.col("occupied"))
+    )
+    return per_group.select(
+        F.col("g").alias(group_col),
+        F.when((raw <= 2.5 * _HLL_M) & (F.col("occupied") < _HLL_M), linear)
+        .otherwise(raw)
+        .alias("est"),
+    )
+
+
+hll_estimate.__doc__ = hll_estimate.__doc__.format(m=_HLL_M, rho=_HLL_MAXRHO)
+
+
+def hll_oracle_cte(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB WITH-chain replaying `hll_estimate` bit-for-bit; ends in
+    CTE ``hll_est(<group_col>, est)``. Callers append their own final
+    SELECT (join exact counts, round, alias)."""
+    return f"""
+    WITH hashed AS (
+      SELECT {group_col},
+             CAST(('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ), rho AS (
+      SELECT {group_col}, h % {_HLL_M} AS bucket,
+             CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_MAXRHO}
+                  ELSE {_HLL_MAXRHO} - length(bin(h // {_HLL_M}))
+             END AS r
+      FROM hashed
+    ), registers AS (
+      SELECT {group_col}, bucket, MAX(r) AS m_rho
+      FROM rho GROUP BY 1, 2
+    ), per_group AS (
+      SELECT {group_col},
+             COUNT(*) AS occupied,
+             CAST(SUM(CAST(pow(2.0, {_HLL_MAXRHO} - m_rho) AS BIGINT))
+                  AS BIGINT)
+               + CAST(({_HLL_M} - COUNT(*))
+                      * pow(2.0, {_HLL_MAXRHO}) AS BIGINT) AS sum_scaled
+      FROM registers GROUP BY 1
+    ), raw_est AS (
+      SELECT {group_col}, occupied,
+             CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+               * pow(2.0, {_HLL_MAXRHO}) / sum_scaled AS raw
+      FROM per_group
+    ), hll_est AS (
+      SELECT {group_col},
+             CASE WHEN raw <= 2.5 * {_HLL_M} AND occupied < {_HLL_M}
+                  THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
+                                     / ({_HLL_M} - occupied))
+                  ELSE raw END AS est
+      FROM raw_est
+    )"""
+
+
 # --------------------------------------------------------------------------
 # Mergeable fixed-bin quantile histogram
 # --------------------------------------------------------------------------

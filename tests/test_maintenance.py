@@ -35,7 +35,11 @@ def test_ttl_missing_table_is_noop(tmp_path):
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
-    """HLL++ estimate within 5% of exact (rsd=0.02 configured)."""
+    """The portable m=512 HLL's standard error is 1.04/sqrt(512) =
+    4.6% (vs the old Spark-native rsd=0.02 config — portability costs
+    register count); assert within 3 sigma, with an absolute floor of
+    2 for tiny groups where one bucket collision is a whole unit of
+    relative error (observed: 15 distinct -> estimate 14)."""
     from log2ck_spark.queries import QUERIES, load_all
     from log2ck_spark.io import tbl
 
@@ -51,8 +55,13 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
+    assert set(approx) == set(exact)
     for et, n in exact.items():
-        assert abs(approx[et] - n) / n < 0.05, (et, approx[et], n)
+        assert abs(approx[et] - n) <= max(2.0, 3 * 0.046 * n), (
+            et,
+            approx[et],
+            n,
+        )
 
 
 def test_multimodal_decode_stub_raises(spark, sf_dir):
