@@ -18,6 +18,13 @@ tail capture and cost the round its official number):
 Each query is forced end-to-end with a noop sink (full computation, no
 collect cost). One tiny warmup action first so JVM/codegen startup
 isn't attributed to the first query.
+
+``python bench.py --smoke`` runs the SAME main path (calib anchor,
+measure loop, regression detection, 2-line print) over a 3-query
+subset at sf0.001 in under a minute — the executed-path gate added
+after r7, where a never-executed calib statement (ANSI overflow)
+crashed the official run before the first timing. Run it after ANY
+edit to this file; tests/test_bench_protocol.py runs it too.
 """
 
 from __future__ import annotations
@@ -110,9 +117,20 @@ HEADLINE = [
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --smoke: the executed-path gate the r7 crash proved necessary —
+    # the SAME main path (calib, warmup, measure, regression detect,
+    # 2-line print) over a 3-query headline subset at sf0.001, <60 s.
+    # Any statement that would crash the official run crashes here
+    # first, in a test / pre-commit context where it costs nothing.
+    # (r7's calib anchor was committed without ever being executed and
+    # zeroed the round's entire bench artifact; protocol-reader tests
+    # over JSON fixtures cannot catch that class of failure.)
+    smoke = "--smoke" in sys.argv[1:]
+    default_sf = "/root/testdata/sf0.001" if smoke else "/root/testdata/sf0.1"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", default_sf)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     load_all()
+    headline = HEADLINE[:3] if smoke else HEADLINE
     spark = get_spark("log2ck-bench")
 
     # Warmup off the clock, JMH-style: run every headline query once at
@@ -134,12 +152,26 @@ def main() -> None:
     # without recomputing median per-query ratios — r6's apparent
     # regressions were a uniform 1.25x sandbox slowdown that had to be
     # reverse-engineered; this key makes that one division.
-    calib = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        spark.range(100_000_000).selectExpr("sum(xxhash64(id))").collect()
-        calib = min(calib, time.time() - t0)
-    calib = round(calib, 3)
+    #
+    # bit_xor, NOT sum: summing 100M xxhash64 values exits int64 range
+    # with near-certainty, and Spark 4.x runs ANSI mode ON by default,
+    # so sum() raises ARITHMETIC_OVERFLOW instead of wrapping — that
+    # exact statement crashed BENCH_r07 before the first timed query.
+    # bit_xor is the same CPU-bound shape and cannot overflow. The
+    # whole block is additionally guarded: calib is advisory context,
+    # and no calibration problem may ever zero the artifact again.
+    calib = None
+    try:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(100_000_000).selectExpr(
+                "bit_xor(xxhash64(id))"
+            ).collect()
+            best = min(best, time.time() - t0)
+        calib = round(best, 3)
+    except Exception:
+        calib = None
 
     # Two measured iterations per query, report the MIN (JMH/TPC warm-run
     # practice). First executions at a new SF show 2-4x run-to-run
@@ -157,8 +189,8 @@ def main() -> None:
     # janino again (observed as 1.5-2x noise on the expression-heavy
     # dedup pipelines as the headline set grew).
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if os.path.isdir(warm_dir):
+    for name in headline:
+        if os.path.isdir(warm_dir) and not smoke:
             try:
                 QUERIES[name](spark, warm_dir).write.format("noop").mode(
                     "overwrite"
@@ -186,7 +218,7 @@ def main() -> None:
     # figures; this sweep stays a coarse tripwire, not a throughput
     # claim.
     registry: dict[str, float] = {}
-    if os.path.isdir(warm_dir):
+    if os.path.isdir(warm_dir) and not smoke:
         for name in sorted(QUERIES):
             if name in timings:
                 continue
@@ -207,7 +239,9 @@ def main() -> None:
     # the grand total is not comparable across rounds. r3_subset_total
     # is the sum over exactly the 27 names BENCH_r03 timed — the
     # apples-to-apples number.
-    r3_subset = round(sum(timings[n] for n in HEADLINE[:27]), 3)
+    r3_subset = round(
+        sum(timings[n] for n in HEADLINE[:27] if n in timings), 3
+    )
 
     # Cross-round regression tripwire: diff against the most recent
     # parseable bench record (driver BENCH_r*.json first, then our own
@@ -216,11 +250,24 @@ def main() -> None:
     # not mask — or spuriously flag — sf0.1 numbers); the registry
     # sweep is pinned to sf0.01 by construction, so it always compares.
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    prev_head, prev_reg, prev_src, prev_sf = _previous_bench()
+    prev_head, prev_reg, prev_src, prev_sf, prev_calib = _previous_bench()
     pairs = [(registry, prev_reg, "registry")]
     if prev_sf == sf_val:
         pairs.append((timings, prev_head, "headline"))
-    regressions, env_drift = detect_regressions(pairs)
+    # Pure machine-speed ratio from the synthetic anchor (this round's
+    # calib / baseline's). Median per-query drift that the calib ratio
+    # cannot explain is code, not machine — detect_regressions falls
+    # back to the calib ratio for normalization in that case, so a
+    # uniform REAL regression (e.g. a session-config change slowing
+    # every query 2.5x) can no longer masquerade as env_drift.
+    calib_ratio = (
+        round(calib / prev_calib, 3)
+        if calib and prev_calib and prev_calib > 0
+        else None
+    )
+    regressions, env_drift, drift_source = detect_regressions(
+        pairs, calib_ratio
+    )
     registry_total = round(sum(v for v in registry.values() if v > 0), 3)
     registry_line = {
         "registry_sf001": registry,
@@ -245,14 +292,18 @@ def main() -> None:
         "regressions_total": len(regressions),
         "regressions_baseline": prev_src,
         "env_drift": env_drift,
+        "drift_source": drift_source,
         "calib": calib,
+        "calib_ratio": calib_ratio,
         "sf": sf_val,
     }
+    if smoke:
+        headline_line["smoke"] = True
     # Sidecar: the complete record, immune to stdout-capture limits —
     # but only the OFFICIAL scale may overwrite it, or a quick
     # small-SF smoke run would clobber the committed cross-round
     # baseline with incomparable timings.
-    if sf_val == 0.1:
+    if sf_val == 0.1 and not smoke:
         with open(os.path.join(_REPO_ROOT, "bench_registry.json"), "w") as f:
             json.dump(
                 {**headline_line, "regressions": regressions, **registry_line},
@@ -271,10 +322,17 @@ _REGRESSIONS_PRINT_CAP = 8
 # queries being judged, so normalization is skipped (env_drift = 1.0).
 _ENV_DRIFT_MIN_PAIRS = 5
 
+# Median-vs-calib disagreement factor beyond which the median drift is
+# treated as code-contaminated and the calib ratio takes over. 1.4 sits
+# above observed same-machine calib jitter (<1.15x run-to-run) and well
+# below the 2x regression threshold it protects.
+_CALIB_AGREE = 1.4
+
 
 def detect_regressions(
     pairs: "list[tuple[dict, dict, str]]",
-) -> "tuple[dict[str, dict], float]":
+    calib_ratio: "float | None" = None,
+) -> "tuple[dict[str, dict], float, str]":
     """Median-normalized tripwire over (current, previous, set-name)
     timing-map pairs. The raw `now > 2*prev` test is environment-naive:
     r6 measured a uniform 1.25x sandbox slowdown, under which a real
@@ -284,9 +342,20 @@ def detect_regressions(
     every comparable pair — uniform machine speed moves the median,
     a single regressed query cannot — then trip on the
     DRIFT-NORMALIZED ratio: (now/prev)/drift > 2, plus a >0.25 s
-    absolute floor (the registry sweep times single runs; doubling a
-    40 ms query is noise, doubling a 2 s one is a regression).
-    Returns ({name: {now, prev, set, norm}}, env_drift)."""
+    absolute floor on the DRIFT-ADJUSTED delta `t - drift*prev` (a raw
+    `t - prev` floor is machine-biased: on a 2x-faster box a real 3x
+    normalized regression like 0.4s->0.6s would be suppressed, and on
+    a slower box the floor effectively loosens).
+
+    The median alone cannot tell a uniform machine slowdown from a
+    uniform REAL regression — a change slowing every query 2.5x moves
+    the median to 2.5 and reports zero regressions. `calib_ratio`
+    (this round's synthetic CPU anchor / the baseline's) is the pure
+    machine signal that disambiguates: when the median diverges from
+    it by more than _CALIB_AGREE (either direction), normalization
+    falls back to the calib ratio, so drift the machine cannot explain
+    trips the wire as code. Returns
+    ({name: {now, prev, set, norm}}, env_drift, drift_source)."""
     ratios = [
         t / old
         for cur, prev, _tag in pairs
@@ -309,6 +378,14 @@ def detect_regressions(
         env_drift = max(env_drift, 0.001)
     else:
         env_drift = 1.0
+    drift_source = "median"
+    if calib_ratio is not None and calib_ratio > 0:
+        disagreement = max(env_drift, calib_ratio) / min(
+            env_drift, calib_ratio
+        )
+        if disagreement > _CALIB_AGREE:
+            env_drift = max(calib_ratio, 0.001)
+            drift_source = "calib"
     regressions: dict[str, dict] = {}
     for cur, prev, tag in pairs:
         for name, t in cur.items():
@@ -316,14 +393,14 @@ def detect_regressions(
             if not (old and old > 0 and t > 0):
                 continue
             norm = (t / old) / env_drift
-            if norm > 2 and t - old > 0.25:
+            if norm > 2 and t - env_drift * old > 0.25:
                 regressions[name] = {
                     "now": t,
                     "prev": round(old, 3),
                     "set": tag,
                     "norm": round(norm, 2),
                 }
-    return regressions, env_drift
+    return regressions, env_drift, drift_source
 
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
@@ -338,9 +415,11 @@ def _read_sidecar(root: str) -> "dict | None":
         return None
 
 
-def _previous_bench(root: str = None) -> "tuple[dict, dict, str | None, object]":
-    """(headline_times, registry_times, source_name, baseline_sf) from
-    the newest parseable bench record. Driver-written BENCH_r{N}.json
+def _previous_bench(
+    root: str = None,
+) -> "tuple[dict, dict, str | None, object, float | None]":
+    """(headline_times, registry_times, source_name, baseline_sf,
+    baseline_calib) from the newest parseable bench record. Driver-written BENCH_r{N}.json
     (highest N whose `parsed` is non-null) wins for the headline map;
     the bench_registry.json sidecar is the fallback for rounds whose
     driver capture truncated — AND the standing source of the registry
@@ -385,15 +464,24 @@ def _previous_bench(root: str = None) -> "tuple[dict, dict, str | None, object]"
             src += "+sidecar"
         else:
             reg = parsed.get("registry_sf001") or {}
-        return parsed.get("queries") or {}, reg, src, parsed.get("sf")
+        # Baseline calib: the record's own anchor; sidecar fallback for
+        # driver records predating the key (or whose calib was null).
+        cal = parsed.get("calib")
+        if not isinstance(cal, (int, float)):
+            cal = (side or {}).get("calib")
+        cal = cal if isinstance(cal, (int, float)) and cal > 0 else None
+        return parsed.get("queries") or {}, reg, src, parsed.get("sf"), cal
     if side is not None:
+        cal = side.get("calib")
+        cal = cal if isinstance(cal, (int, float)) and cal > 0 else None
         return (
             side.get("queries") or {},
             side.get("registry_sf001") or {},
             "bench_registry.json",
             side.get("sf"),
+            cal,
         )
-    return {}, {}, None, None
+    return {}, {}, None, None, None
 
 
 if __name__ == "__main__":

@@ -109,6 +109,16 @@ def scratch_dir(*keys: str) -> str:
     import re
     import shutil
 
+    # Canonicalize the source path FIRST: the same corpus reached via
+    # a relative path, doubled slash, or symlink must produce the same
+    # digest AND label, or superseded generations silently stop being
+    # evicted (different label) / alternating spellings rmtree each
+    # other's live staging (same label, different digest) — both
+    # re-open the orphaned-multi-GB-copy accumulation the prefix
+    # delete exists to prevent.
+    keys = tuple(keys)
+    if keys and os.path.isdir(keys[0]):
+        keys = (os.path.realpath(keys[0]), *keys[1:])
     all_keys = list(keys) + [STAGING_VERSION]
     if keys and os.path.isdir(keys[0]):
         all_keys.append(_source_fingerprint(keys[0]))

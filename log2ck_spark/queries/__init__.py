@@ -87,33 +87,16 @@ ROTATION_FIRST: tuple[str, ...] = (
     # ONLY queries whose code/oracle changed after their latest driver
     # row are pinned — the automatic stalest-first order handles
     # everything else (never-checked first, then failed-last-check,
-    # then stalest green). r6 pins (r5's six pins all went green r5
-    # and are released):
-    # - r5 code changes that landed AFTER these names' latest driver
-    #   rows (the r5 verdict's explicit list): parse.py's single-pass
-    #   regex rewrite (parse_accesslog/parse_logfmt rows are r4,
-    #   pre-rewrite), the similarity module refactor around
-    #   similarity_lsh (also needs a clean driver bench datapoint vs
-    #   its r4 0.885 s), the idempotent-staging change under the
-    #   ingest connectors, pivot_agg's sparse-cell fix, ttl_expire's
-    #   NULL-predicate delete fix.
-    "parse_accesslog",
-    "parse_logfmt",
-    "similarity_lsh",
-    "ingest_jsonl",
-    "ingest_csv",
-    "ingest_orc",
-    "ingest_tail_snapshot",
-    "pivot_agg",
-    "ttl_expire",
-    # - r6 code/oracle changes needing fresh rows: vocab_coverage's
-    #   ranking rewritten to a bounded TakeOrdered head (no more
-    #   unpartitioned full-vocab window); dedup_embedding_lsh and
-    #   dedup_semantic oracles gained the zero-norm cosine guard
-    #   mirroring the Spark kernels (advisor item).
-    "vocab_coverage",
-    "dedup_embedding_lsh",
-    "dedup_semantic",
+    # then stalest green). All 12 r6 pins went full-value green in r7
+    # and are released; the freed slots drain the r4/r5 tail.
+    # r8 pin:
+    # - approx_distinct: r7 replaced its Spark-native
+    #   approx_count_distinct (rows-only checkable — HLL++ register
+    #   layout not replayable cross-engine) with the portable shared
+    #   HLL and a full DuckDB value oracle, and r8 adds the all-NULL-
+    #   group left-join fix; its latest driver row (r6) predates both,
+    #   the textbook case for this pin rule (r7 verdict item 3).
+    "approx_distinct",
 )
 
 

@@ -418,10 +418,10 @@ def _approx_distinct_oracle() -> str:
     , counts AS (
       SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
     )
-    SELECT h.event_type,
-           CAST(ROUND(h.est, 0) AS BIGINT) AS approx_users,
+    SELECT c.event_type,
+           CAST(COALESCE(ROUND(h.est, 0), 0) AS BIGINT) AS approx_users,
            c.n
-    FROM hll_est h JOIN counts c USING (event_type)
+    FROM counts c LEFT JOIN hll_est h USING (event_type)
     """
     )
 
@@ -437,15 +437,24 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-dependency production choice, but its register layout is not
     replayable by any other engine; this portable twin makes the
     estimate value-checkable cross-engine, not just error-bound-tested
-    (the error-bound test remains: tests/test_maintenance.py)."""
+    (the error-bound test remains: tests/test_maintenance.py).
+
+    LEFT join from counts: hll_estimate drops NULL values (matching
+    COUNT(DISTINCT) semantics), so a group whose user_ids are ALL NULL
+    never reaches `est` — an inner join would drop the group entirely,
+    diverging from the upstream approx_count_distinct contract, which
+    returns it with estimate 0. Coalesce preserves that contract; the
+    oracle CTE mirrors it."""
     from log2ck_spark.queries.sketches import hll_estimate
 
     ev = tbl(spark, sf_dir, "events")
     est = hll_estimate(ev, "event_type", "user_id")
     counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
-    return est.join(counts, "event_type").select(
+    return counts.join(est, "event_type", "left").select(
         "event_type",
-        F.round("est", 0).cast("bigint").alias("approx_users"),
+        F.coalesce(F.round("est", 0).cast("bigint"), F.lit(0)).alias(
+            "approx_users"
+        ),
         "n",
     )
 

@@ -6,6 +6,13 @@ values). Usage: python scripts/driver_replica.py [sf_dir] [name ...]
 — optional query names restrict the run to just those (fast re-check
 of the queries an edit touched; the full no-args run remains the
 pre-commit gate for broad changes).
+
+`--sf 0.1` (or any SF with a /root/testdata/sf{SF} dir) is shorthand
+for the corresponding sf_dir: `python scripts/driver_replica.py --sf
+0.1` is the REPEATABLE 10x-scale full-registry value gate — the same
+oracle comparison the driver runs at sf0.01, at ten times the data
+(r6/r7 verdicts asked for this as one documented command; see
+PARITY.md). Expect ~3-4x the sf0.01 wall time.
 """
 
 from __future__ import annotations
@@ -22,8 +29,19 @@ from tests.oracle_harness import compare, run_oracle  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    if argv[:1] == ["--sf"]:
+        if len(argv) < 2:
+            print("--sf requires a scale factor (e.g. --sf 0.1)")
+            return 1
+        sf_dir, rest = f"/root/testdata/sf{argv[1]}", argv[2:]
+        if not os.path.isdir(sf_dir):
+            print(f"no testdata at {sf_dir}")
+            return 1
+    else:
+        sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+        rest = argv[1:]
+    only = set(rest)
     spark = get_spark("driver-replica")
 
     t0 = time.time()

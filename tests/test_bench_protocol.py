@@ -30,7 +30,7 @@ def test_previous_bench_prefers_newest_parseable_driver_record(tmp_path):
         {"parsed": {"queries": {"q": 2.0}, "sf": 0.1}},
     )
     _write(tmp_path / "BENCH_r05.json", {"parsed": None})  # truncated round
-    head, reg, src, sf = bench._previous_bench(str(tmp_path))
+    head, reg, src, sf, cal = bench._previous_bench(str(tmp_path))
     assert src == "BENCH_r04.json"  # newest PARSEABLE, r5's null skipped
     assert head == {"q": 2.0}
     assert reg == {}  # no sidecar to merge from
@@ -50,7 +50,7 @@ def test_previous_bench_merges_registry_from_sidecar(tmp_path):
         tmp_path / "bench_registry.json",
         {"queries": {"q": 9.9}, "registry_sf001": {"r": 0.2}, "sf": 0.1},
     )
-    head, reg, src, sf = bench._previous_bench(str(tmp_path))
+    head, reg, src, sf, cal = bench._previous_bench(str(tmp_path))
     assert head == {"q": 2.0}  # headline from the DRIVER record
     assert reg == {"r": 0.2}  # registry merged from the sidecar
     assert src == "BENCH_r06.json+sidecar"
@@ -62,20 +62,20 @@ def test_previous_bench_falls_back_to_sidecar(tmp_path):
         tmp_path / "bench_registry.json",
         {"queries": {"q": 3.0}, "registry_sf001": {"r": 0.2}, "sf": 0.1},
     )
-    head, reg, src, sf = bench._previous_bench(str(tmp_path))
+    head, reg, src, sf, cal = bench._previous_bench(str(tmp_path))
     assert src == "bench_registry.json"
     assert (head, reg, sf) == ({"q": 3.0}, {"r": 0.2}, 0.1)
 
 
 def test_previous_bench_tolerates_junk_and_absence(tmp_path):
-    assert bench._previous_bench(str(tmp_path)) == ({}, {}, None, None)
+    assert bench._previous_bench(str(tmp_path)) == ({}, {}, None, None, None)
     (tmp_path / "BENCH_r09.json").write_text("{not json")
     (tmp_path / "bench_registry.json").write_text("[]")  # not a dict
-    assert bench._previous_bench(str(tmp_path)) == ({}, {}, None, None)
+    assert bench._previous_bench(str(tmp_path)) == ({}, {}, None, None, None)
     # Valid JSON that is NOT an object (r6 advisor finding): must be
     # skipped like junk, not AttributeError before anything prints.
     (tmp_path / "BENCH_r10.json").write_text("[1, 2]")
-    assert bench._previous_bench(str(tmp_path)) == ({}, {}, None, None)
+    assert bench._previous_bench(str(tmp_path)) == ({}, {}, None, None, None)
 
 
 def test_previous_bench_sidecar_registry_wins_over_driver_record(tmp_path):
@@ -97,7 +97,7 @@ def test_previous_bench_sidecar_registry_wins_over_driver_record(tmp_path):
         tmp_path / "bench_registry.json",
         {"queries": {"q": 3.3}, "registry_sf001": {"r": 0.2}, "sf": 0.1},
     )
-    head, reg, src, sf = bench._previous_bench(str(tmp_path))
+    head, reg, src, sf, cal = bench._previous_bench(str(tmp_path))
     assert head == {"q": 2.0}  # headline still from the driver record
     assert reg == {"r": 0.2}  # registry from the fresher sidecar
     assert src == "BENCH_r04.json+sidecar"
@@ -109,11 +109,11 @@ def test_detect_regressions_divides_out_uniform_drift():
     median normalization must surface exactly the regressed query."""
     prev = {f"q{i}": 1.0 for i in range(10)}
     cur = {n: 2.5 for n in prev}  # everything uniformly 2.5x slower
-    reg, drift = bench.detect_regressions([(cur, prev, "registry")])
+    reg, drift, src = bench.detect_regressions([(cur, prev, "registry")])
     assert drift == 2.5
     assert reg == {}  # raw test would have flagged all 10
     cur["q3"] = 6.0  # 6x raw = 2.4x normalized: a real regression
-    reg, drift = bench.detect_regressions([(cur, prev, "registry")])
+    reg, drift, src = bench.detect_regressions([(cur, prev, "registry")])
     assert drift == 2.5
     assert set(reg) == {"q3"}
     assert reg["q3"]["norm"] == 2.4 and reg["q3"]["set"] == "registry"
@@ -125,7 +125,7 @@ def test_detect_regressions_fast_machine_does_not_loosen_bar():
     prev = {f"q{i}": 1.0 for i in range(10)}
     cur = {n: 0.5 for n in prev}
     cur["q7"] = 1.4  # only 1.4x raw, but 2.8x vs the 0.5 drift
-    reg, drift = bench.detect_regressions([(cur, prev, "registry")])
+    reg, drift, src = bench.detect_regressions([(cur, prev, "registry")])
     assert drift == 0.5
     assert set(reg) == {"q7"}
 
@@ -134,18 +134,82 @@ def test_detect_regressions_few_pairs_skip_normalization():
     """With fewer pairs than _ENV_DRIFT_MIN_PAIRS the median IS the
     judged queries — fall back to raw ratios (drift 1.0) and keep the
     absolute >0.25 s floor."""
-    reg, drift = bench.detect_regressions(
+    reg, drift, src = bench.detect_regressions(
         [({"a": 3.0, "b": 0.3}, {"a": 1.0, "b": 0.1}, "headline")]
     )
     assert drift == 1.0
     assert set(reg) == {"a"}  # b is 3x but only +0.2 s: noise floor
 
 
+def test_detect_regressions_calib_disambiguates_uniform_real_regression():
+    """The median alone cannot tell a uniform machine slowdown from a
+    uniform REAL regression (a session-config change slowing every
+    query 2.5x moves the median to 2.5 and reports nothing). With a
+    calib anchor saying the machine is unchanged (~1.0), normalization
+    must fall back to the calib ratio and flag the queries."""
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    cur = {n: 2.5 for n in prev}
+    reg, drift, src = bench.detect_regressions(
+        [(cur, prev, "registry")], calib_ratio=1.02
+    )
+    assert src == "calib" and drift == 1.02
+    assert set(reg) == set(prev)  # the uniform regression surfaces
+    # And when calib AGREES with the median (true machine slowdown),
+    # the median stays authoritative and nothing is flagged.
+    reg, drift, src = bench.detect_regressions(
+        [(cur, prev, "registry")], calib_ratio=2.4
+    )
+    assert src == "median" and drift == 2.5
+    assert reg == {}
+
+
+def test_detect_regressions_floor_is_drift_adjusted():
+    """The >0.25 s absolute floor must apply to the drift-adjusted
+    delta t - drift*prev: on a 2x-faster machine a real 3x normalized
+    regression (0.4s -> 0.6s) has raw delta 0.2 and would be
+    suppressed by a raw-delta floor."""
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    prev["qx"] = 0.4
+    cur = {n: 0.5 for n in prev}
+    cur["qx"] = 0.6  # raw delta 0.2 < 0.25, but drift-adjusted 0.4
+    reg, drift, src = bench.detect_regressions([(cur, prev, "registry")])
+    assert drift == 0.5
+    assert "qx" in reg and reg["qx"]["norm"] == 3.0
+
+
+def test_bench_smoke_executes_main_path():
+    """The r7 lesson: no JSON-fixture test can catch a Spark statement
+    on bench.py's main path that throws under the repo's own ANSI-on
+    session (the calib anchor overflowed and zeroed the round's entire
+    artifact, committed without ever being executed). --smoke runs the
+    REAL main path — calib, measure loop, regression detection, 2-line
+    print — at sf0.001 and must exit 0 with a parseable final line
+    carrying a non-null calib."""
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, bench.__file__, "--smoke"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=bench._REPO_ROOT,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    last = out.stdout.strip().splitlines()[-1]
+    rec = json.loads(last)
+    assert rec["smoke"] is True and rec["sf"] == 0.001
+    assert isinstance(rec["calib"], float) and rec["calib"] > 0
+    assert len(rec["queries"]) == 3 and all(
+        v > 0 for v in rec["queries"].values()
+    )
+
+
 def test_repo_sidecar_is_current_and_parseable():
     """The committed sidecar must parse and carry both maps — it is
     next round's fallback baseline if the driver capture truncates,
     and the standing registry baseline either way."""
-    head, reg, src, sf = bench._previous_bench()
+    head, reg, src, sf, cal = bench._previous_bench()
     assert src is not None
     assert head  # some baseline always exists in this checkout
     side = bench._read_sidecar(bench._REPO_ROOT)

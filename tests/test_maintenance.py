@@ -379,3 +379,40 @@ def test_materialize_shards_one_sorted_file_per_shard(spark, tmp_path):
             key=lambda i: (hashlib.md5(f"{i}:42".encode()).hexdigest(), i),
         )
         assert got == expect, d
+
+
+def test_approx_distinct_keeps_all_null_groups(spark, tmp_path):
+    """hll_estimate drops NULL values (COUNT(DISTINCT) semantics), so
+    a group whose user_ids are ALL NULL never reaches the estimate
+    side; with the pre-r8 inner join that dropped the group entirely,
+    diverging from the upstream approx_count_distinct contract (which
+    returns it with estimate 0). The left-join + coalesce must keep
+    it: approx_users == 0, n == the group's row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log2ck_spark.queries import QUERIES, load_all
+
+    load_all()
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(["2024-01-01"] * 4),
+            "user_id": pd.array([10, 11, None, None], dtype="Int64"),
+            "event_type": ["click", "click", "ghost", "ghost"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "props": ["{}"] * 4,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "events.parquet"),
+    )
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["approx_distinct"](spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {"click", "ghost"}
+    assert rows["ghost"]["approx_users"] == 0 and rows["ghost"]["n"] == 2
+    assert rows["click"]["approx_users"] == 2 and rows["click"]["n"] == 2

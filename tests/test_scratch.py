@@ -51,3 +51,31 @@ def test_regenerated_same_corpus_is_evicted_in_place(tmp_path):
     p2 = io.scratch_dir(a, "docs")
     assert p1 != p2
     assert not os.path.exists(p1)  # superseded generation deleted
+
+
+def test_path_spelling_variants_resolve_to_one_staging(tmp_path):
+    """The r7 advisor follow-up: src_tag hashed the caller's raw path
+    spelling, so the same corpus reached via a relative path, doubled
+    slash, or symlink produced a different label — superseded
+    generations under the other spelling silently stopped being
+    evicted. scratch_dir must canonicalize (realpath) before hashing:
+    every spelling of one corpus maps to ONE staging dir."""
+    a = _mkcorpus(tmp_path, "a")
+    canonical = io.scratch_dir(a, "docs")
+    assert io.scratch_dir(a + "/", "docs") == canonical
+    doubled = a.replace("/sf0.01", "//sf0.01")
+    assert io.scratch_dir(doubled, "docs") == canonical
+    rel = os.path.relpath(a)
+    assert io.scratch_dir(rel, "docs") == canonical
+    link = str(tmp_path / "lnk")
+    os.symlink(a, link)
+    assert io.scratch_dir(link, "docs") == canonical
+    # And eviction still works across spellings: regenerate via the
+    # symlink, compute via the original spelling — the superseded
+    # generation must be deleted, not orphaned.
+    os.makedirs(canonical, exist_ok=True)
+    with open(os.path.join(a, "t.parquet"), "wb") as f:
+        f.write(b"z" * 48)
+    p2 = io.scratch_dir(link, "docs")
+    assert p2 != canonical
+    assert not os.path.exists(canonical)
