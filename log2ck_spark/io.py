@@ -136,10 +136,56 @@ def scratch_dir(*keys: str) -> str:
         for k in [f"{os.path.basename(keys[0].rstrip('/'))}_{src_tag}", *keys[1:]]
     )
     os.makedirs(SCRATCH_ROOT, exist_ok=True)
+    keep = (f"{label}-{digest}", f"{label}-{digest}.src")
     for stale in os.listdir(SCRATCH_ROOT):
-        if stale.startswith(f"{label}-") and stale != f"{label}-{digest}":
-            shutil.rmtree(os.path.join(SCRATCH_ROOT, stale), ignore_errors=True)
-    return os.path.join(SCRATCH_ROOT, f"{label}-{digest}")
+        if stale.startswith(f"{label}-") and stale not in keep:
+            full = os.path.join(SCRATCH_ROOT, stale)
+            if stale.endswith(".src"):
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+            else:
+                shutil.rmtree(full, ignore_errors=True)
+    path = os.path.join(SCRATCH_ROOT, f"{label}-{digest}")
+    # Orphan GC: prefix eviction only fires when the SAME corpus is
+    # re-keyed, so staging whose source corpus is simply GONE (a
+    # pytest tmp_path corpus after the test session, a deleted
+    # dataset) accumulates forever — each unique source path is a
+    # unique label that never recurs. Record the canonical source in a
+    # SIDECAR file next to the staging dir (inside the dir it would
+    # not survive ensure_staged's overwrite rewrite, and an orphan
+    # never gets another scratch_dir call to restore it), and once per
+    # process sweep siblings whose recorded source no longer exists.
+    # Markerless dirs (non-directory first keys, e.g. the warehouse,
+    # and pre-r8 staging) are never swept.
+    if keys and os.path.isdir(keys[0]) and not os.path.exists(f"{path}.src"):
+        with open(f"{path}.src", "w") as f:
+            f.write(keys[0])
+    global _GC_DONE
+    if not _GC_DONE:
+        _GC_DONE = True
+        for entry in os.listdir(SCRATCH_ROOT):
+            if not entry.endswith(".src"):
+                continue
+            full = os.path.join(SCRATCH_ROOT, entry)
+            if full == f"{path}.src":
+                continue
+            try:
+                with open(full) as f:
+                    src = f.read().strip()
+            except OSError:
+                continue
+            if src and not os.path.exists(src):
+                shutil.rmtree(full[: -len(".src")], ignore_errors=True)
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+    return path
+
+
+_GC_DONE = False
 
 
 def ensure_staged(path: str, write) -> str:

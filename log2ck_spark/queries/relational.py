@@ -429,7 +429,7 @@ def _approx_distinct_oracle() -> str:
 @register("approx_distinct", oracle=_approx_distinct_oracle())
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group approximate distinct users via the engine-portable
-    HLL shared with `sketch_hll` (sketches.hll_estimate: m=512
+    HLL shared with `sketch_hll` (sketches.hll_group_stats: m=512
     registers, mergeable MAX-combine partial agg — constant memory per
     group vs the full dedup shuffle of exact distinct, the only viable
     per-group cardinality estimator at 100 TB). Spark's native
@@ -439,22 +439,19 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate value-checkable cross-engine, not just error-bound-tested
     (the error-bound test remains: tests/test_maintenance.py).
 
-    LEFT join from counts: hll_estimate drops NULL values (matching
-    COUNT(DISTINCT) semantics), so a group whose user_ids are ALL NULL
-    never reaches `est` — an inner join would drop the group entirely,
-    diverging from the upstream approx_count_distinct contract, which
-    returns it with estimate 0. Coalesce preserves that contract; the
-    oracle CTE mirrors it."""
-    from log2ck_spark.queries.sketches import hll_estimate
+    ONE scan, no join (r8): hll_group_stats folds the per-group row
+    count into the register aggregation via a sentinel bucket, so the
+    events scan — the dominant cost at 100 TB — happens once instead
+    of twice-plus-a-join. Groups whose user_ids are ALL NULL surface
+    with estimate 0 (the zero-occupancy linear-counting branch),
+    matching the upstream approx_count_distinct contract; the oracle
+    mirrors that via LEFT JOIN + COALESCE."""
+    from log2ck_spark.queries.sketches import hll_group_stats
 
     ev = tbl(spark, sf_dir, "events")
-    est = hll_estimate(ev, "event_type", "user_id")
-    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
-    return counts.join(est, "event_type", "left").select(
+    return hll_group_stats(ev, "event_type", "user_id").select(
         "event_type",
-        F.coalesce(F.round("est", 0).cast("bigint"), F.lit(0)).alias(
-            "approx_users"
-        ),
+        F.round("est", 0).cast("bigint").alias("approx_users"),
         "n",
     )
 

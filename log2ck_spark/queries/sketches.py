@@ -258,39 +258,58 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hll_estimate(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def hll_group_stats(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
     """Per-group distinct-count estimate via the SAME portable HLL that
     `sketch_hll` value-checks cross-engine (m={m} md5 registers,
     2^{rho}-scaled integer harmonic sum, linear-counting small-range
     correction) — factored out so `approx_distinct` shares the exact
     oracle-replayable estimator instead of Spark's HLL++ (whose
     register layout no other engine can replay, which kept that query
-    rows-only for five rounds). NULL values are dropped first, matching
-    COUNT(DISTINCT x)'s null semantics. Returns (group_col, est
-    DOUBLE); same mergeable two-phase shape as sketch_hll — duplicates
-    combine map-side into MAX(rho) registers, per-group state is a
-    fixed {m} registers at any cardinality."""
+    rows-only for five rounds). Returns (group_col, est DOUBLE,
+    n BIGINT) where `n` is the group's TOTAL row count and `est`
+    ignores NULL values, matching COUNT(DISTINCT x) semantics — a
+    group whose values are all NULL comes back with est = 0.0 (the
+    linear-counting branch at zero occupancy), never dropped.
+
+    ONE scan of the input (r8; previously the count was a second scan
+    joined back — at 100 TB the scan IS the cost, and Catalyst cannot
+    reuse it across the two differently-filtered branches): NULL-value
+    rows ride the same register aggregation under a sentinel bucket
+    (-1 — unreachable for real values, whose md5-derived h is
+    non-negative so h % m >= 0), contribute a NULL rho that MAX()
+    ignores and a row count that SUM() keeps. Same mergeable two-phase
+    shape as sketch_hll — duplicates combine map-side into MAX(rho)
+    registers, per-group state is a fixed {m} registers + one counter
+    at any cardinality."""
     g, v = F.col(group_col), F.col(value_col)
     h = F.conv(F.substring(F.md5(v.cast("string")), 1, 15), 16, 10).cast(
         "bigint"
     )
     rest = F.shiftright(F.col("h"), _HLL_P).cast("bigint")
-    rho = F.when(rest == 0, F.lit(_HLL_MAXRHO)).otherwise(
-        _HLL_MAXRHO - F.length(F.bin(rest))
-    )
+    rho = F.when(F.col("h").isNull(), F.lit(None)).when(
+        rest == 0, F.lit(_HLL_MAXRHO)
+    ).otherwise(_HLL_MAXRHO - F.length(F.bin(rest)))
     registers = (
-        df.filter(v.isNotNull())
-        .select(g.alias("g"), h.alias("h"))
-        .select("g", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("r"))
+        df.select(g.alias("g"), h.alias("h"))
+        .select(
+            "g",
+            F.coalesce(F.col("h") % _HLL_M, F.lit(-1)).alias("bucket"),
+            rho.alias("r"),
+        )
         .groupBy("g", "bucket")
-        .agg(F.max("r").alias("m_rho"))
+        .agg(F.max("r").alias("m_rho"), F.count("*").alias("cnt"))
     )
+    # contrib is NULL exactly on the sentinel bucket (m_rho NULL), so
+    # SUM skips it and COUNT(m_rho) is the true register occupancy.
     contrib = F.pow(F.lit(2.0), _HLL_MAXRHO - F.col("m_rho")).cast("bigint")
     per_group = registers.groupBy("g").agg(
-        F.count("*").alias("occupied"),
+        F.sum("cnt").alias("n"),
+        F.count("m_rho").alias("occupied"),
         (
-            F.sum(contrib)
-            + (_HLL_M - F.count("*"))
+            F.coalesce(F.sum(contrib), F.lit(0))
+            + (_HLL_M - F.count("m_rho"))
             * F.pow(F.lit(2.0), F.lit(_HLL_MAXRHO)).cast("bigint")
         ).cast("bigint").alias("sum_scaled"),
     )
@@ -309,10 +328,13 @@ def hll_estimate(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         F.when((raw <= 2.5 * _HLL_M) & (F.col("occupied") < _HLL_M), linear)
         .otherwise(raw)
         .alias("est"),
+        F.col("n"),
     )
 
 
-hll_estimate.__doc__ = hll_estimate.__doc__.format(m=_HLL_M, rho=_HLL_MAXRHO)
+hll_group_stats.__doc__ = hll_group_stats.__doc__.format(
+    m=_HLL_M, rho=_HLL_MAXRHO
+)
 
 
 def hll_oracle_cte(table: str, group_col: str, value_col: str) -> str:

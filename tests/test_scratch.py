@@ -79,3 +79,45 @@ def test_path_spelling_variants_resolve_to_one_staging(tmp_path):
     p2 = io.scratch_dir(link, "docs")
     assert p2 != canonical
     assert not os.path.exists(canonical)
+
+
+def test_orphaned_staging_is_garbage_collected(tmp_path, monkeypatch):
+    """Prefix eviction only covers re-keyed generations of a LIVE
+    corpus; staging whose source is simply gone (a pytest tmp_path
+    corpus after its session) previously accumulated forever. Each
+    scratch_dir call records the canonical source in a .src sidecar
+    (outside the dir — inside it would not survive the overwrite
+    restage), and the first call of a process sweeps siblings whose
+    recorded source no longer exists."""
+    import shutil
+
+    a = _mkcorpus(tmp_path, "gone")
+    b = _mkcorpus(tmp_path, "alive")
+    pa = io.scratch_dir(a, "docs")
+    pb = io.scratch_dir(b, "docs")
+    os.makedirs(pa, exist_ok=True)
+    os.makedirs(pb, exist_ok=True)
+    assert os.path.exists(pa + ".src") and os.path.exists(pb + ".src")
+    shutil.rmtree(str(tmp_path / "gone"))
+    monkeypatch.setattr(io, "_GC_DONE", False)
+    pb2 = io.scratch_dir(b, "docs")
+    assert pb2 == pb and os.path.exists(pb)  # live corpus untouched
+    assert not os.path.exists(pa)  # orphan swept
+    assert not os.path.exists(pa + ".src")  # sidecar swept with it
+
+
+def test_sidecar_survives_repeat_calls_and_eviction(tmp_path):
+    """The eviction loop deletes by label prefix; the CURRENT dir's
+    .src sidecar shares that prefix and must be excluded, and a
+    superseded generation's sidecar must go with its dir."""
+    a = _mkcorpus(tmp_path, "a")
+    p1 = io.scratch_dir(a, "docs")
+    assert os.path.exists(p1 + ".src")
+    assert io.scratch_dir(a, "docs") == p1
+    assert os.path.exists(p1 + ".src")  # not churned by the re-call
+    with open(os.path.join(a, "t.parquet"), "wb") as f:
+        f.write(b"q" * 64)  # regenerate -> new digest
+    p2 = io.scratch_dir(a, "docs")
+    assert p2 != p1
+    assert not os.path.exists(p1 + ".src")  # old sidecar evicted too
+    assert os.path.exists(p2 + ".src")
