@@ -319,3 +319,50 @@ def test_json_each_row_map_keys_of_every_legal_type():
     assert got["by_bin"] == {"AP8=": 4}  # base64 of 00 ff
     assert got["by_int"] == {"7": 5}  # json's own int-key coercion
     assert got["by_nan"] == {"null": 6}  # non-finite -> null, as text
+
+
+# --------------------------------------------------------------------------
+# hll_group_stats kernel properties (r8 single-scan sentinel rewrite)
+# --------------------------------------------------------------------------
+
+_hll_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=40)),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_hll_rows)
+def test_hll_group_stats_properties(spark, rows):
+    """The single-scan kernel's contract over arbitrary group/value
+    mixes (NULLs included): every group present, n = the group's TOTAL
+    row count (NULLs counted), est = 0 exactly when the group has no
+    non-NULL values, else within the m=512 error envelope of the true
+    distinct count (3 sigma of 1.04/sqrt(512), absolute floor 2 for
+    tiny groups where one register collision is a unit of relative
+    error)."""
+    import collections
+
+    from log2ck_spark.queries.sketches import hll_group_stats
+
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = {
+        r["g"]: r for r in hll_group_stats(df, "g", "v").collect()
+    }
+    n_rows = collections.Counter(g for g, _ in rows)
+    distinct = {
+        g: len({v for gg, v in rows if gg == g and v is not None})
+        for g in n_rows
+    }
+    assert set(out) == set(n_rows)
+    for g in n_rows:
+        assert out[g]["n"] == n_rows[g]
+        d = distinct[g]
+        if d == 0:
+            assert out[g]["est"] == 0.0
+        else:
+            assert abs(out[g]["est"] - d) <= max(2.0, 3 * 0.046 * d)
