@@ -216,3 +216,105 @@ def test_single_partition_exchanges_only_on_allowlisted_reductions(plans):
         f"new single-partition exchange outside allowlist (a global "
         f"sort/window over raw rows serializes the cluster): {bad}"
     )
+
+
+# A query may scan the same table more than once ONLY when the shape
+# requires it: self-joins (near-dup candidate generation, set ops,
+# as-of/range joins), TPC-H decorrelated subqueries (the spec's
+# correlated predicate becomes a second aggregate scan), tiny-dim
+# rescans (nation), multi-branch reuse of a corpus derivation where
+# each branch prunes differently (filter-pushdown makes N narrow
+# scans cheaper at 100 TB than one wide scan + full-row shuffle), or
+# a deliberate exact-audit join (sketch_hll). Values are the EXACT
+# observed scan count per table basename — an increase anywhere
+# (e.g. an aggregate join-back added where a sentinel/ride-along
+# would do, the shape approx_distinct shipped with until r8) trips
+# this guard and must be re-justified or fixed.
+MULTI_SCAN_OK = {
+    # -- self-join candidate generation / verification (near-dup) --
+    "dedup_minhash_lsh": {"documents.parquet": 6},
+    "dedup_near": {"documents.parquet": 6},  # alias of dedup_minhash_lsh
+    "dedup_ngram_jaccard": {"documents.parquet": 8},  # PPJoin prefix self-join + verify
+    "dedup_incremental": {"documents.parquet": 2},  # old/new split self-join
+    "decontaminate_overlap": {"documents.parquet": 2},  # train x eval split join
+    "decontaminate_span": {"documents.parquet": 2},
+    "ngram_novelty": {"documents.parquet": 2},  # doc-grams vs corpus-grams
+    "text_repetition_stats": {"documents.parquet": 2},
+    # -- embedding self/probe joins --
+    "dedup_embedding": {"embeddings.parquet": 2},  # anchor set vs corpus
+    "dedup_semantic": {"embeddings.parquet": 2},  # seed centroids vs corpus
+    "knn_classify": {"embeddings.parquet": 2},  # labeled vs query split
+    "similarity_ivf": {"embeddings.parquet": 2},  # seed quantizer vs corpus
+    "similarity_lsh": {"embeddings.parquet": 4},  # query/corpus bucket join + payload re-attach
+    "similarity_topk": {"embeddings.parquet": 2},  # query set vs corpus
+    # -- set / as-of / range / stream self-joins --
+    "asof_join": {"events.parquet": 2},
+    "range_join_bucketed": {"events.parquet": 3},  # bucket join probes adjacent buckets
+    "set_except": {"events.parquet": 2},
+    "set_intersect": {"events.parquet": 2},
+    "set_union": {"events.parquet": 2},
+    "stream_stream_join": {"events.parquet": 2},
+    "join_semi_anti": {"customer.parquet": 2, "orders.parquet": 2},
+    # -- aggregate-frontier re-joins (tiny agg broadcast back; the
+    #    filtered rescans prune to one event_type at the parquet scan,
+    #    so N narrow scans beat one wide scan + full shuffle) --
+    "alert_pipeline": {"events.parquet": 2},
+    "anomaly_zscore": {"events.parquet": 2},  # per-key stats join-back
+    "filter_valid": {"events.parquet": 2},  # valid/dead-letter counts
+    "funnel_conversion": {"events.parquet": 6},  # 3 stage frontiers, nested
+    "resample_ffill": {"events.parquet": 2},  # grid x last-value join
+    "retention_cohort": {"events.parquet": 2},  # cohort x activity
+    "series_similarity_search": {"events.parquet": 4},  # 1-row ref moments
+    "ttl_expire": {"events.parquet": 2},  # scalar cutoff aggregate
+    # -- corpus-derivation branches (stats + postings + lengths) --
+    "bm25_score": {"documents.parquet": 4},
+    "doc_perplexity": {"documents.parquet": 3},
+    "feature_hash_embed": {"documents.parquet": 2},
+    "heavy_hitters": {"documents.parquet": 2},  # 1-row total join
+    "pmi_collocations": {"documents.parquet": 5},  # unigram+bigram+totals
+    "sample_by_mixture": {"documents.parquet": 2},  # weights subtree
+    "sample_stratified": {"documents.parquet": 2},  # per-stratum counts
+    "sketch_bloom": {"documents.parquet": 4},  # build vs probe vs audit
+    "sketch_count_min": {"documents.parquet": 2},  # sketch vs exact audit
+    "sketch_hll": {"events.parquet": 2},  # deliberate exact-count audit
+    "tfidf_top_terms": {"documents.parquet": 2},  # tf vs df branches
+    "vocab_coverage": {"documents.parquet": 2},  # head + total-mass (ReusedExchange at runtime)
+    # -- TPC-H decorrelated subqueries / tiny-dim rescans (spec shapes) --
+    "tpch_q2_min_cost_supplier": {"lineitem.parquet": 2, "part.parquet": 2},
+    "tpch_q7_volume_shipping": {"nation.parquet": 2},
+    "tpch_q8_market_share": {"nation.parquet": 2},
+    "tpch_q11_important_share": {"lineitem.parquet": 2, "supplier.parquet": 2},
+    "tpch_q15_top_supplier": {"lineitem.parquet": 2},
+    "tpch_q17_small_qty_revenue": {"lineitem.parquet": 2, "part.parquet": 2},
+    "tpch_q20_excess_supplier": {"lineitem.parquet": 2, "part.parquet": 2},
+    "tpch_q21_waiting_supplier": {"lineitem.parquet": 3},
+    "tpch_q22_global_sales_opportunity": {"customer.parquet": 2},
+}
+
+
+def test_repeated_table_scans_only_where_justified(plans):
+    """Count parquet scans per table basename in every plan; any table
+    scanned more than once must appear in MULTI_SCAN_OK at (at most)
+    its documented count. Catches the aggregate-join-back-where-one-
+    pass-would-do regression class (approx_distinct pre-r8: the
+    per-group count was a second full scan of events joined to the
+    HLL registers)."""
+    import re as _re
+    from collections import Counter as _Counter
+
+    bad = []
+    for name, p in plans.items():
+        locs = _re.findall(r"InMemoryFileIndex(?:\(\d+ paths\))?\[([^\],]+)", p)
+        counts = _Counter(loc.rstrip("/").rsplit("/", 1)[-1] for loc in locs)
+        for table, n in counts.items():
+            if n <= 1:
+                continue
+            cap = MULTI_SCAN_OK.get(name, {}).get(table)
+            if cap is None:
+                bad.append((name, table, n, "not in MULTI_SCAN_OK"))
+            elif n > cap:
+                bad.append((name, table, n, f"exceeds documented cap {cap}"))
+    assert not bad, (
+        f"unjustified repeated scans (one-pass rewrite or allowlist "
+        f"review needed): {bad}"
+    )
