@@ -401,7 +401,7 @@ def join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # B14 approx_distinct — HLL approximate distinct. Rows-only for five
 # rounds ("HLL impls differ between engines"), but the repo built its
-# own counter-evidence: sketches.hll_estimate replays the published
+# own counter-evidence: sketches.hll_group_stats replays the published
 # Flajolet et al. HLL bit-exactly in DuckDB (md5 registers, scaled-
 # integer harmonic sum), so the ESTIMATE itself is now the value-
 # checked output — the registry's last asterisk removed. Exact distinct

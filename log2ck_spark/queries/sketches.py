@@ -338,7 +338,8 @@ hll_group_stats.__doc__ = hll_group_stats.__doc__.format(
 
 
 def hll_oracle_cte(table: str, group_col: str, value_col: str) -> str:
-    """DuckDB WITH-chain replaying `hll_estimate` bit-for-bit; ends in
+    """DuckDB WITH-chain replaying `hll_group_stats`'s estimate
+    bit-for-bit; ends in
     CTE ``hll_est(<group_col>, est)``. Callers append their own final
     SELECT (join exact counts, round, alias)."""
     return f"""

@@ -382,7 +382,7 @@ def test_materialize_shards_one_sorted_file_per_shard(spark, tmp_path):
 
 
 def test_approx_distinct_keeps_all_null_groups(spark, tmp_path):
-    """hll_estimate drops NULL values (COUNT(DISTINCT) semantics), so
+    """hll_group_stats ignores NULL values in its estimate (COUNT(DISTINCT) semantics), so
     a group whose user_ids are ALL NULL never reaches the estimate
     side; with the pre-r8 inner join that dropped the group entirely,
     diverging from the upstream approx_count_distinct contract (which
