@@ -160,26 +160,47 @@ def main() -> None:
     # bit_xor is the same CPU-bound shape and cannot overflow. The
     # whole block is additionally guarded: calib is advisory context,
     # and no calibration problem may ever zero the artifact again.
+    #
+    # Convergence loop, NOT a fixed min-of-3: the anchor keeps speeding
+    # up for 10+ reps in a fresh JVM (C2 tiering + frequency ramp —
+    # measured r8: [0.455, 0.292, 0.182, ... 0.114] over 14 reps), so
+    # min-of-3 lands anywhere in a 1.8x band depending on session
+    # warmth (observed 0.166 vs 0.303 same machine, same hour) and the
+    # cross-round calib ratio inherits that noise. Stop only when the
+    # min has plateaued: 4 consecutive reps without >3% improvement,
+    # capped at 16 reps (~2 s total — the anchor itself is ~0.15 s).
     calib = None
     try:
         best = float("inf")
-        for _ in range(3):
+        stale = 0
+        for _ in range(16):
             t0 = time.time()
             spark.range(100_000_000).selectExpr(
                 "bit_xor(xxhash64(id))"
             ).collect()
-            best = min(best, time.time() - t0)
+            t = time.time() - t0
+            if t < best * 0.97:
+                best, stale = t, 0
+            else:
+                best = min(best, t)
+                stale += 1
+                if stale >= 4:
+                    break
         calib = round(best, 3)
     except Exception:
         calib = None
 
-    # Two measured iterations per query, report the MIN (JMH/TPC warm-run
-    # practice). First executions at a new SF show 2-4x run-to-run
-    # variance from janino compile + GC + page-cache state; the min is
-    # the reproducible steady-state number that extrapolates to cluster
-    # capacity. Each iteration builds the full plan and runs end-to-end
-    # (fresh persist/checkpoint state per call — nothing is memoized
-    # across iterations except JVM warmth and OS page cache).
+    # Three measured iterations per query, report the MIN (JMH/TPC
+    # warm-run practice). First executions at a new SF show 2-4x
+    # run-to-run variance from janino compile + GC + page-cache state;
+    # the min is the reproducible steady-state number that extrapolates
+    # to cluster capacity. Each iteration builds the full plan and runs
+    # end-to-end (fresh persist/checkpoint state per call — nothing is
+    # memoized across iterations except JVM warmth and OS page cache).
+    # Three, not two: this sandbox shows multi-second ambient host
+    # stalls (firecracker neighbor contention) that can poison an
+    # entire warmup+2 window — r8 observed min-of-2 spikes of 4-5x on
+    # 8 queries in one run while the other 98 held flat.
     #
     # Warmup is PER-QUERY, immediately before that query's measured
     # runs (not one warm-all pass up front): the JVM's generated-class
@@ -198,7 +219,7 @@ def main() -> None:
             except Exception:
                 pass
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -208,15 +229,19 @@ def main() -> None:
     # Full-registry sweep at sf0.01: every registered query end-to-end,
     # so no operator ever lacks a timing record (the r4 blind spot: 111
     # of 169 registered names had never been timed, making a regression
-    # there invisible). Two runs, report the MIN: these numbers feed
+    # there invisible). Three runs, report the MIN: these numbers feed
     # the >2x regression tripwire, and a single cold run folds one-off
     # costs — corpus staging after a .scratch wipe, first-touch janino
     # compiles — into the recorded baseline (observed: a 0.66 s query
     # recorded as 21 s because its run paid a from-scratch staging
     # write), which would then mask every future real regression of
-    # that name. Headline numbers above remain the tuned-warmup sf0.1
-    # figures; this sweep stays a coarse tripwire, not a throughput
-    # claim.
+    # that name. Three, not two: these sub-second queries pay 2-7x
+    # first-run janino/plan warm-up and the SECOND run is still ~1.4x
+    # steady state (measured r8: ingest_csv 1.40/0.22/0.15), so
+    # min-of-2 records partial warm-up and later quiet-machine runs
+    # false-trip against it. Headline numbers above remain the
+    # tuned-warmup sf0.1 figures; this sweep stays a coarse tripwire,
+    # not a throughput claim.
     registry: dict[str, float] = {}
     if os.path.isdir(warm_dir) and not smoke:
         for name in sorted(QUERIES):
@@ -224,7 +249,7 @@ def main() -> None:
                 continue
             best = float("inf")
             try:
-                for _ in range(2):
+                for _ in range(3):
                     t0 = time.time()
                     QUERIES[name](spark, warm_dir).write.format("noop").mode(
                         "overwrite"
@@ -324,9 +349,16 @@ _ENV_DRIFT_MIN_PAIRS = 5
 
 # Median-vs-calib disagreement factor beyond which the median drift is
 # treated as code-contaminated and the calib ratio takes over. 1.4 sits
-# above observed same-machine calib jitter (<1.15x run-to-run) and well
-# below the 2x regression threshold it protects.
+# above observed same-machine converged-calib jitter and well below
+# the 2x regression threshold it protects.
 _CALIB_AGREE = 1.4
+
+# The calib fallback additionally requires the median itself to show a
+# uniform slowdown at least this large: a flat median needs no machine
+# explanation, so calib/median divergence there means a noisy anchor,
+# not hidden code drift. 1.3 is below any uniform regression worth
+# flagging (the wire trips at 2x) and above ambient median jitter.
+_UNIFORM_SLOWDOWN_MIN = 1.3
 
 
 def detect_regressions(
@@ -351,11 +383,19 @@ def detect_regressions(
     uniform REAL regression — a change slowing every query 2.5x moves
     the median to 2.5 and reports zero regressions. `calib_ratio`
     (this round's synthetic CPU anchor / the baseline's) is the pure
-    machine signal that disambiguates: when the median diverges from
-    it by more than _CALIB_AGREE (either direction), normalization
-    falls back to the calib ratio, so drift the machine cannot explain
-    trips the wire as code. Returns
-    ({name: {now, prev, set, norm}}, env_drift, drift_source)."""
+    machine signal that disambiguates — but the fallback is
+    ASYMMETRIC. Only when the median is SLOWER than calib by more
+    than _CALIB_AGREE (median/calib > 1.4) does normalization fall
+    back to the calib ratio: that is the uniform-code-regression
+    direction, drift the machine cannot explain. The opposite
+    divergence (calib > 1.4x median) means the anchor read slow —
+    observed r8: a noisy calib said 1.68x while 100+ query pairs'
+    median said 1.1x — and substituting the LARGER value would loosen
+    the tripwire to ~3.4x raw for every query; the median over 100+
+    pairs is the better machine estimate there, so it is kept and
+    drift_source reports "median_calib_divergent" for visibility.
+    Returns ({name: {now, prev, set, norm}}, env_drift,
+    drift_source)."""
     ratios = [
         t / old
         for cur, prev, _tag in pairs
@@ -380,12 +420,28 @@ def detect_regressions(
         env_drift = 1.0
     drift_source = "median"
     if calib_ratio is not None and calib_ratio > 0:
-        disagreement = max(env_drift, calib_ratio) / min(
-            env_drift, calib_ratio
-        )
-        if disagreement > _CALIB_AGREE:
+        if (
+            env_drift / calib_ratio > _CALIB_AGREE
+            and env_drift > _UNIFORM_SLOWDOWN_MIN
+        ):
+            # Median slowdown the machine anchor cannot explain:
+            # treat it as code, normalize by the machine signal only.
+            # BOTH conditions required: when the median sits near 1.0
+            # there is no slowdown to explain, and a calib ratio that
+            # merely reads LOW (a noisy-high baseline anchor — r8
+            # observed 0.383 against a flat 1.0 median) would
+            # otherwise manufacture a regression storm by dividing
+            # every flat query by 0.383 (63 false flags in one run).
             env_drift = max(calib_ratio, 0.001)
             drift_source = "calib"
+        elif (
+            max(env_drift, calib_ratio) / min(env_drift, calib_ratio)
+            > _CALIB_AGREE
+        ):
+            # Anchor disagrees with 100+ query pairs but the median
+            # shows no uniform slowdown — noisy calib on either end;
+            # keep the median normalizer, surface the divergence.
+            drift_source = "median_calib_divergent"
     regressions: dict[str, dict] = {}
     for cur, prev, tag in pairs:
         for name, t in cur.items():

@@ -163,6 +163,41 @@ def test_detect_regressions_calib_disambiguates_uniform_real_regression():
     assert reg == {}
 
 
+def test_detect_regressions_noisy_high_calib_never_loosens():
+    """The fallback is asymmetric: a calib ratio ABOVE the median by
+    >1.4x (a noisy anchor reading slow — observed r8: calib 1.68 vs
+    median 1.1 over 100+ pairs) must NOT replace the median, or the
+    effective tripwire loosens to ~3.4x raw for every query. The
+    median stays authoritative and the divergence is surfaced in
+    drift_source."""
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    cur = dict({n: 1.1 for n in prev}, bad=3.2)
+    prev["bad"] = 1.0
+    reg, drift, src = bench.detect_regressions(
+        [(cur, prev, "registry")], calib_ratio=1.7
+    )
+    assert src == "median_calib_divergent" and drift == 1.1
+    # bad is 3.2/1.1 = 2.9x normalized: flagged under the median,
+    # would have been hidden (3.2/1.7 = 1.9x) under the noisy calib.
+    assert set(reg) == {"bad"}
+
+
+def test_detect_regressions_low_calib_flat_median_no_storm():
+    """A calib ratio far BELOW a flat median (noisy-high BASELINE
+    anchor — r8 observed ratio 0.383 against a 1.0 median) must not
+    trigger the fallback: with no uniform slowdown to explain,
+    normalizing flat queries by 0.383 would flag every one of them
+    (63 false regressions in one observed run). The fallback needs
+    BOTH median/calib > 1.4 AND median > 1.3."""
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    cur = {n: 1.0 for n in prev}
+    reg, drift, src = bench.detect_regressions(
+        [(cur, prev, "registry")], calib_ratio=0.383
+    )
+    assert src == "median_calib_divergent" and drift == 1.0
+    assert reg == {}
+
+
 def test_detect_regressions_floor_is_drift_adjusted():
     """The >0.25 s absolute floor must apply to the drift-adjusted
     delta t - drift*prev: on a 2x-faster machine a real 3x normalized
