@@ -259,6 +259,19 @@ def main() -> None:
             except Exception:
                 registry[name] = -1.0  # failed: surface, don't hide
 
+    # End-to-end streaming ingestion throughput — the ONE performance
+    # dimension the reference actually publishes a claim about
+    # (BASELINE.md: ingestion-side CPU vs filebeat; flush-latency and
+    # batch-size defaults). Everything above times QUERIES; this times
+    # the production ingest dataflow itself. Advisory like calib: any
+    # failure records null, never a dead artifact. Runs in --smoke too
+    # (at sf0.001), so the path can never be committed unexecuted.
+    ingest = None
+    try:
+        ingest = measure_ingest_throughput(spark, sf_dir)
+    except Exception:
+        ingest = None
+
     total = round(sum(timings.values()), 3)
     # The headline set GROWS each round (r3: 27 queries, r4: 40), so
     # the grand total is not comparable across rounds. r3_subset_total
@@ -320,6 +333,7 @@ def main() -> None:
         "drift_source": drift_source,
         "calib": calib,
         "calib_ratio": calib_ratio,
+        "ingest": ingest,
         "sf": sf_val,
     }
     if smoke:
@@ -339,6 +353,70 @@ def main() -> None:
     sys.stdout.flush()
     # Compact headline JSON LAST — the line the driver must parse.
     print(json.dumps(headline_line))
+
+
+def measure_ingest_throughput(spark, sf_dir: str) -> "dict | None":
+    """Sustained rows/sec through the PRODUCTION ingestion dataflow:
+    staged monolog text files → streaming file source → regex parse →
+    validity split → enrichment → date-partitioned parquet sink via
+    the foreachBatch batch writer — the reference Worker's full line
+    path (tail → preg_match → batch insert, Worker.php:101-148) as one
+    Structured Streaming query under Trigger.AvailableNow, which
+    drains the whole backlog and terminates deterministically.
+
+    Reported rows are the VALID rows that landed in the sink (what a
+    downstream reader can query), so the rate includes the cost of
+    parsing, rejecting the dead-letter fraction, enrichment, and the
+    partitioned write — not just source scanning. The checkpoint and
+    sink are wiped before EACH iteration so every drain re-ingests
+    from zero; two iterations, min time (same ambient-host-stall
+    rationale as the query loops — a single drain measured anywhere
+    in a 2.4x band run-to-run)."""
+    import shutil
+
+    from log2ck_spark.config import EngineConfig, SinkConfig, TailSpec
+    from log2ck_spark.io import ensure_staged, scratch_dir
+    from log2ck_spark.pipeline import stream_pipeline
+    from log2ck_spark.queries.ingest import monolog_lines
+    from log2ck_spark.sink import writer_for
+
+    corpus = ensure_staged(
+        scratch_dir(sf_dir, "monolog_corpus"),
+        lambda p: monolog_lines(spark, sf_dir).write.mode("overwrite").text(p),
+    )
+    out_root = scratch_dir(sf_dir, "bench_ingest")
+    sink = SinkConfig(path=os.path.join(out_root, "sink"))
+    tail = TailSpec(name="bench-ingest", path=corpus)
+    config = EngineConfig(
+        tails=[tail],
+        sink=sink,
+        checkpoint_root=os.path.join(out_root, "ckpt"),
+    )
+    best = float("inf")
+    n = 0
+    for _ in range(2):
+        shutil.rmtree(out_root, ignore_errors=True)
+        rows, _dead = stream_pipeline(spark, config, tail)
+        t0 = time.time()
+        query = (
+            rows.writeStream.foreachBatch(writer_for(sink))
+            .option(
+                "checkpointLocation",
+                os.path.join(config.checkpoint_root, tail.name),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        best = min(best, time.time() - t0)
+        n = spark.read.parquet(sink.path).count()
+    if best <= 0 or n <= 0:
+        return None
+    return {
+        "rows": n,
+        "sec": round(best, 3),
+        "rows_per_sec": int(n / best),
+    }
 
 
 _REGRESSIONS_PRINT_CAP = 8

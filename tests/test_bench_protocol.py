@@ -238,6 +238,11 @@ def test_bench_smoke_executes_main_path():
     assert len(rec["queries"]) == 3 and all(
         v > 0 for v in rec["queries"].values()
     )
+    # The streaming-ingest throughput probe must have actually run:
+    # it is advisory (null on failure can't kill the artifact), but a
+    # SMOKE run failing it means the production ingest path is broken.
+    assert rec["ingest"] is not None
+    assert rec["ingest"]["rows"] > 0 and rec["ingest"]["rows_per_sec"] > 0
 
 
 def test_repo_sidecar_is_current_and_parseable():

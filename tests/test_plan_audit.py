@@ -149,6 +149,15 @@ def built(spark, sf_dir):
     plans = {}
     try:
         for name, fn in sorted(QUERIES.items()):
+            # Cold catalog per build: a persist() registered by an
+            # earlier query (or an earlier TEST in the shared session)
+            # substitutes InMemoryRelation into matching subtrees, and
+            # the explain text then inlines the cached child plan at
+            # every reference — the same query counted 3 file scans
+            # fresh, 6 after one execution, 12 deep in the full suite.
+            # The multi-scan guard documents FRESH-plan counts, so
+            # every plan must be built from one.
+            spark.catalog.clearCache()
             current["name"] = name
             df = fn(spark, sf_dir)
             current["name"] = None
@@ -232,9 +241,11 @@ def test_single_partition_exchanges_only_on_allowlisted_reductions(plans):
 # this guard and must be re-justified or fixed.
 MULTI_SCAN_OK = {
     # -- self-join candidate generation / verification (near-dup) --
-    "dedup_minhash_lsh": {"documents.parquet": 6},
-    "dedup_near": {"documents.parquet": 6},  # alias of dedup_minhash_lsh
-    "dedup_ngram_jaccard": {"documents.parquet": 8},  # PPJoin prefix self-join + verify
+    # (fresh-plan counts; the shingle subtree is persist()ed, so the
+    # plan references it 3-4x but runtime scans the parquet once)
+    "dedup_minhash_lsh": {"documents.parquet": 3},
+    "dedup_near": {"documents.parquet": 3},  # alias of dedup_minhash_lsh
+    "dedup_ngram_jaccard": {"documents.parquet": 4},  # PPJoin prefix self-join + verify
     "dedup_incremental": {"documents.parquet": 2},  # old/new split self-join
     "decontaminate_overlap": {"documents.parquet": 2},  # train x eval split join
     "decontaminate_span": {"documents.parquet": 2},
