@@ -127,7 +127,15 @@ def main() -> None:
     # over JSON fixtures cannot catch that class of failure.)
     smoke = "--smoke" in sys.argv[1:]
     default_sf = "/root/testdata/sf0.001" if smoke else "/root/testdata/sf0.1"
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", default_sf)
+    # Smoke PINS sf0.001 and ignores SPARK_GRAFT_SF_DIR: the env var is
+    # the documented way to point an OFFICIAL run at another SF, and an
+    # operator who exported it for that run would otherwise turn the
+    # <60 s pre-commit gate (and the pytest that subprocess-runs it,
+    # inheriting os.environ) into a multi-minute full-SF run that then
+    # fails the test's sf == 0.001 assert.
+    sf_dir = (
+        default_sf if smoke else os.environ.get("SPARK_GRAFT_SF_DIR", default_sf)
+    )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     load_all()
     headline = HEADLINE[:3] if smoke else HEADLINE
@@ -432,11 +440,24 @@ _ENV_DRIFT_MIN_PAIRS = 5
 _CALIB_AGREE = 1.4
 
 # The calib fallback additionally requires the median itself to show a
-# uniform slowdown at least this large: a flat median needs no machine
-# explanation, so calib/median divergence there means a noisy anchor,
-# not hidden code drift. 1.3 is below any uniform regression worth
-# flagging (the wire trips at 2x) and above ambient median jitter.
-_UNIFORM_SLOWDOWN_MIN = 1.3
+# uniform slowdown at least this large: a TRULY flat median (within
+# ambient jitter of 1.0) needs no machine explanation, so calib/median
+# divergence there means a noisy anchor, not hidden code drift —
+# observed r8 as a noisy-high BASELINE anchor reading calib_ratio
+# 0.383 against a flat median, which unguarded would have divided
+# every flat query by 0.383 and manufactured 63 false regressions.
+# 1.15 sits just above ambient median jitter (~1.1 observed across
+# quiet same-machine runs): any median beyond it is a real uniform
+# slowdown that deserves a machine-vs-code adjudication, so the
+# fallback must be allowed to fire even though the median is far
+# below the 2x wire — a uniform real regression on a SIMULTANEOUSLY
+# faster machine shows up exactly there (code 2.5x on a 2x-faster
+# box = median 1.25; normalizing by the median would report zero
+# regressions). Residual blind window: a uniform regression whose
+# product with the machine speedup lands inside the jitter band —
+# an exact cancellation the anchor cannot adjudicate without also
+# risking the false-storm case above.
+_UNIFORM_SLOWDOWN_MIN = 1.15
 
 
 def detect_regressions(
@@ -598,11 +619,15 @@ def _previous_bench(
             src += "+sidecar"
         else:
             reg = parsed.get("registry_sf001") or {}
-        # Baseline calib: the record's own anchor; sidecar fallback for
-        # driver records predating the key (or whose calib was null).
+        # Baseline calib: ONLY the headline record's own anchor — it is
+        # ratioed against that record's timings, so a calib borrowed
+        # from the sidecar (a different run, possibly a different
+        # machine era) would normalize headline pairs by a machine
+        # ratio from the wrong baseline, flagging or masking ~63
+        # queries at once. A driver record predating the key simply
+        # yields calib_ratio = None (median-only normalization, the
+        # safe degraded mode).
         cal = parsed.get("calib")
-        if not isinstance(cal, (int, float)):
-            cal = (side or {}).get("calib")
         cal = cal if isinstance(cal, (int, float)) and cal > 0 else None
         return parsed.get("queries") or {}, reg, src, parsed.get("sf"), cal
     if side is not None:

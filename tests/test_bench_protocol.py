@@ -188,7 +188,9 @@ def test_detect_regressions_low_calib_flat_median_no_storm():
     trigger the fallback: with no uniform slowdown to explain,
     normalizing flat queries by 0.383 would flag every one of them
     (63 false regressions in one observed run). The fallback needs
-    BOTH median/calib > 1.4 AND median > 1.3."""
+    BOTH median/calib > 1.4 AND median > 1.15 (above ambient median
+    jitter — a flat median has no slowdown for the anchor to
+    adjudicate)."""
     prev = {f"q{i}": 1.0 for i in range(10)}
     cur = {n: 1.0 for n in prev}
     reg, drift, src = bench.detect_regressions(
@@ -196,6 +198,52 @@ def test_detect_regressions_low_calib_flat_median_no_storm():
     )
     assert src == "median_calib_divergent" and drift == 1.0
     assert reg == {}
+
+
+def test_detect_regressions_uniform_regression_on_faster_machine():
+    """A uniform REAL regression does not get to hide behind a machine
+    speedup: code slows every query 2.5x while the host gets 2x faster
+    (calib_ratio 0.5), so the median reads a mild-looking 1.25 — below
+    the old 1.3 uniform-slowdown gate, which silently normalized every
+    pair by its own contamination and reported zero regressions. Any
+    median above ambient jitter (1.15) with a calib the machine cannot
+    explain must fall back to the calib ratio and flag the queries."""
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    cur = {n: 1.25 for n in prev}
+    reg, drift, src = bench.detect_regressions(
+        [(cur, prev, "registry")], calib_ratio=0.5
+    )
+    assert src == "calib" and drift == 0.5
+    assert set(reg) == set(prev)  # 1.25/0.5 = 2.5x normalized, all trip
+
+
+def test_previous_bench_never_borrows_calib_across_records(tmp_path):
+    """The baseline calib is ratioed against the headline record's own
+    timings; borrowing the sidecar's anchor (a different run, possibly
+    a different machine era) would normalize ~63 headline pairs by a
+    machine ratio from the wrong baseline. A driver record without a
+    calib key must yield cal=None (median-only normalization), even
+    when a sidecar with a calib sits right next to it."""
+    _write(
+        tmp_path / "BENCH_r06.json",
+        {"parsed": {"queries": {"q": 2.0}, "sf": 0.1}},
+    )
+    _write(
+        tmp_path / "bench_registry.json",
+        {
+            "queries": {"q": 9.9},
+            "registry_sf001": {"r": 0.2},
+            "sf": 0.1,
+            "calib": 0.15,
+        },
+    )
+    head, reg, src, sf, cal = bench._previous_bench(str(tmp_path))
+    assert head == {"q": 2.0} and reg == {"r": 0.2}
+    assert cal is None  # r6 record has no calib; sidecar's not borrowed
+    # Sidecar-only fallback keeps its OWN calib — same-record, coherent.
+    (tmp_path / "BENCH_r06.json").unlink()
+    head, reg, src, sf, cal = bench._previous_bench(str(tmp_path))
+    assert src == "bench_registry.json" and cal == 0.15
 
 
 def test_detect_regressions_floor_is_drift_adjusted():
@@ -219,7 +267,12 @@ def test_bench_smoke_executes_main_path():
     artifact, committed without ever being executed). --smoke runs the
     REAL main path — calib, measure loop, regression detection, 2-line
     print — at sf0.001 and must exit 0 with a parseable final line
-    carrying a non-null calib."""
+    carrying a non-null calib. SPARK_GRAFT_SF_DIR is exported to the
+    OFFICIAL scale here on purpose: smoke must pin sf0.001 regardless
+    (an operator who exported it for an official run would otherwise
+    turn the <60 s pre-commit gate into a full-SF run — and this test,
+    which inherits os.environ, into a spurious red)."""
+    import os as _os
     import subprocess
     import sys as _sys
 
@@ -229,6 +282,7 @@ def test_bench_smoke_executes_main_path():
         text=True,
         timeout=300,
         cwd=bench._REPO_ROOT,
+        env={**_os.environ, "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"},
     )
     assert out.returncode == 0, out.stderr[-2000:]
     last = out.stdout.strip().splitlines()[-1]
