@@ -89,7 +89,7 @@ ROTATION_FIRST: tuple[str, ...] = (
     # everything else (never-checked first, then failed-last-check,
     # then stalest green). All 12 r6 pins went full-value green in r7
     # and are released; the freed slots drain the r4/r5 tail.
-    # r8 pin:
+    # r8 pins:
     # - approx_distinct: r7 replaced its Spark-native
     #   approx_count_distinct (rows-only checkable — HLL++ register
     #   layout not replayable cross-engine) with the portable shared
@@ -97,6 +97,12 @@ ROTATION_FIRST: tuple[str, ...] = (
     #   group left-join fix; its latest driver row (r6) predates both,
     #   the textbook case for this pin rule (r7 verdict item 3).
     "approx_distinct",
+    # - sketch_hll: r8 rewrote it onto the shared hll_group_stats
+    #   kernel and replaced its inline oracle with the hll_oracle_cte
+    #   composition (value-identical on NULL-free data, verified via
+    #   driver_replica, but both code and oracle changed after its
+    #   latest driver row, r5).
+    "sketch_hll",
 )
 
 

@@ -139,125 +139,6 @@ _HLL_ALPHA = 0.7197831133217303  # 0.7213 / (1 + 1.079/512), Flajolet et al.
 _HLL_MAXRHO = 52  # 60-bit hash - 9 bucket bits -> 51 pattern bits, rho <= 52
 
 
-@register(
-    "sketch_hll",
-    oracle=f"""
-    WITH hashed AS (
-      SELECT event_type,
-             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
-                  AS BIGINT) AS h
-      FROM events
-    ), rho AS (
-      SELECT event_type, h % {_HLL_M} AS bucket,
-             CASE WHEN h // {_HLL_M} = 0 THEN {_HLL_MAXRHO}
-                  ELSE {_HLL_MAXRHO} - length(bin(h // {_HLL_M}))
-             END AS r
-      FROM hashed
-    ), registers AS (
-      SELECT event_type, bucket, MAX(r) AS m_rho
-      FROM rho GROUP BY 1, 2
-    ), per_type AS (
-      SELECT event_type,
-             COUNT(*) AS occupied,
-             CAST(SUM(CAST(pow(2.0, {_HLL_MAXRHO} - m_rho) AS BIGINT))
-                  AS BIGINT)
-               + CAST(({_HLL_M} - COUNT(*))
-                      * pow(2.0, {_HLL_MAXRHO}) AS BIGINT) AS sum_scaled
-      FROM registers GROUP BY 1
-    ), est AS (
-      SELECT event_type, occupied,
-             CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M} * {_HLL_M}
-               * pow(2.0, {_HLL_MAXRHO}) / sum_scaled AS raw
-      FROM per_type
-    ), exact AS (
-      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
-      GROUP BY 1
-    )
-    SELECT e.event_type, x.n_exact,
-           ROUND(CASE WHEN e.raw <= 2.5 * {_HLL_M}
-                       AND e.occupied < {_HLL_M}
-                      THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
-                                         / ({_HLL_M} - e.occupied))
-                      ELSE e.raw END, 4) AS n_hll,
-           CAST(e.occupied AS BIGINT) AS n_occupied
-    FROM est e JOIN exact x USING (event_type)
-    """,
-)
-def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog distinct-count per event_type, replayed EXACTLY in
-    both engines (Flajolet/Fusy/Gandouet/Meunier, AofA 2007 — the
-    published algorithm, m=512 registers, md5-derived 60-bit hash,
-    with the small-range linear-counting correction). Spark ships
-    HLL++ as `approx_count_distinct` (query `approx_distinct`, error-
-    bound-tested only); THIS query makes the sketch itself the
-    value-checked output: registers are engine-portable md5 buckets,
-    and the harmonic sum is computed on 2^52-SCALED INTEGERS (each
-    register contributes 2^(52-rho) exactly; bigint sum ≤ 2^61) so no
-    float-accumulation order can perturb the estimate — DuckDB
-    replays estimate-for-estimate, collision-for-collision.
-
-    Scale shape: duplicates never shuffle (MAX(rho) partial-combines
-    map-side); state is m=512 registers per group NO MATTER the
-    cardinality, and registers from disjoint shards merge by MAX —
-    the mergeable-sketch property that makes 100 TB distinct counts
-    a two-stage aggregation. n_exact (countDistinct) rides along as
-    the fixture-scale accuracy audit."""
-    ev = tbl(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
-    # exact integer division (shiftright by log2(m)) — floor(h / m) on a
-    # 60-bit bigint goes through double and loses low-bit precision,
-    # breaking the bit-exact cross-engine replay contract
-    rest = F.shiftright(F.col("h"), _HLL_P).cast("bigint")
-    rho = F.when(rest == 0, F.lit(_HLL_MAXRHO)).otherwise(
-        _HLL_MAXRHO - F.length(F.bin(rest))
-    )
-    registers = (
-        ev.select("event_type", h.alias("h"))
-        .select("event_type", (F.col("h") % _HLL_M).alias("bucket"), rho.alias("r"))
-        .groupBy("event_type", "bucket")
-        .agg(F.max("r").alias("m_rho"))
-    )
-    contrib = F.pow(F.lit(2.0), _HLL_MAXRHO - F.col("m_rho")).cast("bigint")
-    per_type = registers.groupBy("event_type").agg(
-        F.count("*").alias("occupied"),
-        (
-            F.sum(contrib)
-            + (_HLL_M - F.count("*"))
-            * F.pow(F.lit(2.0), F.lit(_HLL_MAXRHO)).cast("bigint")
-        ).cast("bigint").alias("sum_scaled"),
-    )
-    raw = (
-        F.lit(_HLL_ALPHA)
-        * _HLL_M
-        * _HLL_M
-        * F.pow(F.lit(2.0), F.lit(_HLL_MAXRHO))
-        / F.col("sum_scaled")
-    )
-    linear = _HLL_M * F.log(
-        F.lit(float(_HLL_M)) / (_HLL_M - F.col("occupied"))
-    )
-    est = per_type.select(
-        "event_type",
-        "occupied",
-        F.when(
-            (raw <= 2.5 * _HLL_M) & (F.col("occupied") < _HLL_M), linear
-        )
-        .otherwise(raw)
-        .alias("est"),
-    )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
-    return est.join(exact, "event_type").select(
-        "event_type",
-        "n_exact",
-        F.round("est", 4).alias("n_hll"),
-        F.col("occupied").cast("bigint").alias("n_occupied"),
-    )
-
-
 def hll_group_stats(
     df: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:
@@ -267,11 +148,16 @@ def hll_group_stats(
     correction) — factored out so `approx_distinct` shares the exact
     oracle-replayable estimator instead of Spark's HLL++ (whose
     register layout no other engine can replay, which kept that query
-    rows-only for five rounds). Returns (group_col, est DOUBLE,
-    n BIGINT) where `n` is the group's TOTAL row count and `est`
-    ignores NULL values, matching COUNT(DISTINCT x) semantics — a
-    group whose values are all NULL comes back with est = 0.0 (the
-    linear-counting branch at zero occupancy), never dropped.
+    rows-only for five rounds), and `sketch_hll` consumes the SAME
+    kernel — there is exactly ONE copy of the bit-exact estimator to
+    keep in lockstep with the DuckDB replay in `hll_oracle_cte`.
+    Returns (group_col, est DOUBLE, n BIGINT, occupied BIGINT) where
+    `n` is the group's TOTAL row count, `occupied` the non-empty
+    register count (the linear-counting input, sketch_hll's audit
+    column), and `est` ignores NULL values, matching
+    COUNT(DISTINCT x) semantics — a group whose values are all NULL
+    comes back with est = 0.0 (the linear-counting branch at zero
+    occupancy), never dropped.
 
     ONE scan of the input (r8; previously the count was a second scan
     joined back — at 100 TB the scan IS the cost, and Catalyst cannot
@@ -329,6 +215,7 @@ def hll_group_stats(
         .otherwise(raw)
         .alias("est"),
         F.col("n"),
+        F.col("occupied").cast("bigint").alias("occupied"),
     )
 
 
@@ -340,8 +227,8 @@ hll_group_stats.__doc__ = hll_group_stats.__doc__.format(
 def hll_oracle_cte(table: str, group_col: str, value_col: str) -> str:
     """DuckDB WITH-chain replaying `hll_group_stats`'s estimate
     bit-for-bit; ends in
-    CTE ``hll_est(<group_col>, est)``. Callers append their own final
-    SELECT (join exact counts, round, alias)."""
+    CTE ``hll_est(<group_col>, est, occupied)``. Callers append their
+    own final SELECT (join exact counts, round, alias)."""
     return f"""
     WITH hashed AS (
       SELECT {group_col},
@@ -375,9 +262,70 @@ def hll_oracle_cte(table: str, group_col: str, value_col: str) -> str:
              CASE WHEN raw <= 2.5 * {_HLL_M} AND occupied < {_HLL_M}
                   THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE)
                                      / ({_HLL_M} - occupied))
-                  ELSE raw END AS est
+                  ELSE raw END AS est,
+             occupied
       FROM raw_est
     )"""
+
+
+def _sketch_hll_oracle() -> str:
+    # The SAME DuckDB replay chain hll_group_stats is value-checked
+    # against (and approx_distinct composes) — one estimator, one
+    # oracle, zero hand-maintained copies to drift apart.
+    return (
+        hll_oracle_cte("events", "event_type", "user_id")
+        + """
+    , exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+      GROUP BY 1
+    )
+    SELECT x.event_type, x.n_exact,
+           ROUND(COALESCE(h.est, 0), 4) AS n_hll,
+           CAST(COALESCE(h.occupied, 0) AS BIGINT) AS n_occupied
+    FROM exact x LEFT JOIN hll_est h USING (event_type)
+    """
+    )
+
+
+@register("sketch_hll", oracle=_sketch_hll_oracle())
+def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count per event_type, replayed EXACTLY in
+    both engines (Flajolet/Fusy/Gandouet/Meunier, AofA 2007 — the
+    published algorithm, m=512 registers, md5-derived 60-bit hash,
+    with the small-range linear-counting correction). Spark's native
+    HLL++ (`approx_count_distinct`) has a register layout no other
+    engine replays; THIS query makes the sketch itself the
+    value-checked output: registers are engine-portable md5 buckets,
+    and the harmonic sum is computed on 2^52-SCALED INTEGERS (each
+    register contributes 2^(52-rho) exactly; bigint sum ≤ 2^61) so no
+    float-accumulation order can perturb the estimate — DuckDB
+    replays estimate-for-estimate, collision-for-collision.
+
+    Scale shape: duplicates never shuffle (MAX(rho) partial-combines
+    map-side); state is m=512 registers per group NO MATTER the
+    cardinality, and registers from disjoint shards merge by MAX —
+    the mergeable-sketch property that makes 100 TB distinct counts
+    a two-stage aggregation. n_exact (countDistinct) rides along as
+    the fixture-scale accuracy audit.
+
+    The estimator itself lives in `hll_group_stats` (one kernel,
+    shared with `approx_distinct`, replayed by `hll_oracle_cte`);
+    this query joins the exact-count audit onto it and exposes the
+    register occupancy."""
+    ev = tbl(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        hll_group_stats(ev, "event_type", "user_id")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round("est", 4).alias("n_hll"),
+            F.col("occupied").alias("n_occupied"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
