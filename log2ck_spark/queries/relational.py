@@ -421,7 +421,8 @@ def _approx_distinct_oracle() -> str:
     SELECT c.event_type,
            CAST(COALESCE(ROUND(h.est, 0), 0) AS BIGINT) AS approx_users,
            c.n
-    FROM counts c LEFT JOIN hll_est h USING (event_type)
+    FROM counts c LEFT JOIN hll_est h
+      ON c.event_type IS NOT DISTINCT FROM h.event_type
     """
     )
 

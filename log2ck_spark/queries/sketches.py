@@ -282,7 +282,8 @@ def _sketch_hll_oracle() -> str:
     SELECT x.event_type, x.n_exact,
            ROUND(COALESCE(h.est, 0), 4) AS n_hll,
            CAST(COALESCE(h.occupied, 0) AS BIGINT) AS n_occupied
-    FROM exact x LEFT JOIN hll_est h USING (event_type)
+    FROM exact x LEFT JOIN hll_est h
+      ON x.event_type IS NOT DISTINCT FROM h.event_type
     """
     )
 
@@ -311,19 +312,29 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     The estimator itself lives in `hll_group_stats` (one kernel,
     shared with `approx_distinct`, replayed by `hll_oracle_cte`);
     this query joins the exact-count audit onto it and exposes the
-    register occupancy."""
+    register occupancy. The audit join is NULL-SAFE on the group key
+    (eqNullSafe / IS NOT DISTINCT FROM in the oracle): GROUP BY keeps
+    a NULL event_type as a real group on both engines, and a plain
+    equi-join would silently drop it from one side only — a
+    Spark-vs-oracle row mismatch on any fixture containing NULL group
+    keys (latent on the current NULL-free fixtures, tested in
+    tests/test_maintenance.py)."""
     ev = tbl(spark, sf_dir, "events")
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
+    stats = hll_group_stats(ev, "event_type", "user_id")
     return (
-        hll_group_stats(ev, "event_type", "user_id")
-        .join(exact, "event_type")
+        stats.alias("s")
+        .join(
+            exact.alias("x"),
+            F.col("s.event_type").eqNullSafe(F.col("x.event_type")),
+        )
         .select(
-            "event_type",
-            "n_exact",
-            F.round("est", 4).alias("n_hll"),
-            F.col("occupied").alias("n_occupied"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("x.n_exact").alias("n_exact"),
+            F.round("s.est", 4).alias("n_hll"),
+            F.col("s.occupied").alias("n_occupied"),
         )
     )
 

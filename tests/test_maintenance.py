@@ -416,3 +416,47 @@ def test_approx_distinct_keeps_all_null_groups(spark, tmp_path):
     assert set(rows) == {"click", "ghost"}
     assert rows["ghost"]["approx_users"] == 0 and rows["ghost"]["n"] == 2
     assert rows["click"]["approx_users"] == 2 and rows["click"]["n"] == 2
+
+
+def test_hll_queries_agree_with_oracle_on_null_group_keys(spark, tmp_path):
+    """GROUP BY keeps a NULL group key as a real group on both
+    engines, but the audit joins stitched around the shared HLL kernel
+    used plain equi-joins, which never match NULL — Spark's inner join
+    dropped the NULL-keyed group from sketch_hll while the DuckDB
+    oracle's LEFT JOIN USING kept it (row mismatch), and
+    approx_distinct's oracle COALESCEd the NULL group's estimate to 0
+    while the join-free Spark side reported its real estimate (value
+    mismatch). Latent on the NULL-free driver fixtures; both joins are
+    now null-safe (eqNullSafe / IS NOT DISTINCT FROM), verified here
+    by running query AND oracle over a fixture with a NULL event_type
+    group through the driver-replica comparator."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log2ck_spark.queries import ORACLES, QUERIES, load_all
+    from tests.oracle_harness import compare
+
+    load_all()
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": pd.to_datetime(["2024-01-01"] * 6),
+            "user_id": pd.array([10, 11, 20, 21, None, None], dtype="Int64"),
+            "event_type": ["a", "a", None, None, "b", "b"],
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')"
+    )
+    for name in ("approx_distinct", "sketch_hll"):
+        out = QUERIES[name](spark, str(tmp_path))
+        oracle = con.execute(ORACLES[name]).fetch_df()
+        assert out.count() == 3, name  # a, b, and the NULL group
+        assert compare(out, oracle) == [], name
