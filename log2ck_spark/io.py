@@ -64,7 +64,10 @@ def tbl(
 
 # Bump when a staging GENERATOR changes semantics without its inputs
 # changing (belt to the automatic source fingerprint's suspenders).
-STAGING_VERSION = "v2"
+# v3: corpus renderers restrict to complete event rows
+# (ingest.CORPUS_COMPLETE_SQL) — byte-identical on NULL-free sources,
+# but the contract changed.
+STAGING_VERSION = "v3"
 
 
 def _source_fingerprint(sf_dir: str) -> str:

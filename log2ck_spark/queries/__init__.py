@@ -103,6 +103,26 @@ ROTATION_FIRST: tuple[str, ...] = (
     #   driver_replica, but both code and oracle changed after its
     #   latest driver row, r5).
     "sketch_hll",
+    # - the hostile-fixture (NULL group key) parity fixes, late r8:
+    #   the corpus renderers now synthesize over complete event rows
+    #   only and every corpus-dependent oracle carries the matching
+    #   CORPUS_COMPLETE_SQL predicate; knn_classify restricts the vote
+    #   to labeled neighbors. Value-identical on the driver's NULL-free
+    #   fixtures (full sf0.01 replica re-run: PASS), but code AND
+    #   oracle changed after each name's latest driver row — the pin
+    #   rule applies to all of them. 13 pins + the 33-name r4 tail
+    #   still fit the 50-slot window, so the staleness drain survives.
+    "parse_monolog",
+    "parse_accesslog",
+    "parse_logfmt",
+    "filter_valid",
+    "enrich_constants",
+    "callback_transform",
+    "raw_passthrough",
+    "ingest_text_lines",
+    "ingest_tail_snapshot",
+    "sink_table",
+    "knn_classify",
 )
 
 

@@ -28,8 +28,29 @@ from log2ck_spark.sink import write_batch
 
 INVALID_MOD = 13  # event_id % 13 == 0 → rendered as a garbage line
 
+# A file line is never NULL — at the real ingestion boundary the unit
+# is a string read from disk. The synthetic corpora that STAND IN for
+# those files are therefore defined over COMPLETE event rows only:
+# rendering a NULL field through concat() nulls the whole line on
+# Spark but skips the argument in DuckDB, so without this shared
+# predicate the two engines would synthesize DIFFERENT corpora from
+# the same events table and every downstream parse/count oracle would
+# diverge on NULL-bearing fixtures (latent on the NULL-free driver
+# fixtures; exercised by the hostile-fixture gate).
+_CORPUS_FIELDS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+CORPUS_COMPLETE_SQL = " AND ".join(
+    f"{c} IS NOT NULL" for c in _CORPUS_FIELDS
+)
+
+
+def _complete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "events", fanout=True).where(
+        CORPUS_COMPLETE_SQL
+    )
+
+
 # Oracle-side derivation of the parsed columns, from events directly.
-_ORACLE_PARSED = """
+_ORACLE_PARSED = f"""
     SELECT DATE_TRUNC('second', ts) AS created_at,
            'user_' || user_id AS logger,
            UPPER(event_type) AS level,
@@ -37,14 +58,15 @@ _ORACLE_PARSED = """
            REPLACE(props, ' ', '') AS context,
            '[]' AS extra
     FROM events
-    WHERE event_id % 13 <> 0
+    WHERE event_id % 13 <> 0 AND {CORPUS_COMPLETE_SQL}
 """
 
 
 def monolog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → one monolog-format line per event; event_id%13==0 rows
-    become non-matching garbage (exercises A5 dead-letter)."""
-    ev = tbl(spark, sf_dir, "events", fanout=True)
+    become non-matching garbage (exercises A5 dead-letter). Complete
+    rows only (CORPUS_COMPLETE_SQL): a file line is never NULL."""
+    ev = _complete_events(spark, sf_dir)
     line = F.concat(
         F.lit("["),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
@@ -73,7 +95,8 @@ def monolog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ingest_text_lines",
-    oracle="SELECT COUNT(*) AS n_lines, COUNT(DISTINCT event_id) AS n_distinct FROM events",
+    oracle=f"SELECT COUNT(*) AS n_lines, COUNT(DISTINCT event_id) AS"
+    f" n_distinct FROM events WHERE {CORPUS_COMPLETE_SQL}",
 )
 def ingest_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 batch analog: write the corpus as real text files, read them
@@ -111,10 +134,10 @@ def parse_monolog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "filter_valid",
-    oracle="""
+    oracle=f"""
     SELECT COUNT(*) FILTER (WHERE event_id % 13 <> 0) AS n_valid,
            COUNT(*) FILTER (WHERE event_id % 13 = 0) AS n_dead
-    FROM events
+    FROM events WHERE {CORPUS_COMPLETE_SQL}
     """,
 )
 def filter_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,11 +155,11 @@ def filter_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "enrich_constants",
-    oracle="""
+    oracle=f"""
     SELECT UPPER(event_type) AS level,
            'demo-repo' AS repo, 'events-tail' AS name, 'host-1' AS host,
            COUNT(*) AS n
-    FROM events WHERE event_id % 13 <> 0
+    FROM events WHERE event_id % 13 <> 0 AND {CORPUS_COMPLETE_SQL}
     GROUP BY 1
     """,
 )
@@ -179,12 +202,12 @@ def _callback(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "callback_transform",
-    oracle="""
+    oracle=f"""
     SELECT DATE_TRUNC('second', ts) AS created_at,
            event_type AS level_lower,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
            CAST(LENGTH('event ' || event_id) AS INTEGER) AS msg_len
-    FROM events WHERE event_id % 13 <> 0
+    FROM events WHERE event_id % 13 <> 0 AND {CORPUS_COMPLETE_SQL}
     """,
 )
 def callback_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,14 +230,14 @@ def callback_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "raw_passthrough",
-    oracle="""
+    oracle=f"""
     SELECT CAST(LENGTH(CASE WHEN event_id % 13 = 0
                   THEN '!! not a log line ' || event_id
                   ELSE '[' || strftime(ts, '%Y-%m-%d %H:%M:%S') || '] user_' || user_id
                        || '.' || UPPER(event_type) || ': event ' || event_id || ' '
                        || REPLACE(props, ' ', '') || ' []' END) AS INTEGER) AS line_len,
            COUNT(*) AS n
-    FROM events
+    FROM events WHERE {CORPUS_COMPLETE_SQL}
     GROUP BY 1
     """,
 )
@@ -240,11 +263,11 @@ def raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_table",
-    oracle="""
+    oracle=f"""
     SELECT strftime(ts, '%Y-%m-%d') AS log_date,
            UPPER(event_type) AS level,
            COUNT(*) AS n
-    FROM events WHERE event_id % 13 <> 0
+    FROM events WHERE event_id % 13 <> 0 AND {CORPUS_COMPLETE_SQL}
     GROUP BY 1, 2
     """,
 )
@@ -269,8 +292,8 @@ def sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ingest_tail_snapshot",
-    oracle="SELECT COUNT(*) AS n_lines, COUNT(DISTINCT event_id) AS n_distinct"
-    " FROM events",
+    oracle=f"SELECT COUNT(*) AS n_lines, COUNT(DISTINCT event_id) AS"
+    f" n_distinct FROM events WHERE {CORPUS_COMPLETE_SQL}",
 )
 def ingest_tail_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 via the `tailf` custom source's BATCH reader: write the
@@ -447,8 +470,9 @@ ACCESSLOG_TS_FORMAT = "dd/MMM/yyyy:HH:mm:ss Z"
 
 def accesslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → Apache combined-log lines (garbage on event_id%13==0,
-    same dead-letter injection as the monolog corpus)."""
-    ev = tbl(spark, sf_dir, "events", fanout=True)
+    same dead-letter injection as the monolog corpus). Complete rows
+    only (CORPUS_COMPLETE_SQL): a file line is never NULL."""
+    ev = _complete_events(spark, sf_dir)
     line = F.concat(
         F.lit("10.0.0."), F.col("user_id") % 50,
         F.lit(" - u"), F.col("user_id"),
@@ -469,7 +493,7 @@ def accesslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "parse_accesslog",
-    oracle="""
+    oracle=f"""
     SELECT '10.0.0.' || (user_id % 50) AS ip,
            'u' || user_id AS http_user,
            DATE_TRUNC('second', ts) AS created_at,
@@ -478,7 +502,7 @@ def accesslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN event_type = 'error' THEN 500 ELSE 200 END AS status,
            CAST(floor(value * 10) AS BIGINT) AS bytes
     FROM events
-    WHERE event_id % 13 <> 0
+    WHERE event_id % 13 <> 0 AND {CORPUS_COMPLETE_SQL}
     """,
 )
 def parse_accesslog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,8 +535,9 @@ def parse_accesslog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def logfmt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → logfmt ``k=v`` lines (the Heroku/Go ecosystem's
-    structured-log grammar)."""
-    ev = tbl(spark, sf_dir, "events", fanout=True)
+    structured-log grammar). Complete rows only (CORPUS_COMPLETE_SQL):
+    a file line is never NULL."""
+    ev = _complete_events(spark, sf_dir)
     return ev.select(
         F.concat(
             F.lit("ts="), F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
@@ -526,11 +551,11 @@ def logfmt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "parse_logfmt",
-    oracle="""
+    oracle=f"""
     SELECT DATE_TRUNC('second', ts) AS created_at,
            user_id, event_type,
            value, event_id
-    FROM events
+    FROM events WHERE {CORPUS_COMPLETE_SQL}
     """,
 )
 def parse_logfmt(spark: SparkSession, sf_dir: str) -> DataFrame:

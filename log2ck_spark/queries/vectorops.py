@@ -210,7 +210,7 @@ _KNN_K = 5
              ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos,
              c.vec_id AS neighbor_id
       FROM e q JOIN e c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id < {_KNN_QUERIES}
+      WHERE q.vec_id < {_KNN_QUERIES} AND c.label IS NOT NULL
     ), topk AS (
       SELECT query_id, label FROM (
         SELECT query_id, label,
@@ -236,14 +236,21 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity_topk, so the ANN variants drop in unchanged at scale);
     ranking and voting use rounded cosines + deterministic tie-breaks
     (neighbor_id, then smallest label) so the prediction set is
-    engine-stable."""
+    engine-stable. Only LABELED neighbors vote (standard kNN — the
+    training set is the labeled subset; an unlabeled row can still be
+    a query). Without that filter a NULL-label group can win the vote,
+    and the tie-break then diverges cross-engine: Spark's ascending
+    sort puts NULL first, DuckDB's puts it last."""
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < _KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+    labeled = e.filter(F.col("label").isNotNull())
+    scored = labeled.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         "label",

@@ -13,6 +13,13 @@ for the corresponding sf_dir: `python scripts/driver_replica.py --sf
 oracle comparison the driver runs at sf0.01, at ten times the data
 (r6/r7 verdicts asked for this as one documented command; see
 PARITY.md). Expect ~3-4x the sf0.01 wall time.
+
+`--hostile` runs the same full-registry comparison on the NULL-key
+fixture (sf0.001 with NULLs injected into every GROUP-BY-able key
+column; built on demand under .scratch/) — the dirty-data parity
+gate. Real data has NULL keys and the driver's fixtures don't, so a
+query and its oracle can disagree on NULL-key semantics invisibly;
+this surfaced 10 such divergences in r8. See tests/oracle_harness.py.
 """
 
 from __future__ import annotations
@@ -30,7 +37,11 @@ from tests.oracle_harness import compare, run_oracle  # noqa: E402
 
 def main() -> int:
     argv = sys.argv[1:]
-    if argv[:1] == ["--sf"]:
+    if argv[:1] == ["--hostile"]:
+        from tests.oracle_harness import build_hostile_fixture
+
+        sf_dir, rest = build_hostile_fixture(), argv[1:]
+    elif argv[:1] == ["--sf"]:
         if len(argv) < 2:
             print("--sf requires a scale factor (e.g. --sf 0.1)")
             return 1

@@ -21,6 +21,65 @@ def run_oracle(sql: str, sf_dir: str):
     return con.execute(sql).fetch_df()
 
 
+# --------------------------------------------------------------------------
+# Hostile fixture: sf0.001 with NULLs injected into every GROUP-BY-able
+# key column. Real data has NULL keys; the driver's fixtures do not, so
+# a query and its oracle can silently disagree on NULL-key semantics
+# (Spark concat() nulls a whole line where DuckDB's skips the arg;
+# equi-joins drop NULL keys; ASC sorts place NULL first vs last) and
+# stay green for rounds. Found live in r8: 10 of 169 oracle-bearing
+# queries diverged here before the corpus-completeness and null-safe-
+# join fixes. `python scripts/driver_replica.py --hostile` replays the
+# full registry on this fixture; tests/test_hostile_parity.py pins the
+# sentinel subset.
+# --------------------------------------------------------------------------
+
+HOSTILE_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    "hostile_nullkeys_sf",
+)
+
+_HOSTILE_REWRITES = {
+    # ~10% NULL group keys, deterministic by primary key
+    "events": (
+        "SELECT event_id, ts, user_id,"
+        " CASE WHEN event_id % 10 = 3 THEN NULL ELSE event_type END"
+        " AS event_type, value, props"
+    ),
+    "documents": (
+        "SELECT doc_id, text,"
+        " CASE WHEN doc_id % 11 = 4 THEN NULL ELSE lang END AS lang,"
+        " CASE WHEN doc_id % 13 = 5 THEN NULL ELSE source END AS source,"
+        " n_chars"
+    ),
+    "embeddings": (
+        "SELECT vec_id, embedding,"
+        " CASE WHEN vec_id % 7 = 2 THEN NULL ELSE label END AS label"
+    ),
+}
+
+
+def build_hostile_fixture(
+    root: str = HOSTILE_FIXTURE, src: str = "/root/testdata/sf0.001"
+) -> str:
+    """Materialize the NULL-key fixture (idempotent: skips tables that
+    already exist). Pure DuckDB — single-file parquet per table, so
+    both engines' readers see the same layout as the real fixtures."""
+    os.makedirs(root, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        dst = os.path.join(root, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        sel = _HOSTILE_REWRITES.get(t, "SELECT *")
+        con.execute(
+            f"COPY ({sel} FROM read_parquet('{os.path.join(src, t)}.parquet'))"
+            f" TO '{dst}' (FORMAT PARQUET)"
+        )
+    return root
+
+
 def canonical(df_pandas):
     """Sort columns by name, normalize values for comparison."""
     pdf = df_pandas.copy()
