@@ -40,7 +40,11 @@ def main() -> int:
     if argv[:1] == ["--hostile"]:
         from tests.oracle_harness import build_hostile_fixture
 
-        sf_dir, rest = build_hostile_fixture(), argv[1:]
+        try:
+            sf_dir, rest = build_hostile_fixture(), argv[1:]
+        except FileNotFoundError as e:
+            print(e)
+            return 1
     elif argv[:1] == ["--sf"]:
         if len(argv) < 2:
             print("--sf requires a scale factor (e.g. --sf 0.1)")

@@ -34,12 +34,6 @@ def run_oracle(sql: str, sf_dir: str):
 # sentinel subset.
 # --------------------------------------------------------------------------
 
-HOSTILE_FIXTURE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".scratch",
-    "hostile_nullkeys_sf",
-)
-
 _HOSTILE_REWRITES = {
     # ~10% NULL group keys, deterministic by primary key
     "events": (
@@ -60,24 +54,42 @@ _HOSTILE_REWRITES = {
 }
 
 
-def build_hostile_fixture(
-    root: str = HOSTILE_FIXTURE, src: str = "/root/testdata/sf0.001"
-) -> str:
-    """Materialize the NULL-key fixture (idempotent: skips tables that
-    already exist). Pure DuckDB — single-file parquet per table, so
-    both engines' readers see the same layout as the real fixtures."""
-    os.makedirs(root, exist_ok=True)
-    con = duckdb.connect()
-    for t in TABLES:
-        dst = os.path.join(root, f"{t}.parquet")
-        if os.path.exists(dst):
-            continue
-        sel = _HOSTILE_REWRITES.get(t, "SELECT *")
-        con.execute(
-            f"COPY ({sel} FROM read_parquet('{os.path.join(src, t)}.parquet'))"
-            f" TO '{dst}' (FORMAT PARQUET)"
-        )
-    return root
+def build_hostile_fixture(src: str = "/root/testdata/sf0.001") -> str:
+    """Materialize the NULL-key fixture through the repo's own staging
+    machinery (scratch_dir keys on the SOURCE content fingerprint +
+    STAGING_VERSION + a digest of the rewrite recipe, so regenerated
+    testdata or an edited _HOSTILE_REWRITES re-stages instead of
+    serving stale bytes; ensure_staged commits a _SUCCESS marker LAST
+    and the writer wipes first, so a crashed half-build is re-run, not
+    trusted). Pure DuckDB — single-file parquet per table, the same
+    layout as the real fixtures. Same no-concurrent-stagers caveat as
+    every other staged corpus."""
+    import hashlib
+    import shutil
+
+    from log2ck_spark.io import ensure_staged, scratch_dir
+
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no testdata at {src}")
+    recipe = hashlib.md5(
+        repr(sorted(_HOSTILE_REWRITES.items())).encode()
+    ).hexdigest()[:8]
+    path = scratch_dir(src, "hostile_nullkeys", recipe)
+
+    def _write(p: str) -> None:
+        shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(p, exist_ok=True)
+        con = duckdb.connect()
+        for t in TABLES:
+            sel = _HOSTILE_REWRITES.get(t, "SELECT *")
+            con.execute(
+                f"COPY ({sel} FROM"
+                f" read_parquet('{os.path.join(src, t)}.parquet'))"
+                f" TO '{os.path.join(p, t)}.parquet' (FORMAT PARQUET)"
+            )
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+
+    return ensure_staged(path, _write)
 
 
 def canonical(df_pandas):

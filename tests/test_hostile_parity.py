@@ -26,8 +26,13 @@ from tests.oracle_harness import build_hostile_fixture, compare, run_oracle
 
 load_all()
 
-# The 10 names red on this fixture before the r8 fixes, plus the two
-# HLL consumers (null-safe audit joins) — every class represented.
+# 13 sentinels = the 10 names RED on this fixture before the r8 fixes
+# (parse_monolog/accesslog/logfmt, filter_valid, enrich_constants,
+# callback_transform, ingest_text_lines, ingest_tail_snapshot,
+# sink_table, knn_classify) + raw_passthrough (never red, but its
+# corpus and oracle carry the same completeness predicate, so it
+# changed with them) + the two HLL consumers whose audit joins went
+# null-safe (approx_distinct, sketch_hll) — every class represented.
 SENTINELS = (
     "parse_monolog",
     "parse_accesslog",

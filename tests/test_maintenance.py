@@ -381,6 +381,31 @@ def test_materialize_shards_one_sorted_file_per_shard(spark, tmp_path):
         assert got == expect, d
 
 
+def _write_events(tmp_path, *, user_id, event_type, value):
+    """One tiny events.parquet (single file, the real fixtures' layout)
+    from the three columns the NULL-semantics tests vary; the rest of
+    the schema is filled deterministically."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(user_id)
+    df = pd.DataFrame(
+        {
+            "event_id": list(range(1, n + 1)),
+            "ts": pd.to_datetime(["2024-01-01"] * n),
+            "user_id": pd.array(user_id, dtype="Int64"),
+            "event_type": event_type,
+            "value": value,
+            "props": ["{}"] * n,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(tmp_path / "events.parquet"),
+    )
+
+
 def test_approx_distinct_keeps_all_null_groups(spark, tmp_path):
     """hll_group_stats ignores NULL values in its estimate (COUNT(DISTINCT) semantics), so
     a group whose user_ids are ALL NULL never reaches the estimate
@@ -388,26 +413,14 @@ def test_approx_distinct_keeps_all_null_groups(spark, tmp_path):
     diverging from the upstream approx_count_distinct contract (which
     returns it with estimate 0). The left-join + coalesce must keep
     it: approx_users == 0, n == the group's row count."""
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from log2ck_spark.queries import QUERIES, load_all
 
     load_all()
-    df = pd.DataFrame(
-        {
-            "event_id": [1, 2, 3, 4],
-            "ts": pd.to_datetime(["2024-01-01"] * 4),
-            "user_id": pd.array([10, 11, None, None], dtype="Int64"),
-            "event_type": ["click", "click", "ghost", "ghost"],
-            "value": [1.0, 2.0, 3.0, 4.0],
-            "props": ["{}"] * 4,
-        }
-    )
-    pq.write_table(
-        pa.Table.from_pandas(df, preserve_index=False),
-        str(tmp_path / "events.parquet"),
+    _write_events(
+        tmp_path,
+        user_id=[10, 11, None, None],
+        event_type=["click", "click", "ghost", "ghost"],
+        value=[1.0, 2.0, 3.0, 4.0],
     )
     rows = {
         r["event_type"]: r
@@ -431,29 +444,21 @@ def test_hll_queries_agree_with_oracle_on_null_group_keys(spark, tmp_path):
     by running query AND oracle over a fixture with a NULL event_type
     group through the driver-replica comparator."""
     import duckdb
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from log2ck_spark.queries import ORACLES, QUERIES, load_all
     from tests.oracle_harness import compare
 
     load_all()
-    df = pd.DataFrame(
-        {
-            "event_id": [1, 2, 3, 4, 5, 6],
-            "ts": pd.to_datetime(["2024-01-01"] * 6),
-            "user_id": pd.array([10, 11, 20, 21, None, None], dtype="Int64"),
-            "event_type": ["a", "a", None, None, "b", "b"],
-            "value": [1.0] * 6,
-            "props": ["{}"] * 6,
-        }
+    _write_events(
+        tmp_path,
+        user_id=[10, 11, 20, 21, None, None],
+        event_type=["a", "a", None, None, "b", "b"],
+        value=[1.0] * 6,
     )
-    path = str(tmp_path / "events.parquet")
-    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')"
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{tmp_path / 'events.parquet'}')"
     )
     for name in ("approx_distinct", "sketch_hll"):
         out = QUERIES[name](spark, str(tmp_path))
