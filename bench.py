@@ -377,9 +377,10 @@ def measure_ingest_throughput(spark, sf_dir: str) -> "dict | None":
     parsing, rejecting the dead-letter fraction, enrichment, and the
     partitioned write — not just source scanning. The checkpoint and
     sink are wiped before EACH iteration so every drain re-ingests
-    from zero; two iterations, min time (same ambient-host-stall
-    rationale as the query loops — a single drain measured anywhere
-    in a 2.4x band run-to-run)."""
+    from zero; min over a plateau loop of 2-4 drains (see below —
+    a single drain measures anywhere in a 2.4x band run-to-run, and a
+    fixed min-of-2 can land entirely inside one host-contention
+    phase)."""
     import shutil
 
     from log2ck_spark.config import EngineConfig, SinkConfig, TailSpec
@@ -400,9 +401,15 @@ def measure_ingest_throughput(spark, sf_dir: str) -> "dict | None":
         sink=sink,
         checkpoint_root=os.path.join(out_root, "ckpt"),
     )
+    # Plateau loop, same rationale as the calib anchor: a fixed
+    # min-of-2 records a stall when BOTH drains land in the same
+    # ambient-contention phase (observed r8: 11.9 s recorded against a
+    # 3.8 s quiet-host best, a 3x artifact of host timing alone). Keep
+    # draining until a drain fails to improve the min by >10%, at
+    # least 2 drains, capped at 4 — quiet hosts exit after 2.
     best = float("inf")
     n = 0
-    for _ in range(2):
+    for i in range(4):
         shutil.rmtree(out_root, ignore_errors=True)
         rows, _dead = stream_pipeline(spark, config, tail)
         t0 = time.time()
@@ -416,8 +423,12 @@ def measure_ingest_throughput(spark, sf_dir: str) -> "dict | None":
             .start()
         )
         query.awaitTermination()
-        best = min(best, time.time() - t0)
+        t = time.time() - t0
+        improved = t < best * 0.9
+        best = min(best, t)
         n = spark.read.parquet(sink.path).count()
+        if i >= 1 and not improved:
+            break
     if best <= 0 or n <= 0:
         return None
     return {
