@@ -123,6 +123,11 @@ ROTATION_FIRST: tuple[str, ...] = (
     "ingest_tail_snapshot",
     "sink_table",
     "knn_classify",
+    # - stream_session_window: late-r8 oracle fix — the running-SUM
+    #   session numbering now orders by the same (ts, event_id) key
+    #   the LAG flags use, instead of ts alone (nondeterministic for
+    #   tied timestamps at a session boundary).
+    "stream_session_window",
 )
 
 

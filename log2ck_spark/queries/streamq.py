@@ -71,15 +71,20 @@ def sessionize(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL 5 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ), numbered AS (
+      -- the running SUM must order by the SAME (ts, event_id) key the
+      -- LAG flags were computed over: ordering by ts alone leaves tied
+      -- timestamps at a session boundary free to sort before their
+      -- new_session flag, landing one twin in the previous session
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_no
       FROM ordered
     )

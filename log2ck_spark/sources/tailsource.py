@@ -22,7 +22,16 @@ the engine stays declarative:
 * glob re-expansion every micro-batch: a rotated/new daily file (A3)
   is picked up mid-stream at offset 0;
 * copytruncate rotation: a file that SHRANK below its stored offset
-  restarts from 0.
+  restarts from 0;
+* create-mode rotation (logrotate's default: rename away + create a
+  fresh file at the same path): offsets carry the file's INODE, so a
+  same-path file whose inode changed restarts from 0 even when the
+  replacement has already grown PAST the stored offset — size alone
+  cannot tell "new file, 6000 bytes" from "old file grew to 6000";
+* offset hygiene: a path that no longer exists on disk is dropped
+  from the offset dict (its committed bytes were emitted in earlier
+  batches), so a year of daily rotations cannot grow the checkpoint
+  offset log without bound.
 
 Scale posture: a SimpleDataSourceStreamReader runs on the driver —
 correct for tailing (the reference is likewise one process per tail;
@@ -52,12 +61,27 @@ SCHEMA = StructType(
 )
 
 
-def _complete_span(path: str, start: int) -> tuple[bytes, int]:
+# Offset-dict values are [byte offset, inode] pairs; legacy checkpoints
+# (plain int offsets, pre-inode) are still readable.
+def _off(v) -> int:
+    return int(v[0]) if isinstance(v, (list, tuple)) else int(v)
+
+
+def _ino(v) -> "int | None":
+    return int(v[1]) if isinstance(v, (list, tuple)) and len(v) > 1 else None
+
+
+def _complete_span(
+    path: str, start: int, size: "int | None" = None
+) -> tuple[bytes, int]:
     """Bytes of COMPLETE lines in `path` from offset `start`, plus the
-    new offset (start + bytes consumed). A trailing partial line is not
-    consumed — the offset parks just past the last newline, so the
-    fragment is re-read once the writer finishes it."""
-    size = os.path.getsize(path)
+    new offset (start + bytes consumed). The stream reader stats the
+    file once (size + inode) and passes `size`; standalone callers may
+    omit it. A trailing partial line is not consumed — the offset
+    parks just past the last newline, so the fragment is re-read once
+    the writer finishes it."""
+    if size is None:
+        size = os.path.getsize(path)
     if size < start:  # truncated in place (copytruncate rotation)
         start = 0
     if size == start:
@@ -77,7 +101,8 @@ def _lines(raw: bytes, path: str) -> Iterator[tuple[str, str]]:
 
 
 class TailStreamReader(SimpleDataSourceStreamReader):
-    """Offset = {file path: byte position of the next unread byte}."""
+    """Offset = {file path: [next unread byte, inode]} (legacy plain
+    ints accepted on read)."""
 
     def __init__(self, options: dict):
         self.pattern = options.get("path", "")
@@ -91,27 +116,49 @@ class TailStreamReader(SimpleDataSourceStreamReader):
         return sorted(p for p in glob.glob(self.pattern) if os.path.isfile(p))
 
     def initialOffset(self) -> dict:
-        if self.skip_history:
-            return {p: os.path.getsize(p) for p in self._files()}
-        return {p: 0 for p in self._files()}
+        out = {}
+        for p in self._files():
+            try:
+                st = os.stat(p)
+            except FileNotFoundError:
+                continue  # vanished between glob and stat — next trigger
+            out[p] = [st.st_size if self.skip_history else 0, st.st_ino]
+        return out
 
     def read(self, start: dict) -> tuple[Iterator[tuple[str, str]], dict]:
         # Rows are MATERIALIZED (not a generator): the engine's
         # prefetch cache pickles the returned iterator to ship it to
         # the executor side, and generators don't pickle. Memory is
         # bounded by bytes appended since the previous trigger.
-        end = dict(start)
+        #
+        # Offset hygiene: carry forward only paths that still exist —
+        # a path gone from disk had its committed bytes emitted in
+        # earlier batches, and keeping it would grow the checkpoint
+        # offset log by one dead entry per rotated file forever.
+        end = {
+            p: v for p, v in start.items() if os.path.exists(p)
+        }
         rows: list[tuple[str, str]] = []
         for p in self._files():
+            prev = start.get(p, 0)
             try:
-                raw, new_off = _complete_span(p, int(start.get(p, 0)))
+                st = os.stat(p)
+                offset = _off(prev)
+                known_ino = _ino(prev)
+                if known_ino is not None and st.st_ino != known_ino:
+                    # Create-mode rotation: same path, NEW file. Size
+                    # alone cannot detect this once the replacement
+                    # grows past the stored offset — seek would skip
+                    # its head and emit a mid-line fragment.
+                    offset = 0
+                raw, new_off = _complete_span(p, offset, st.st_size)
             except FileNotFoundError:
                 # TOCTOU: the file vanished between the glob and the
                 # stat/read (logrotate's rename+unlink does exactly
                 # this). Treat as 0 new bytes this trigger; the next
                 # glob re-expansion drops or re-adds the path.
                 continue
-            end[p] = new_off
+            end[p] = [new_off, st.st_ino]
             if raw:
                 rows.extend(_lines(raw, p))
         return iter(rows), end
@@ -126,13 +173,18 @@ class TailStreamReader(SimpleDataSourceStreamReader):
         copytruncate rotation (read() reset a shrunken file to 0 and
         emitted bytes [0, stop)) — replay that range, do NOT skip it,
         or recovery would silently drop a batch the original run
-        emitted."""
+        emitted. An inode CHANGE between the two offsets means the
+        original batch saw a create-mode rotation and read the new
+        file from 0 — same rule."""
         rows: list[tuple[str, str]] = []
-        for p, stop in sorted(end.items()):
-            begin = int(start.get(p, 0))
-            stop = int(stop)
+        for p, committed in sorted(end.items()):
+            prev = start.get(p, 0)
+            begin, stop = _off(prev), _off(committed)
             if stop < begin:
                 begin = 0  # truncation happened inside the batch
+            b_ino, e_ino = _ino(prev), _ino(committed)
+            if b_ino is not None and e_ino is not None and b_ino != e_ino:
+                begin = 0  # rotation (new inode) happened inside the batch
             if stop <= begin:
                 continue
             try:

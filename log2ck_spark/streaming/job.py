@@ -15,11 +15,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from log2ck_spark.config import EngineConfig, TailSpec
-from log2ck_spark.functions.numeric import dsum
 from log2ck_spark.pipeline import stream_pipeline
 from log2ck_spark.sink import writer_for
 
@@ -76,22 +74,17 @@ def windowed_stream(
     width: str = "10 minutes",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Event-time tumbling agg with watermark for late data (C5) — the
-    streaming twin of queries.streamq.tumbling_agg. Watermark bounds
-    state: windows older than max(event time) - watermark are finalized
-    and evicted."""
-    win = F.window(F.col("ts"), width)
-    return (
-        lines_or_events.withWatermark("ts", watermark)
-        .groupBy(win.alias("win"), F.col("event_type"))
-        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
-        .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
+    """Event-time tumbling agg with watermark for late data (C5):
+    COMPOSES queries.streamq.tumbling_agg after declaring the
+    watermark, so the streaming plan and the oracle-checked batch
+    query are literally the same aggregation — a second hand-written
+    copy here once had to be kept in lockstep by eye. Watermark bounds
+    state: windows older than max(event time) - watermark are
+    finalized and evicted."""
+    from log2ck_spark.queries.streamq import tumbling_agg
+
+    return tumbling_agg(
+        lines_or_events.withWatermark("ts", watermark), width
     )
 
 

@@ -35,13 +35,20 @@ class OpsLogListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
+        # Spark reports inputRowsPerSecond = NaN on the first batch /
+        # zero-duration triggers, and json.dumps would emit the
+        # non-standard NaN token — unparseable to jq/JSON.parse/any
+        # strict log consumer. Non-finite -> null.
+        rps = p.inputRowsPerSecond
+        if rps is not None and (rps != rps or rps in (float("inf"), float("-inf"))):
+            rps = None
         self._log(
             p.name or "query",
             "batch committed",
             {
                 "batchId": p.batchId,
                 "numInputRows": p.numInputRows,
-                "inputRowsPerSecond": p.inputRowsPerSecond,
+                "inputRowsPerSecond": rps,
                 "batchDurationMs": p.batchDuration,
             },
         )

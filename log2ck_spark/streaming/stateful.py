@@ -70,7 +70,15 @@ def make_flusher(max_count: int = 100, max_wait_s: float = 10.0):
             state.remove()
         else:
             state.update((n, total, first_seen))
-            state.setTimeoutDuration(int(max_wait_s * 1000))
+            # REMAINING wait, not the full window: the timeout resets
+            # on every batch that touches the key, so re-arming with
+            # max_wait_s would let a late second event push the first
+            # event's flush out to ~2x max_wait_s (event A at t=0,
+            # event B at t=9 with a 10s window re-armed the clock to
+            # t=19). Age is measured from first_seen, so arm exactly
+            # the time left on that contract.
+            remaining_ms = int((max_wait_s - (now - first_seen)) * 1000)
+            state.setTimeoutDuration(max(1, remaining_ms))
         for f in flushes:
             yield f
 
@@ -173,11 +181,16 @@ def ewma_alerts(
     key_col: str = "event_type",
     alpha: float = 0.2,
     threshold: float = 25.0,
+    one_minus: float | None = None,
 ) -> DataFrame:
     """Streaming DataFrame of per-key EWMA snapshots (cumulative event
-    count, current forecast, cumulative alert count). Update mode."""
+    count, current forecast, cumulative alert count). Update mode.
+    `one_minus` passes through to make_ewma — a caller overriding
+    alpha pins its paired literal HERE, or the streaming recurrence
+    computes 1.0-alpha in doubles while its batch analog pins a
+    literal, and the two drift ULP by ULP over long histories."""
     return events.groupBy(key_col).applyInPandasWithState(
-        make_ewma(alpha, threshold),
+        make_ewma(alpha, threshold, one_minus),
         outputStructType=EWMA_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="update",
@@ -212,7 +225,20 @@ def make_run_encoder(order_cols: tuple[str, ...] = ("ts_s", "event_id")):
         else:
             cur, cnt, run_id = None, 0, 0
         closed = []
-        for pdf in pdfs:
+        # ONE sort over the whole micro-batch: a key with more rows
+        # than the Arrow batch size (spark.sql.execution.arrow.
+        # maxRecordsPerBatch, default 10k) arrives as MULTIPLE chunks,
+        # and sorting each independently re-splits/merges runs at
+        # every chunk boundary where order straddles it. Concat is
+        # bounded by the key's per-micro-batch volume — the same bound
+        # the operator already carries.
+        frames = list(pdfs)
+        if frames:
+            pdf = (
+                frames[0]
+                if len(frames) == 1
+                else pd.concat(frames, ignore_index=True)
+            )
             cols = [c for c in order_cols if c in pdf.columns]
             if cols:
                 pdf = pdf.sort_values(cols)

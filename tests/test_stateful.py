@@ -167,3 +167,78 @@ def test_run_encoder_closes_runs_across_batches(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the pandas fns directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_flusher_arms_remaining_wait_not_full_window():
+    """The dual-trigger contract is 'flush when age > max_sent_wait';
+    re-arming the FULL window on every batch that touches the key let
+    a late second event push the first event's flush out to ~2x the
+    window (A at t=0, B at t=9, 10s window -> timeout re-armed to
+    t=19). The timeout must be the REMAINING time from first_seen."""
+    import pandas as pd
+
+    from log2ck_spark.streaming.stateful import make_flusher
+
+    fn = make_flusher(max_count=100, max_wait_s=10.0)
+    st = _FakeState()
+    # first event: buffered, timeout armed at (close to) the full 10s
+    list(fn(("k",), [pd.DataFrame({"value": [1.0]})], st))
+    assert st.exists and 9_000 < st.timeout_ms <= 10_000
+    # simulate 9s of age by back-dating first_seen, then a second event
+    import time as _t
+
+    n, total, first_seen = st.get
+    st.update((n, total, _t.time() - 9.0))
+    list(fn(("k",), [pd.DataFrame({"value": [1.0]})], st))
+    # remaining ~1s, NOT re-armed to 10s
+    assert st.exists and 0 < st.timeout_ms <= 1_100
+
+
+def test_run_encoder_sorts_across_arrow_chunks():
+    """A key larger than the Arrow batch size arrives as MULTIPLE
+    pandas chunks; sorting each independently re-splits runs at every
+    chunk boundary where order straddles it. One sort over the whole
+    micro-batch: rows [A(ts=1), A(ts=3)] + [A(ts=2), B(ts=4)] must
+    encode as ONE closed A-run of 3, not A/A fragments."""
+    import pandas as pd
+
+    from log2ck_spark.streaming.stateful import make_run_encoder
+
+    fn = make_run_encoder()
+    st = _FakeState()
+    chunk1 = pd.DataFrame(
+        {"state": ["A", "A"], "ts_s": [1, 3], "event_id": [1, 3]}
+    )
+    chunk2 = pd.DataFrame(
+        {"state": ["A", "B"], "ts_s": [2, 4], "event_id": [2, 4]}
+    )
+    out = list(fn(("k",), [chunk1, chunk2], st))
+    closed = pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+    assert list(closed["state"]) == ["A"] and list(closed["n_events"]) == [3]
+    assert st.get == ("B", 1, 1)  # B-run open with the next run_id

@@ -7,7 +7,11 @@ from __future__ import annotations
 import time
 
 from log2ck_spark.sources import register_tail_source
-from log2ck_spark.sources.tailsource import TailStreamReader, _complete_span
+from log2ck_spark.sources.tailsource import (
+    TailStreamReader,
+    _complete_span,
+    _off,
+)
 
 
 def _wait(predicate, timeout=60):
@@ -54,14 +58,15 @@ def test_stream_reader_offsets(tmp_path):
     f = tmp_path / "app.log"
     f.write_bytes(b"old1\nold2\n")
     r = TailStreamReader({"path": str(tmp_path / "*.log")})
-    assert r.initialOffset() == {str(f): 10}  # skiphistory default
+    # offsets are [byte position, inode] pairs (skiphistory default)
+    assert _off(r.initialOffset()[str(f)]) == 10
 
     r0 = TailStreamReader({"path": str(tmp_path / "*.log"), "skiphistory": "false"})
     start = r0.initialOffset()
-    assert start == {str(f): 0}
+    assert _off(start[str(f)]) == 0
     rows, end = r0.read(start)
     assert list(rows) == [(str(f), "old1"), (str(f), "old2")]
-    assert end == {str(f): 10}
+    assert _off(end[str(f)]) == 10
     # deterministic replay of the same range
     assert list(r0.readBetweenOffsets(start, end)) == [
         (str(f), "old1"),
@@ -72,12 +77,14 @@ def test_stream_reader_offsets(tmp_path):
     g.write_bytes(b"fresh\n")
     rows, end2 = r0.read(end)
     assert list(rows) == [(str(g), "fresh")]
-    assert end2[str(g)] == 6 and end2[str(f)] == 10
+    assert _off(end2[str(g)]) == 6 and _off(end2[str(f)]) == 10
 
 
 def test_stream_reader_survives_delete_and_recreate(tmp_path):
-    """Log deletion mid-stream must not crash the reader; a recreated
-    (smaller) file restarts from 0 via the truncation check."""
+    """Log deletion mid-stream must not crash the reader, and the dead
+    path's offset is PRUNED (a year of rotations must not grow the
+    checkpoint offset log without bound); a recreated file restarts
+    from 0."""
     import os
 
     f = tmp_path / "app.log"
@@ -87,13 +94,43 @@ def test_stream_reader_survives_delete_and_recreate(tmp_path):
     assert [v for _, v in rows] == ["gen1-line"]
 
     os.remove(f)
-    rows, off2 = r.read(off)  # no file -> no rows, offsets retained
-    assert list(rows) == [] and off2 == off
+    rows, off2 = r.read(off)  # no file -> no rows, dead offset dropped
+    assert list(rows) == [] and off2 == {}
 
     f.write_bytes(b"gen2\n")  # logrotate create-mode: same name, new file
     rows, off3 = r.read(off2)
     assert [v for _, v in rows] == ["gen2"]
-    assert off3[str(f)] == 5
+    assert _off(off3[str(f)]) == 5
+
+
+def test_create_mode_rotation_with_larger_replacement(tmp_path):
+    """logrotate create-mode where the REPLACEMENT grows past the old
+    offset between triggers: same path, new inode, size ABOVE the
+    stored offset — undetectable from size alone (the old code seeked
+    to the stale offset, silently losing the new file's head and
+    emitting a mid-line fragment). The inode in the offset pair
+    detects it and restarts from 0."""
+    import os
+
+    f = tmp_path / "app.log"
+    f.write_bytes(b"aaaa\n")  # 5 bytes
+    r = TailStreamReader({"path": str(tmp_path / "*.log"), "skiphistory": "false"})
+    rows, off = r.read(r.initialOffset())
+    assert [v for _, v in rows] == ["aaaa"]
+
+    # rotate: rename away, create fresh file that is ALREADY LARGER
+    os.rename(f, tmp_path / "app.log.1")
+    f.write_bytes(b"first-new-line\nsecond\n")  # 22 bytes > offset 5
+    rows, off2 = r.read(off)
+    got = [v for p, v in rows if p == str(f)]
+    assert got == ["first-new-line", "second"]  # head NOT lost
+    assert _off(off2[str(f)]) == 22
+
+    # recovery replay of that batch re-reads the new file from 0
+    replayed = [
+        v for p, v in r.readBetweenOffsets(off, off2) if p == str(f)
+    ]
+    assert replayed == ["first-new-line", "second"]
 
 
 def test_replay_after_truncation_inside_batch(tmp_path):
@@ -111,7 +148,7 @@ def test_replay_after_truncation_inside_batch(tmp_path):
     f.write_bytes(b"new1\nnew2\n")  # copytruncate: size 10 < offset 34
     rows, off2 = r.read(off1)
     assert [v for _, v in rows] == ["new1", "new2"]
-    assert off2[str(f)] == 10 < off1[str(f)]
+    assert _off(off2[str(f)]) == 10 < _off(off1[str(f)])
 
     # the recovery path must replay exactly what the original batch saw
     replayed = list(r.readBetweenOffsets(off1, off2))
@@ -150,7 +187,7 @@ def test_multi_megabyte_append_single_trigger(tmp_path):
     rows, end = r.read(start)
     rows = list(rows)
     assert len(rows) == n
-    assert end[str(f)] == n * 70
+    assert _off(end[str(f)]) == n * 70
     # nothing left: the follow-up trigger is empty
     rows2, end2 = r.read(end)
     assert list(rows2) == [] and end2 == end
