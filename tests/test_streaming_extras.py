@@ -166,7 +166,13 @@ def test_stream_stream_interval_join_live(spark, tmp_path):
         def got():
             return {tuple(r) for r in spark.sql("SELECT * FROM ssj").collect()}
 
-        assert _wait(lambda: got() == expected, timeout=90), (
+        # 180s, not 90: the interval join runs two sources + state
+        # store through 500ms triggers, and with the whole suite's 32
+        # threads busy on a contended host one full-suite run timed
+        # out at 90 while passing in isolation in ~24s. The predicate
+        # returns the moment the sets match, so the budget only binds
+        # under exactly that worst case.
+        assert _wait(lambda: got() == expected, timeout=180), (
             f"streaming join emitted {len(got())} pairs, want {len(expected)}"
         )
     finally:
