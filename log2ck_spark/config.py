@@ -15,7 +15,11 @@ from typing import Any, Optional, Union
 
 import pandas as pd
 
-from log2ck_spark.parse import MONOLOG_GROUPS, MONOLOG_PATTERN
+from log2ck_spark.parse import (
+    MONOLOG_GROUPS,
+    MONOLOG_PATTERN,
+    MONOLOG_TS_FORMAT,
+)
 
 # A callback is either a column-level transform (fast path — stays on
 # the JVM) or a pandas batch transform with a declared output schema
@@ -52,6 +56,13 @@ class TailSpec:
     # None ⇒ monolog default; False ⇒ raw passthrough (A6, readme.md:81)
     pattern: Union[str, None, bool] = None
     groups: tuple[str, ...] = MONOLOG_GROUPS
+    # Which group (if any) is the event timestamp, and its format —
+    # a custom-pattern tail whose timestamp grammar differs from
+    # monolog's MUST set ts_format (e.g. access logs'
+    # "dd/MMM/yyyy:HH:mm:ss Z") or every line dead-letters on the
+    # failed to_timestamp. ts_group=None skips timestamp typing.
+    ts_group: Optional[str] = "created_at"
+    ts_format: str = MONOLOG_TS_FORMAT
     callback: Optional[ColumnCallback] = None
     pandas_callback: Optional[PandasCallback] = None
     pandas_callback_schema: Optional[str] = None  # DDL string, required with ^
@@ -89,6 +100,35 @@ class EngineConfig:
                 )
             if t.pattern is None and t.groups != MONOLOG_GROUPS:
                 raise ValueError(f"tail {t.name}: custom groups need a pattern")
+            if t.pattern is not None and t.pattern is not False and not isinstance(
+                t.pattern, str
+            ):
+                raise ValueError(
+                    f"tail {t.name}: pattern must be a regex string, None "
+                    f"(monolog default), or False (raw passthrough); got "
+                    f"{type(t.pattern).__name__}"
+                )
+            if isinstance(t.pattern, str) or t.pattern is None:
+                # Fail at CONFIG time, not hours into a backfill: a
+                # pattern with fewer capture groups than len(groups)
+                # aborts the Spark job on the first matching line
+                # (regexp_replace "No group N"). Python's re and Java's
+                # regex agree on capture-group counting for the common
+                # syntax; a Java-only construct Python cannot compile is
+                # skipped rather than falsely rejected.
+                import re as _re
+
+                try:
+                    n_groups = _re.compile(t.pattern or MONOLOG_PATTERN).groups
+                except _re.error:
+                    n_groups = None
+                if n_groups is not None and n_groups < len(t.groups):
+                    raise ValueError(
+                        f"tail {t.name}: pattern has {n_groups} capture "
+                        f"group(s) but {len(t.groups)} group names are "
+                        f"declared — the extract would abort the job at "
+                        f"the first matching line"
+                    )
         return self
 
     def sink_for(self, tail: TailSpec) -> SinkConfig:

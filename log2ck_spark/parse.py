@@ -80,7 +80,19 @@ def parse_lines(
     """
     line = F.col(line_col)
     repl = _SEP.join(f"${i}" for i in range(1, len(groups) + 1))
-    parts = F.split(F.regexp_replace(line, pattern, repl), _SEP)
+    # The rewrite must consume the WHOLE line around the FIRST match:
+    # a bare regexp_replace rewrites every match in place, so an
+    # UNANCHORED user pattern ('a=(\\d+) b=(\\d+)' on 'x a=1 b=2 y')
+    # leaves the surrounding text fused into the edge groups
+    # ('x 1', '2 y') and a twice-matching line fuses fields across
+    # matches — silent corruption with _valid still true, where the
+    # reference's preg_match extracts exact group contents. Wrapping
+    # as ^.*?(?:pattern).*$ makes one replacement of the full line
+    # with the first match's groups (the non-capturing wrap keeps
+    # $1..$N numbering; for already-anchored patterns the lazy/greedy
+    # wrappers match empty and the behavior is unchanged).
+    full = f"^.*?(?:{pattern}).*$"
+    parts = F.split(F.regexp_replace(line, full, repl), _SEP)
     cols: list[Column] = [line.alias("_raw")]
     for i, g in enumerate(groups):
         cols.append(F.coalesce(F.get(parts, i), F.lit("")).alias(g))

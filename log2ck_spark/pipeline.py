@@ -20,8 +20,27 @@ from log2ck_spark.parse import enrich, parse_lines, split_valid, with_log_date
 
 def expand_date_macro(path: str, today: date | None = None) -> str:
     """`{date}` → today's Y-m-d (reference Manager.php:82-85,
-    readme.md:79 — the only supported path macro)."""
+    readme.md:79 — the only supported path macro). BATCH semantics:
+    one day's snapshot, resolved at call time."""
     return path.replace("{date}", (today or date.today()).isoformat())
+
+
+def stream_date_glob(path: str) -> str:
+    """`{date}` → a date-shaped GLOB for STREAMING paths. Resolving the
+    macro to today's literal date at query construction freezes a
+    long-running stream onto one day's file: at midnight all new lines
+    go to the next day's file, which the bound query never discovers —
+    silent ingestion stop (the reference re-resolves via its daily
+    worker respawn, Manager.php:82-85; an engine-managed stream has no
+    respawn). Both streaming sources re-expand globs every trigger, so
+    the date-family glob rolls automatically; with follow=True,
+    skiphistory pins files that pre-exist the stream at EOF (today's
+    live file, yesterday's leftovers) and each NEW day's file is read
+    from byte 0 — exactly the reference worker's behavior across
+    midnight."""
+    return path.replace(
+        "{date}", "[0-9][0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9]"
+    )
 
 
 def transform_chain(
@@ -40,7 +59,14 @@ def transform_chain(
         dead = lines.limit(0).select(F.col("value").alias("raw_line"))
     else:
         pattern_kwargs = {} if tail.pattern is None else {"pattern": tail.pattern}
-        parsed = parse_lines(lines, "value", groups=tail.groups, **pattern_kwargs)
+        parsed = parse_lines(
+            lines,
+            "value",
+            groups=tail.groups,
+            ts_group=tail.ts_group,
+            ts_format=tail.ts_format,
+            **pattern_kwargs,
+        )
         rows, dead = split_valid(parsed)
 
     if tail.callback is not None:
@@ -86,7 +112,7 @@ def stream_pipeline(
         register_tail_source(spark)
         lines = (
             spark.readStream.format("tailf")
-            .option("path", expand_date_macro(tail.path))
+            .option("path", stream_date_glob(tail.path))
             .option("skiphistory", "true" if tail.skip_history else "false")
             .load()
             .select("value")
@@ -95,6 +121,6 @@ def stream_pipeline(
         lines = (
             spark.readStream.option(
                 "maxFilesPerTrigger", config.max_files_per_trigger
-            ).text(expand_date_macro(tail.path))
+            ).text(stream_date_glob(tail.path))
         )
     return transform_chain(lines, tail)

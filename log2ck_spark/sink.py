@@ -10,6 +10,7 @@ inside foreachBatch (connection per partition, never per row).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
@@ -50,9 +51,12 @@ def write_batch(df: DataFrame, sink: SinkConfig) -> None:
 
 
 def foreach_batch_writer(
-    sink: SinkConfig, dead_letter_path: str | None = None
+    sink: SinkConfig,
 ) -> Callable[[DataFrame, int], None]:
-    """foreachBatch function for streaming writes (A10).
+    """foreachBatch function for streaming writes (A10). Dead letters
+    are a separate stream wired by the caller (streaming/job.py), not
+    a parameter here — an accepted-but-ignored dead_letter_path once
+    invited silent drops.
 
     Delivery guarantee — stated precisely: the engine's offset/commit
     logs re-run a micro-batch only if it never committed, so the
@@ -204,9 +208,11 @@ def writer_for(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
     raise ValueError(f"unknown sink kind: {sink.kind!r}")
 
 
-def rows_to_json_each_row(rows) -> "list[bytes]":
-    """Serialize rows (Row / dict / sequence of (name, value) pairs)
-    to ClickHouse JSONEachRow lines (one JSON object per row, UTF-8).
+def rows_to_json_each_row(rows) -> "Iterator[bytes]":
+    """Lazily serialize rows (Row / dict / sequence of (name, value)
+    pairs) to ClickHouse JSONEachRow lines (one JSON object per row,
+    UTF-8) — a GENERATOR, so the HTTP batcher's memory stays bounded
+    by batch_size, not partition size.
 
     * Timestamps emit as 'YYYY-MM-DD HH:MM:SS[.ffffff]' strings — the
       format ClickHouse's DateTime/DateTime64 JSON input accepts.
@@ -279,17 +285,18 @@ def rows_to_json_each_row(rows) -> "list[bytes]":
         k = _conv(k)
         return k if isinstance(k, str) else _json.dumps(k)
 
-    out = []
+    # Generator, not a list: http_insert_in_batches streams this into
+    # batch_size flushes, and materializing a whole partition's
+    # serialized JSON up front would defeat that memory bound (a 50M-
+    # row partition would hold 50M encoded lines before the first
+    # flush).
     for row in rows:
         d = row.asDict() if hasattr(row, "asDict") else dict(row)
-        out.append(
-            _json.dumps(
-                {k: _conv(v) for k, v in d.items()},
-                ensure_ascii=False,
-                allow_nan=False,
-            ).encode("utf-8")
-        )
-    return out
+        yield _json.dumps(
+            {k: _conv(v) for k, v in d.items()},
+            ensure_ascii=False,
+            allow_nan=False,
+        ).encode("utf-8")
 
 
 def http_insert_in_batches(
@@ -402,14 +409,21 @@ def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
             "(default) or install a ClickHouse client"
         ) from e
 
-    def _write(batch_df: DataFrame, batch_id: int) -> None:  # pragma: no cover
-        opts: dict[str, Any] = dict(sink.options)
-        table = opts.pop("table")
+    # Resolve options at WRITER CREATION, not first micro-batch:
+    # writer_for's contract is fail-loudly-at-config-time (the http
+    # twin pops 'table' here too) — a missing 'table' must not start a
+    # stream that dies with KeyError on its first batch, and
+    # batch_size (valid for clickhouse_http) must feed the batcher,
+    # not leak into get_client() as a TypeError.
+    opts: dict[str, Any] = dict(sink.options)
+    table = opts.pop("table")
+    batch_size = int(opts.pop("batch_size", CK_INSERT_BATCH))
 
+    def _write(batch_df: DataFrame, batch_id: int) -> None:  # pragma: no cover
         def _insert_partition(rows):
             client = clickhouse_connect.get_client(**opts)
             try:
-                insert_in_batches(client, table, rows)
+                insert_in_batches(client, table, rows, batch_size)
             finally:
                 client.close()
 

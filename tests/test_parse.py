@@ -136,3 +136,111 @@ def test_config_validation():
     t2 = TailSpec(name="u", path="q", sink=override)
     assert ok.sink_for(t2) is override  # A11 per-tail override
     assert ok.sink_for(ok.tails[0]) is ok.sink
+
+
+def test_unanchored_pattern_extracts_exact_groups(spark):
+    """An UNANCHORED custom pattern must extract exact group contents
+    (the reference's preg_match semantics). The bare regexp_replace
+    rewrite edited matches in place, fusing the surrounding text into
+    the edge groups ('x a=1 b=2 y' -> a='x 1', b='2 y') and fusing
+    fields ACROSS matches on a twice-matching line — silent corruption
+    with _valid still true."""
+    from log2ck_spark.parse import parse_lines, split_valid
+
+    df = spark.createDataFrame(
+        [("x a=1 b=2 y",), ("a=7 b=8 junk a=9 b=0",), ("no match here",)],
+        "value string",
+    )
+    parsed = parse_lines(
+        df,
+        pattern=r"a=(\d+) b=(\d+)",
+        groups=("a", "b"),
+        ts_group=None,
+    )
+    valid, dead = split_valid(parsed)
+    got = {(r["a"], r["b"]) for r in valid.collect()}
+    # exact group contents; the double-match line keeps its FIRST match
+    assert got == {("1", "2"), ("7", "8")}
+    assert [r["raw_line"] for r in dead.collect()] == ["no match here"]
+
+
+def test_custom_ts_format_flows_through_tailspec(spark):
+    """A config-driven tail with a non-monolog timestamp grammar must
+    be able to declare ts_format (accesslog's 'dd/MMM/yyyy:HH:mm:ss Z'
+    parsed with the monolog format NULLs every created_at -> 100%
+    dead-letter)."""
+    from log2ck_spark.config import TailSpec
+    from log2ck_spark.pipeline import transform_chain
+    from log2ck_spark.queries.ingest import (
+        ACCESSLOG_GROUPS,
+        ACCESSLOG_PATTERN,
+        ACCESSLOG_TS_FORMAT,
+    )
+
+    line = '10.0.0.1 - u7 [15/Aug/2026:10:30:00 +0000] "GET /e/click/3 HTTP/1.1" 200 17'
+    df = spark.createDataFrame([(line,)], "value string")
+    tail = TailSpec(
+        name="acc",
+        path="unused",
+        pattern=ACCESSLOG_PATTERN,
+        groups=ACCESSLOG_GROUPS,
+        ts_format=ACCESSLOG_TS_FORMAT,
+    )
+    rows, dead = transform_chain(df, tail)
+    assert dead.count() == 0
+    (r,) = rows.collect()
+    assert r["created_at"] is not None and r["path"] == "/e/click/3"
+
+    # monolog default format on the same line: all dead-lettered
+    bad = TailSpec(
+        name="acc2",
+        path="unused",
+        pattern=ACCESSLOG_PATTERN,
+        groups=ACCESSLOG_GROUPS,
+    )
+    rows2, dead2 = transform_chain(df, bad)
+    assert rows2.count() == 0 and dead2.count() == 1
+
+
+def test_validate_rejects_group_count_mismatch():
+    """A pattern with fewer capture groups than declared group names
+    aborts the Spark job at the FIRST matching line (regexp_replace
+    'No group N') — hours into a backfill. validate() must catch it at
+    config load, and a non-string/non-False pattern likewise."""
+    import pytest
+
+    from log2ck_spark.config import EngineConfig, TailSpec
+
+    bad = EngineConfig(
+        tails=[
+            TailSpec(
+                name="t",
+                path="p",
+                pattern=r"^a=(\d+) b=(\d+)$",
+                groups=("a", "b", "c"),
+            )
+        ]
+    )
+    with pytest.raises(ValueError, match="capture group"):
+        bad.validate()
+
+    with pytest.raises(ValueError, match="pattern must be"):
+        EngineConfig(
+            tails=[TailSpec(name="t", path="p", pattern=True)]
+        ).validate()
+
+
+def test_stream_date_glob_rolls_at_midnight():
+    """{date} in a STREAMING path must become a date-family glob:
+    resolving it to today's literal at query construction freezes the
+    stream onto one day's file and ingestion silently stops at
+    midnight."""
+    from log2ck_spark.pipeline import stream_date_glob
+
+    g = stream_date_glob("/logs/app-{date}.log")
+    assert g == "/logs/app-[0-9][0-9][0-9][0-9]-[0-9][0-9]-[0-9][0-9].log"
+    import fnmatch
+
+    assert fnmatch.fnmatch("/logs/app-2026-08-15.log", g)
+    assert fnmatch.fnmatch("/logs/app-2026-08-16.log", g)  # next day too
+    assert not fnmatch.fnmatch("/logs/app-today.log", g)
