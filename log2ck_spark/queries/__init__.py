@@ -87,47 +87,15 @@ ROTATION_FIRST: tuple[str, ...] = (
     # ONLY queries whose code/oracle changed after their latest driver
     # row are pinned — the automatic stalest-first order handles
     # everything else (never-checked first, then failed-last-check,
-    # then stalest green). All 12 r6 pins went full-value green in r7
-    # and are released; the freed slots drain the r4/r5 tail.
-    # r8 pins:
-    # - approx_distinct: r7 replaced its Spark-native
-    #   approx_count_distinct (rows-only checkable — HLL++ register
-    #   layout not replayable cross-engine) with the portable shared
-    #   HLL and a full DuckDB value oracle, and r8 adds the all-NULL-
-    #   group left-join fix; its latest driver row (r6) predates both,
-    #   the textbook case for this pin rule (r7 verdict item 3).
-    "approx_distinct",
-    # - sketch_hll: r8 rewrote it onto the shared hll_group_stats
-    #   kernel and replaced its inline oracle with the hll_oracle_cte
-    #   composition (value-identical on NULL-free data, verified via
-    #   driver_replica, but both code and oracle changed after its
-    #   latest driver row, r5).
-    "sketch_hll",
-    # - the hostile-fixture (NULL group key) parity fixes, late r8:
-    #   the corpus renderers now synthesize over complete event rows
-    #   only and every corpus-dependent oracle carries the matching
-    #   CORPUS_COMPLETE_SQL predicate; knn_classify restricts the vote
-    #   to labeled neighbors. Value-identical on the driver's NULL-free
-    #   fixtures (full sf0.01 replica re-run: PASS), but code AND
-    #   oracle changed after each name's latest driver row — the pin
-    #   rule applies to all of them. 13 pins + the 33-name r4 tail
-    #   still fit the 50-slot window, so the staleness drain survives.
-    "parse_monolog",
-    "parse_accesslog",
-    "parse_logfmt",
-    "filter_valid",
-    "enrich_constants",
-    "callback_transform",
-    "raw_passthrough",
-    "ingest_text_lines",
-    "ingest_tail_snapshot",
-    "sink_table",
-    "knn_classify",
-    # - stream_session_window: late-r8 oracle fix — the running-SUM
-    #   session numbering now orders by the same (ts, event_id) key
-    #   the LAG flags use, instead of ts alone (nondeterministic for
-    #   tied timestamps at a session boundary).
-    "stream_session_window",
+    # then stalest green). All 14 r8 pins (the shared-HLL pair, the 11
+    # hostile-parity ingest names, and stream_session_window) went
+    # full-value green in CORRECTNESS_r08 and are RELEASED — per the
+    # pin rule, a green driver row after the change is the evidence
+    # the pin existed to obtain, and holding it would burn window
+    # slots re-checking fresh names (the r7 mistake with the r6 pins).
+    # No code/oracle changes this round have touched a query after its
+    # latest driver row yet; pin here (and document in ROTATION.md)
+    # the moment one does.
 )
 
 

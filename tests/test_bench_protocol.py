@@ -310,33 +310,70 @@ def test_repo_sidecar_is_current_and_parseable():
     assert side and side.get("registry_sf001") and side.get("sf") == 0.1
 
 
-def test_headline_line_stays_tail_buffer_sized_even_under_mass_regression():
-    """The final stdout line must stay far under typical tail-capture
-    buffers even with every headline query present AND the regressions
-    map at its print cap (a slow machine can trip >2x on everything vs
-    a committed fast-box baseline — the exact shape that truncated
-    r5's capture)."""
-    fake = {n: 999.999 for n in bench.HEADLINE}
-    capped = {
-        n: {"now": 999.999, "prev": 499.999, "set": "headline", "norm": 99.99}
-        for n in bench.HEADLINE[: bench._REGRESSIONS_PRINT_CAP]
+def _worst_case_headline_line() -> dict:
+    """The final line exactly as main() builds it, every key present
+    and every value at its widest plausible serialization: the full
+    27-name r3-subset queries map, the regressions map at its print
+    cap in the compact {name: norm} shape, a long baseline source
+    string, and a populated ingest record."""
+    return {
+        "metric": "headline_queries_total",
+        "value": 99999.999,
+        "unit": "sec",
+        "r3_subset_total": 99999.999,
+        "queries": {n: 999.999 for n in bench.HEADLINE[:27]},
+        "regressions": {
+            n: 999.99
+            for n in bench.HEADLINE[: bench._REGRESSIONS_PRINT_CAP]
+        },
+        "regressions_total": 175,
+        "regressions_baseline": "BENCH_r08.json+bench_registry.json",
+        "env_drift": 99.999,
+        "drift_source": "median_calib_divergent",
+        "calib": 999.999,
+        "calib_ratio": 99.999,
+        "ingest": {
+            "rows_per_sec": 9999999.9,
+            "rows": 99999999,
+            "wall_s": 9999.999,
+            "batches": 99999,
+        },
+        "sf": 0.1,
     }
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": 9999.999,
-            "unit": "sec",
-            "r3_subset_total": 9999.999,
-            "queries": fake,
-            "regressions": capped,
-            "regressions_total": 175,
-            "regressions_baseline": "BENCH_r06.json+sidecar",
-            "env_drift": 9.999,
-            "calib": 999.999,
-            "sf": 0.1,
-        }
-    )
-    assert len(line) < 4096, len(line)
+
+
+def test_headline_line_fits_the_driver_tail_window():
+    """The driver keeps the LAST 2000 BYTES of stdout; the final line
+    must parse from inside that window. r8's line hit 2119 bytes and
+    the round's official bench artifact recorded `parsed: null` —
+    the third dead artifact in four rounds. This asserts the REAL
+    production shape (27-name queries subset + capped compact
+    regressions + every optional key populated) against the REAL
+    budget, not a smoke-shaped line against a 2x-too-loose bound
+    (the r6 guard bounded at 4096 and let r8 die)."""
+    line = bench.final_line_json(_worst_case_headline_line())
+    assert len(line) <= bench._FINAL_LINE_BUDGET, len(line)
+    assert bench._FINAL_LINE_BUDGET <= 1800
+    # and it must round-trip as JSON with the driver-required keys
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert "queries" in parsed and "sf" in parsed and "unit" in parsed
+
+
+def test_final_line_json_sheds_bulk_before_dying():
+    """Even a pathologically bloated line (a future key that dwarfs
+    the budget) must emit parseable JSON under budget by shedding the
+    sidecar-duplicated bulk keys — the artifact can never again be
+    killed by line growth."""
+    line = _worst_case_headline_line()
+    line["queries"] = {f"q{i}": 999.999 for i in range(500)}  # ~9 KB
+    s = bench.final_line_json(line)
+    assert len(s) <= bench._FINAL_LINE_BUDGET, len(s)
+    parsed = json.loads(s)
+    # scalars that identify the run survive every shed step
+    assert parsed["value"] == 99999.999
+    assert parsed["sf"] == 0.1
+    assert parsed["metric"] == "headline_queries_total"
 
 
 def test_r3_subset_is_exactly_the_r3_bench_set():
