@@ -118,6 +118,25 @@ class EngineConfig:
                 # skipped rather than falsely rejected.
                 import re as _re
 
+                # Cross-engine caveat: this validation compiles with
+                # Python's re, but the extract executes under Java's
+                # regex. Python-ONLY syntax compiles fine here yet
+                # aborts the whole job at runtime — reject the
+                # constructs with a known Java spelling up front.
+                # ((?P<name>) is (?<name>) in Java; (?P=name) is \k<name>;
+                # conditional groups (?(1)...) have no Java equivalent.)
+                if t.pattern and (
+                    "(?P" in t.pattern or _re.search(r"\(\?\(", t.pattern)
+                ):
+                    raise ValueError(
+                        f"tail {t.name}: pattern uses Python-only regex "
+                        f"syntax ((?P<name>…)/(?P=name)/(?(n)…)) that "
+                        f"Java's regex engine rejects at runtime — use "
+                        f"(?<name>…), \\k<name>, or rewrite without "
+                        f"conditionals. Note: syntax validity is only "
+                        f"checked with Python's re; other Java/Python "
+                        f"divergences surface at runtime."
+                    )
                 try:
                     n_groups = _re.compile(t.pattern or MONOLOG_PATTERN).groups
                 except _re.error:

@@ -362,6 +362,18 @@ def http_insert_in_batches(
     return n
 
 
+def _require_opt(opts: "dict[str, Any]", key: str, kind: str) -> Any:
+    """Pop a mandatory sink option, converting the bare KeyError into
+    the descriptive ValueError style writer_for's fail-at-config-time
+    contract promises."""
+    try:
+        return opts.pop(key)
+    except KeyError:
+        raise ValueError(
+            f"{kind} sink requires a '{key}' option"
+        ) from None
+
+
 def clickhouse_http_writer(
     sink: SinkConfig,
 ) -> Callable[[DataFrame, int], None]:
@@ -370,8 +382,8 @@ def clickhouse_http_writer(
     (one HTTP connection each, never per row), mirroring the
     clickhouse_connect writer's shape."""
     opts: dict[str, Any] = dict(sink.options)
-    table = str(opts.pop("table"))
-    url = str(opts.pop("url"))
+    table = str(_require_opt(opts, "table", "clickhouse_http"))
+    url = str(_require_opt(opts, "url", "clickhouse_http"))
     batch_size = int(opts.pop("batch_size", CK_INSERT_BATCH))
     user = opts.pop("user", None)
     password = opts.pop("password", None)
@@ -416,7 +428,7 @@ def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
     # batch_size (valid for clickhouse_http) must feed the batcher,
     # not leak into get_client() as a TypeError.
     opts: dict[str, Any] = dict(sink.options)
-    table = opts.pop("table")
+    table = _require_opt(opts, "table", "clickhouse")
     batch_size = int(opts.pop("batch_size", CK_INSERT_BATCH))
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:  # pragma: no cover

@@ -71,6 +71,22 @@ def _ino(v) -> "int | None":
     return int(v[1]) if isinstance(v, (list, tuple)) and len(v) > 1 else None
 
 
+def _miss(v) -> int:
+    """Consecutive triggers the path has been absent (offset element 3,
+    absent/0 on the common live-file entries so their offsets stay the
+    compact 2-element form)."""
+    return int(v[2]) if isinstance(v, (list, tuple)) and len(v) > 2 else 0
+
+
+# A path's offset entry is dropped at its Nth consecutive absent
+# trigger (i.e. it rides out N-1 absent triggers). 1 trigger of grace
+# already covers the pure rename+unlink TOCTOU; 3 also rides out a
+# brief unmount or a rotate-away-then-restore of the same inode, where
+# dropping the entry would re-emit the whole file from byte 0 when it
+# reappears.
+_MISS_DROP_TRIGGERS = 3
+
+
 def _complete_span(
     path: str, start: int, size: "int | None" = None
 ) -> tuple[bytes, int]:
@@ -131,13 +147,23 @@ class TailStreamReader(SimpleDataSourceStreamReader):
         # the executor side, and generators don't pickle. Memory is
         # bounded by bytes appended since the previous trigger.
         #
-        # Offset hygiene: carry forward only paths that still exist —
-        # a path gone from disk had its committed bytes emitted in
-        # earlier batches, and keeping it would grow the checkpoint
-        # offset log by one dead entry per rotated file forever.
-        end = {
-            p: v for p, v in start.items() if os.path.exists(p)
-        }
+        # Offset hygiene: a path gone from disk had its committed bytes
+        # emitted in earlier batches, and keeping it forever would grow
+        # the checkpoint offset log by one dead entry per rotated file.
+        # But dropping on FIRST absence loses the offset of a file
+        # that's only transiently unavailable (brief unmount,
+        # rotate-away-then-restore of the same inode) — when it
+        # reappears it would re-read from byte 0 and duplicate every
+        # previously emitted line. So an absent path's entry survives
+        # with an incremented miss-streak (3rd offset element) and is
+        # dropped only after _MISS_DROP_TRIGGERS consecutive absent
+        # triggers; any reappearance resets the streak below.
+        end: dict = {}
+        for p, v in start.items():
+            if os.path.exists(p):
+                end[p] = [_off(v), _ino(v)] if _ino(v) is not None else v
+            elif (streak := _miss(v) + 1) < _MISS_DROP_TRIGGERS:
+                end[p] = [_off(v), _ino(v), streak]
         rows: list[tuple[str, str]] = []
         for p in self._files():
             prev = start.get(p, 0)

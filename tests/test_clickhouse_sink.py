@@ -185,6 +185,27 @@ def test_clickhouse_writer_constructs_with_fake_lib(monkeypatch):
     assert callable(writer)
 
 
+def test_missing_mandatory_option_raises_descriptive_valueerror(monkeypatch):
+    """writer_for's contract is fail-loudly-at-CONFIG-time with a
+    descriptive ValueError — a missing 'table' must not surface as a
+    bare KeyError('table')."""
+    from log2ck_spark.sink import clickhouse_http_writer
+
+    fake = types.ModuleType("clickhouse_connect")
+    fake.get_client = lambda **kw: FakeClient()
+    monkeypatch.setitem(sys.modules, "clickhouse_connect", fake)
+    with pytest.raises(ValueError, match="clickhouse sink requires a 'table'"):
+        clickhouse_writer(SinkConfig(path="", options={"host": "h"}))
+    with pytest.raises(
+        ValueError, match="clickhouse_http sink requires a 'table'"
+    ):
+        clickhouse_http_writer(SinkConfig(path="", options={"url": "u"}))
+    with pytest.raises(
+        ValueError, match="clickhouse_http sink requires a 'url'"
+    ):
+        clickhouse_http_writer(SinkConfig(path="", options={"table": "t"}))
+
+
 class _RecordingCKServer:
     """Minimal live HTTP endpoint standing in for ClickHouse's public
     HTTP interface: records every (query-string, body) POST and

@@ -230,6 +230,41 @@ def test_validate_rejects_group_count_mismatch():
         ).validate()
 
 
+def test_validate_rejects_python_only_regex_syntax():
+    """Validation compiles with Python's re but the extract runs under
+    Java's regex: (?P<name>…) compiles fine in Python and aborts the
+    whole Spark job at runtime. Catch the known Python-only spellings
+    at config time, with the Java equivalent in the message."""
+    import pytest
+
+    from log2ck_spark.config import EngineConfig, TailSpec
+
+    for pat in (
+        r"^(?P<level>\w+) (\S+)$",  # named group, Python spelling
+        r"^(\w+) (?P=1)$",          # named backreference
+        r"^(a)?(?(1)b|c)$",         # conditional group
+    ):
+        cfg = EngineConfig(
+            tails=[
+                TailSpec(name="t", path="p", pattern=pat, groups=("x", "y"))
+            ]
+        )
+        with pytest.raises(ValueError, match="Python-only"):
+            cfg.validate()
+
+    # the Java spelling of a named group must PASS
+    EngineConfig(
+        tails=[
+            TailSpec(
+                name="t",
+                path="p",
+                pattern=r"^(?<level>\w+) (\S+)$",
+                groups=("level", "rest"),
+            )
+        ]
+    ).validate()
+
+
 def test_stream_date_glob_rolls_at_midnight():
     """{date} in a STREAMING path must become a date-family glob:
     resolving it to today's literal at query construction freezes the

@@ -82,10 +82,12 @@ def test_stream_reader_offsets(tmp_path):
 
 def test_stream_reader_survives_delete_and_recreate(tmp_path):
     """Log deletion mid-stream must not crash the reader, and the dead
-    path's offset is PRUNED (a year of rotations must not grow the
-    checkpoint offset log without bound); a recreated file restarts
-    from 0."""
+    path's offset is PRUNED after the miss-streak grace window (a year
+    of rotations must not grow the checkpoint offset log without
+    bound); a recreated file restarts from 0."""
     import os
+
+    from log2ck_spark.sources.tailsource import _MISS_DROP_TRIGGERS
 
     f = tmp_path / "app.log"
     f.write_bytes(b"gen1-line\n")
@@ -94,13 +96,49 @@ def test_stream_reader_survives_delete_and_recreate(tmp_path):
     assert [v for _, v in rows] == ["gen1-line"]
 
     os.remove(f)
-    rows, off2 = r.read(off)  # no file -> no rows, dead offset dropped
-    assert list(rows) == [] and off2 == {}
+    # Grace window: the entry survives the first absent triggers with
+    # a growing miss streak instead of being dropped on sight.
+    for i in range(1, _MISS_DROP_TRIGGERS):
+        rows, off = r.read(off)
+        assert list(rows) == []
+        assert off[str(f)][2] == i
+    # ...and is pruned at the Nth consecutive absent trigger.
+    rows, off = r.read(off)
+    assert list(rows) == [] and off == {}
 
     f.write_bytes(b"gen2\n")  # logrotate create-mode: same name, new file
-    rows, off3 = r.read(off2)
+    rows, off3 = r.read(off)
     assert [v for _, v in rows] == ["gen2"]
     assert _off(off3[str(f)]) == 5
+
+
+def test_transient_absence_keeps_offset_no_duplicates(tmp_path):
+    """A file that vanishes for one trigger and comes back (brief
+    unmount, rotate-away-then-restore of the same inode) must resume
+    from its retained offset — previously the entry was dropped on
+    first absence and the whole file was re-emitted from byte 0."""
+    import shutil
+
+    f = tmp_path / "app.log"
+    stash = tmp_path / "stash"  # outside the *.log glob
+    f.write_bytes(b"line-1\nline-2\n")
+    r = TailStreamReader({"path": str(tmp_path / "*.log"), "skiphistory": "false"})
+    rows, off = r.read(r.initialOffset())
+    assert [v for _, v in rows] == ["line-1", "line-2"]
+
+    shutil.move(str(f), str(stash))  # rotate away (same inode survives)
+    rows, off = r.read(off)
+    assert list(rows) == []
+    assert str(f) in off  # offset retained under grace
+
+    shutil.move(str(stash), str(f))  # restored, then appended to
+    with open(f, "ab") as fh:
+        fh.write(b"line-3\n")
+    rows, off = r.read(off)
+    # only the NEW line — no byte-0 re-read of lines 1-2
+    assert [v for _, v in rows] == ["line-3"]
+    # reappearance reset the miss streak to the compact 2-element form
+    assert len(off[str(f)]) == 2
 
 
 def test_create_mode_rotation_with_larger_replacement(tmp_path):
