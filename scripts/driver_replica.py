@@ -20,6 +20,12 @@ column; built on demand under .scratch/) — the dirty-data parity
 gate. Real data has NULL keys and the driver's fixtures don't, so a
 query and its oracle can disagree on NULL-key semantics invisibly;
 this surfaced 10 such divergences in r8. See tests/oracle_harness.py.
+
+`--ties` is the same gate on the duplicate-sort-key fixture (events
+timestamps collapsed onto a 6-hour grid, quantized values/prices,
+duplicate document texts and embedding vectors) — any query/oracle
+pair whose output depends on tie order without a shared total
+tiebreak diverges here (the r8 stream_session_window defect class).
 """
 
 from __future__ import annotations
@@ -37,11 +43,12 @@ from tests.oracle_harness import compare, run_oracle  # noqa: E402
 
 def main() -> int:
     argv = sys.argv[1:]
-    if argv[:1] == ["--hostile"]:
-        from tests.oracle_harness import build_hostile_fixture
+    if argv[:1] in (["--hostile"], ["--ties"]):
+        from tests.oracle_harness import build_hostile_fixture, build_ties_fixture
 
+        build = build_ties_fixture if argv[0] == "--ties" else build_hostile_fixture
         try:
-            sf_dir, rest = build_hostile_fixture(), argv[1:]
+            sf_dir, rest = build(), argv[1:]
         except FileNotFoundError as e:
             print(e)
             return 1

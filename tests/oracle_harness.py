@@ -35,35 +35,86 @@ def run_oracle(sql: str, sf_dir: str):
 # --------------------------------------------------------------------------
 
 _HOSTILE_REWRITES = {
-    # ~10% NULL group keys, deterministic by primary key
+    # ~10% NULL group keys, deterministic by primary key. Full-query
+    # templates: `{t}` expands to the source table's read_parquet().
     "events": (
         "SELECT event_id, ts, user_id,"
         " CASE WHEN event_id % 10 = 3 THEN NULL ELSE event_type END"
-        " AS event_type, value, props"
+        " AS event_type, value, props FROM {t}"
     ),
     "documents": (
         "SELECT doc_id, text,"
         " CASE WHEN doc_id % 11 = 4 THEN NULL ELSE lang END AS lang,"
         " CASE WHEN doc_id % 13 = 5 THEN NULL ELSE source END AS source,"
-        " n_chars"
+        " n_chars FROM {t}"
     ),
     "embeddings": (
         "SELECT vec_id, embedding,"
         " CASE WHEN vec_id % 7 = 2 THEN NULL ELSE label END AS label"
+        " FROM {t}"
+    ),
+}
+
+# --------------------------------------------------------------------------
+# Ties fixture: the SECOND hostile dimension — massive duplicate sort
+# keys. The r8 stream_session_window defect was exactly this class: an
+# oracle whose running-SUM ordered by ts alone while the Spark side
+# ordered by (ts, event_id) — invisible on fixtures where every ts is
+# distinct (sf0.001 events: 1000 rows, 1000 distinct ts), and
+# nondeterministic in production where timestamps collide constantly.
+# This fixture makes collisions the NORM: events.ts is collapsed onto
+# a 6-hour grid (~8 rows per tick, ties within every user's session),
+# events.value is quantized to a ~14-value grid (ORDER BY value ties),
+# 25% of documents share one constant text (dedup representative +
+# n_chars-ordering ties), ~17% of embeddings are the SAME vector
+# (cosine-similarity ties in every top-k), and o_totalprice is
+# quantized to the nearest 1000 (TPC-H top-k boundary ties). Any
+# query/oracle pair whose output depends on tie order without a shared
+# total tiebreak diverges here.
+# --------------------------------------------------------------------------
+
+_TIES_TEXT = (
+    "the quick brown fox jumps over the lazy dog and then jumps over"
+    " the lazy dog again because duplicated corpus text is the point"
+)
+
+_TIES_REWRITES = {
+    "events": (
+        "SELECT event_id, time_bucket(INTERVAL '6 hours', ts) AS ts,"
+        " user_id, event_type, round(value / 25) * 25 AS value, props"
+        " FROM {t}"
+    ),
+    "documents": (
+        f"SELECT doc_id,"
+        f" CASE WHEN doc_id % 4 = 1 THEN '{_TIES_TEXT}' ELSE text END"
+        f" AS text, lang, source,"
+        f" CASE WHEN doc_id % 4 = 1 THEN length('{_TIES_TEXT}')"
+        f" ELSE n_chars END AS n_chars FROM {{t}}"
+    ),
+    "embeddings": (
+        "SELECT vec_id,"
+        " CASE WHEN vec_id % 6 = 2 THEN"
+        " (SELECT embedding FROM {t} ORDER BY vec_id LIMIT 1)"
+        " ELSE embedding END AS embedding, label FROM {t}"
+    ),
+    "orders": (
+        "SELECT o_orderkey, o_custkey, o_orderstatus,"
+        " round(o_totalprice / 1000) * 1000 AS o_totalprice,"
+        " o_orderdate, o_orderpriority FROM {t}"
     ),
 }
 
 
-def build_hostile_fixture(src: str = "/root/testdata/sf0.001") -> str:
-    """Materialize the NULL-key fixture through the repo's own staging
+def _build_fixture(tag: str, rewrites: dict, src: str) -> str:
+    """Materialize a rewritten fixture through the repo's own staging
     machinery (scratch_dir keys on the SOURCE content fingerprint +
     STAGING_VERSION + a digest of the rewrite recipe, so regenerated
-    testdata or an edited _HOSTILE_REWRITES re-stages instead of
-    serving stale bytes; ensure_staged commits a _SUCCESS marker LAST
-    and the writer wipes first, so a crashed half-build is re-run, not
-    trusted). Pure DuckDB — single-file parquet per table, the same
-    layout as the real fixtures. Same no-concurrent-stagers caveat as
-    every other staged corpus."""
+    testdata or an edited recipe re-stages instead of serving stale
+    bytes; ensure_staged commits a _SUCCESS marker LAST and the writer
+    wipes first, so a crashed half-build is re-run, not trusted). Pure
+    DuckDB — single-file parquet per table, the same layout as the
+    real fixtures. Same no-concurrent-stagers caveat as every other
+    staged corpus."""
     import hashlib
     import shutil
 
@@ -71,25 +122,33 @@ def build_hostile_fixture(src: str = "/root/testdata/sf0.001") -> str:
 
     if not os.path.isdir(src):
         raise FileNotFoundError(f"no testdata at {src}")
-    recipe = hashlib.md5(
-        repr(sorted(_HOSTILE_REWRITES.items())).encode()
-    ).hexdigest()[:8]
-    path = scratch_dir(src, "hostile_nullkeys", recipe)
+    recipe = hashlib.md5(repr(sorted(rewrites.items())).encode()).hexdigest()[:8]
+    path = scratch_dir(src, tag, recipe)
 
     def _write(p: str) -> None:
         shutil.rmtree(p, ignore_errors=True)
         os.makedirs(p, exist_ok=True)
         con = duckdb.connect()
         for t in TABLES:
-            sel = _HOSTILE_REWRITES.get(t, "SELECT *")
+            sel = rewrites.get(t, "SELECT * FROM {t}")
+            sql = sel.format(t=f"read_parquet('{os.path.join(src, t)}.parquet')")
             con.execute(
-                f"COPY ({sel} FROM"
-                f" read_parquet('{os.path.join(src, t)}.parquet'))"
+                f"COPY ({sql})"
                 f" TO '{os.path.join(p, t)}.parquet' (FORMAT PARQUET)"
             )
         open(os.path.join(p, "_SUCCESS"), "w").close()
 
     return ensure_staged(path, _write)
+
+
+def build_hostile_fixture(src: str = "/root/testdata/sf0.001") -> str:
+    """The NULL-key fixture (see _HOSTILE_REWRITES)."""
+    return _build_fixture("hostile_nullkeys", _HOSTILE_REWRITES, src)
+
+
+def build_ties_fixture(src: str = "/root/testdata/sf0.001") -> str:
+    """The duplicate-sort-key fixture (see _TIES_REWRITES)."""
+    return _build_fixture("hostile_ties", _TIES_REWRITES, src)
 
 
 def canonical(df_pandas):

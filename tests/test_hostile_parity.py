@@ -62,3 +62,65 @@ def test_query_matches_oracle_on_null_keys(spark, hostile_dir, name):
         run_oracle(ORACLES[name], hostile_dir),
     )
     assert problems == [], (name, problems)
+
+
+# --------------------------------------------------------------------------
+# Duplicate-sort-key (ties) parity sentinels — the second hostile
+# dimension. The r8 stream_session_window defect was this class: an
+# oracle ordering a running SUM by ts alone while the Spark side used
+# (ts, event_id) — invisible while every fixture ts was distinct. On
+# build_ties_fixture, timestamp/value/price/text/vector collisions are
+# the norm, so any query/oracle pair whose output depends on tie order
+# without a shared total tiebreak diverges. The FULL registry replay
+# is `python scripts/driver_replica.py --ties` (169/169 green on first
+# run, r9); these sentinels pin the most tie-exposed op families.
+# --------------------------------------------------------------------------
+
+TIES_SENTINELS = (
+    "stream_session_window",  # the r8 defect's own query
+    "sessionize_gap",         # gap sessions over tied ts runs
+    "window_lag",             # LAG over a now-non-unique order key
+    "window_rank",            # rank/dense_rank tie semantics
+    "window_ntile",           # ntile bucket boundaries under ties
+    "topk_order_limit",       # LIMIT straddling tied keys
+    "agg_latest_by_key",      # "latest" among tied timestamps
+    "similarity_topk",        # cosine top-k over duplicate vectors
+    "dedup_exact",            # representative pick among 125 dup texts
+    "resample_ffill",         # forward-fill over collapsed ts grid
+)
+
+
+@pytest.fixture(scope="module")
+def ties_dir():
+    from tests.oracle_harness import build_ties_fixture
+
+    return build_ties_fixture()
+
+
+@pytest.mark.parametrize("name", TIES_SENTINELS)
+def test_query_matches_oracle_on_tied_keys(spark, ties_dir, name):
+    problems = compare(
+        QUERIES[name](spark, ties_dir),
+        run_oracle(ORACLES[name], ties_dir),
+    )
+    assert problems == [], (name, problems)
+
+
+def test_ties_gate_detects_a_seeded_tiebreak_divergence(spark, ties_dir):
+    """Prove the gate is not vacuous: a deliberately tie-broken-
+    differently pair (Spark picks the max event_id per tied ts tick,
+    the 'oracle' picks the min) MUST be flagged by compare() on this
+    fixture — if it is not, the fixture has stopped manufacturing
+    ties and every sentinel above is passing for the wrong reason."""
+    from pyspark.sql import functions as F
+
+    from log2ck_spark.io import tbl
+
+    ev = tbl(spark, ties_dir, "events")
+    spark_side = ev.groupBy("ts").agg(F.max("event_id").alias("pick"))
+    oracle = run_oracle(
+        "SELECT ts, MIN(event_id) AS pick FROM events GROUP BY ts",
+        ties_dir,
+    )
+    problems = compare(spark_side, oracle)
+    assert problems, "ties fixture no longer produces tied keys"
