@@ -93,9 +93,24 @@ ROTATION_FIRST: tuple[str, ...] = (
     # pin rule, a green driver row after the change is the evidence
     # the pin existed to obtain, and holding it would burn window
     # slots re-checking fresh names (the r7 mistake with the r6 pins).
-    # No code/oracle changes this round have touched a query after its
-    # latest driver row yet; pin here (and document in ROTATION.md)
-    # the moment one does.
+    # r9 pins: the --unicode hostile gate (multibyte/multi-script
+    # text fixture) found 8 Spark-vs-oracle divergences on its first
+    # run; the fixes changed these names' oracles (and
+    # multimodal_resize_fake's code: hex-defined thumb digest) after
+    # their latest driver rows, so the pin rule applies. All 9
+    # re-verified green on normal sf0.01 + hostile + ties + unicode
+    # fixtures post-fix. multimodal_frame_sample's oracle had the
+    # same codepoint-vs-octet defect latent (masked by the frame
+    # stride at fixture text lengths) and changed with them.
+    "parse_monolog",
+    "filter_valid",
+    "enrich_constants",
+    "callback_transform",
+    "sink_table",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize_fake",
+    "text_winnow_fingerprint",
 )
 
 

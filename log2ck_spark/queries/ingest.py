@@ -42,6 +42,21 @@ CORPUS_COMPLETE_SQL = " AND ".join(
     f"{c} IS NOT NULL" for c in _CORPUS_FIELDS
 )
 
+# A complete row can still render into a line the parser REJECTS: the
+# monolog grammar's "<logger>.<LEVEL>" fields are (\w+) groups, and
+# Java regex \w — like the reference's PCRE \w without /u
+# (Worker.php:25 preg_match) — is ASCII-only, so a multibyte
+# event_type (CJK/Cyrillic/emoji) dead-letters on BOTH the reference
+# and this engine while a naive oracle derivation would count it as
+# parsed (found by the r9 --unicode hostile gate: 5 oracles diverged).
+# Oracles deriving PARSED monolog output must carry this predicate;
+# raw line-count oracles must NOT (the unparseable line still lands in
+# the file). logger is 'user_' || user_id (always ASCII); level is
+# checked post-UPPER because case mapping can change the character
+# class (ICU 'ß' → 'SS'). DuckDB-side SQL — the Spark side needs no
+# twin because it parses with the real regex.
+CORPUS_PARSEABLE_SQL = "regexp_matches(upper(event_type), '^[A-Za-z0-9_]+$')"
+
 
 def _complete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl(spark, sf_dir, "events", fanout=True).where(
@@ -59,6 +74,7 @@ _ORACLE_PARSED = f"""
            '[]' AS extra
     FROM events
     WHERE event_id % 13 <> 0 AND {CORPUS_COMPLETE_SQL}
+      AND {CORPUS_PARSEABLE_SQL}
 """
 
 
@@ -135,8 +151,10 @@ def parse_monolog(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "filter_valid",
     oracle=f"""
-    SELECT COUNT(*) FILTER (WHERE event_id % 13 <> 0) AS n_valid,
-           COUNT(*) FILTER (WHERE event_id % 13 = 0) AS n_dead
+    SELECT COUNT(*) FILTER (WHERE event_id % 13 <> 0
+                              AND {CORPUS_PARSEABLE_SQL}) AS n_valid,
+           COUNT(*) FILTER (WHERE event_id % 13 = 0
+                               OR NOT ({CORPUS_PARSEABLE_SQL})) AS n_dead
     FROM events WHERE {CORPUS_COMPLETE_SQL}
     """,
 )
@@ -160,6 +178,7 @@ def filter_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
            'demo-repo' AS repo, 'events-tail' AS name, 'host-1' AS host,
            COUNT(*) AS n
     FROM events WHERE event_id % 13 <> 0 AND {CORPUS_COMPLETE_SQL}
+      AND {CORPUS_PARSEABLE_SQL}
     GROUP BY 1
     """,
 )
@@ -208,6 +227,7 @@ def _callback(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
            CAST(LENGTH('event ' || event_id) AS INTEGER) AS msg_len
     FROM events WHERE event_id % 13 <> 0 AND {CORPUS_COMPLETE_SQL}
+      AND {CORPUS_PARSEABLE_SQL}
     """,
 )
 def callback_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +288,7 @@ def raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
            UPPER(event_type) AS level,
            COUNT(*) AS n
     FROM events WHERE event_id % 13 <> 0 AND {CORPUS_COMPLETE_SQL}
+      AND {CORPUS_PARSEABLE_SQL}
     GROUP BY 1, 2
     """,
 )

@@ -98,7 +98,7 @@ def decode_image(
     "multimodal_meta",
     oracle="""
     SELECT doc_id,
-           CAST(LENGTH(text) AS INTEGER) AS n_bytes,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
            md5(text) AS digest,
            'text/plain' AS kind
     FROM documents WHERE text IS NOT NULL
@@ -106,8 +106,9 @@ def decode_image(
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary metadata extraction via mapInPandas — oracle-checkable
-    because md5/byte-length are engine-portable (fixture text is
-    ASCII ⇒ LENGTH == octet length)."""
+    because md5/byte-length are engine-portable (strlen counts OCTETS
+    like the payload's len(); LENGTH counts codepoints and diverges on
+    multibyte text — found by the r9 --unicode hostile gate)."""
     return binary_docs(spark, sf_dir).mapInPandas(extract_meta, schema=META_SCHEMA)
 
 
@@ -155,7 +156,12 @@ def resize_thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "doc_id": doc_id,
                     "orig_bytes": len(b),
                     "thumb_bytes": len(thumb),
-                    "thumb_digest": hashlib.md5(thumb).hexdigest(),
+                    # digest of the LOWERCASE HEX of the thumb bytes:
+                    # decimated octets can be invalid UTF-8, and the
+                    # DuckDB oracle's md5 only accepts VARCHAR
+                    "thumb_digest": hashlib.md5(
+                        thumb.hex().encode()
+                    ).hexdigest(),
                 }
             )
         yield pd.DataFrame(rows)
@@ -214,7 +220,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(text || ':' || idx) AS frame_digest
     FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents, LATERAL (
       SELECT unnest(range(0,
-                          greatest(CAST(len(text) AS BIGINT) // {_FRAME_BYTES}, 1),
+                          greatest(strlen(text) // {_FRAME_BYTES}, 1),
                           {_FRAME_STRIDE})) AS idx
     )
     """,
@@ -233,23 +239,31 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_resize_fake",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, text,
-             array_to_string([substr(text, CAST(i AS INTEGER), 1)
-                              for i in range(1, len(text) + 1, {_RESIZE_FACTOR})],
-                             '') AS thumb
+      -- byte-level decimation without BLOB slicing (this DuckDB has
+      -- none): hex the WHOLE payload, then take byte i's hex pair at
+      -- string positions 2i+1..2i+2
+      SELECT doc_id, strlen(text) AS nb, lower(hex(encode(text))) AS hx
       FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id,
-           CAST(len(text) AS INTEGER) AS orig_bytes,
-           CAST(len(thumb) AS INTEGER) AS thumb_bytes,
-           md5(thumb) AS thumb_digest
+           CAST(nb AS INTEGER) AS orig_bytes,
+           CAST((nb + {_RESIZE_FACTOR - 1}) // {_RESIZE_FACTOR}
+                AS INTEGER) AS thumb_bytes,
+           md5(COALESCE(array_to_string(
+             [substr(hx, 2 * i + 1, 2)
+              for i in range(0, nb, {_RESIZE_FACTOR})], ''), ''))
+             AS thumb_digest
     FROM t
     """,
 )
 def multimodal_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize step plumbing (1:1 row mapping, payload-shrinking) via
     mapInPandas; deterministic byte-decimation stand-in for the codec,
-    digests oracle-checked."""
+    digests oracle-checked. Decimation operates on OCTETS (the honest
+    binary-payload semantic), so on multibyte text the thumb is not
+    valid UTF-8 — the digest is therefore defined over the thumb's
+    LOWERCASE HEX (DuckDB's md5 is VARCHAR-only), a total fingerprint
+    both engines can compute on any byte string."""
     return binary_docs(spark, sf_dir).mapInPandas(
         resize_thumb, schema=RESIZE_SCHEMA
     )

@@ -170,7 +170,11 @@ def _winnow_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_ORACLE_WINNOW_SETS}
     SELECT doc_id,
            CAST(len(fp) AS INTEGER) AS n_fingerprints,
-           md5(array_to_string(fp, ',')) AS fp_digest
+           -- COALESCE: DuckDB's array_to_string([]) is NULL where
+           -- Spark's array_join([]) is '' — a zero-fingerprint doc
+           -- (fewer than k tokens, e.g. short CJK text under the
+           -- space tokenizer) must digest as md5('') on both engines
+           md5(COALESCE(array_to_string(fp, ','), '')) AS fp_digest
     FROM win
     """,
 )

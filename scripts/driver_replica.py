@@ -26,6 +26,11 @@ timestamps collapsed onto a 6-hour grid, quantized values/prices,
 duplicate document texts and embedding vectors) — any query/oracle
 pair whose output depends on tie order without a shared total
 tiebreak diverges here (the r8 stream_session_window defect class).
+
+`--unicode` is the same gate on the multibyte/multi-script fixture
+(CJK, ZWJ emoji, NFC+NFD accents, RTL document texts; a multibyte
+event_type value) — where Java-regex/UTF8String and DuckDB string
+semantics can diverge on \\w classes, casing, and codepoint counts.
 """
 
 from __future__ import annotations
@@ -43,10 +48,14 @@ from tests.oracle_harness import compare, run_oracle  # noqa: E402
 
 def main() -> int:
     argv = sys.argv[1:]
-    if argv[:1] in (["--hostile"], ["--ties"]):
-        from tests.oracle_harness import build_hostile_fixture, build_ties_fixture
+    if argv[:1] in (["--hostile"], ["--ties"], ["--unicode"]):
+        from tests import oracle_harness as oh
 
-        build = build_ties_fixture if argv[0] == "--ties" else build_hostile_fixture
+        build = {
+            "--hostile": oh.build_hostile_fixture,
+            "--ties": oh.build_ties_fixture,
+            "--unicode": oh.build_unicode_fixture,
+        }[argv[0]]
         try:
             sf_dir, rest = build(), argv[1:]
         except FileNotFoundError as e:

@@ -105,6 +105,49 @@ _TIES_REWRITES = {
 }
 
 
+# --------------------------------------------------------------------------
+# Unicode fixture: the THIRD hostile dimension — multibyte, multi-
+# script text. The synthetic corpora are pure ASCII, so every textop's
+# Spark (Java regex / UTF8String) and DuckDB (PCRE-ish RE2 / UTF-8)
+# semantics agree trivially. Real corpora are CJK, emoji (with
+# zero-width joiners), decomposed combining accents, and RTL scripts —
+# exactly where \\w classes, casing, codepoint counting, and substring
+# boundaries can diverge between engines. 40% of documents get one of
+# four unicode archetype texts (n_chars recomputed so the
+# n_chars == length(text) corpus invariant holds) and one event_type
+# value gains a multibyte suffix so group keys, sorts, and string
+# matches all cross the ASCII boundary.
+# --------------------------------------------------------------------------
+
+_UNI_CJK = "数据处理引擎的测试文本 需要覆盖中文分词与字符统计 的边界情况"
+_UNI_EMOJI = "rocket 🚀 launch day 🎉 with family 👨‍👩‍👧‍👦 and flags 🇺🇳 done ✅"
+# NFC é (U+00E9) AND decomposed e+U+0301 in one string — codepoint
+# counting and normalization-sensitive ops must see both forms
+_UNI_ACCENT = "résumé résumé naivë francaiş dejà vu"
+_UNI_RTL = "الحوسبة الموزعة mixed مع نص latin وعربي bidirectional text"
+
+_UNICODE_REWRITES = {
+    "documents": (
+        f"SELECT doc_id,"
+        f" CASE WHEN doc_id % 10 = 2 THEN '{_UNI_CJK}'"
+        f" WHEN doc_id % 10 = 5 THEN '{_UNI_EMOJI}'"
+        f" WHEN doc_id % 10 = 7 THEN '{_UNI_ACCENT}'"
+        f" WHEN doc_id % 10 = 9 THEN '{_UNI_RTL}'"
+        f" ELSE text END AS text, lang, source,"
+        f" length(CASE WHEN doc_id % 10 = 2 THEN '{_UNI_CJK}'"
+        f" WHEN doc_id % 10 = 5 THEN '{_UNI_EMOJI}'"
+        f" WHEN doc_id % 10 = 7 THEN '{_UNI_ACCENT}'"
+        f" WHEN doc_id % 10 = 9 THEN '{_UNI_RTL}'"
+        f" ELSE text END) AS n_chars FROM {{t}}"
+    ),
+    "events": (
+        "SELECT event_id, ts, user_id,"
+        " CASE WHEN event_id % 3 = 1 THEN event_type || '_событие_🧪'"
+        " ELSE event_type END AS event_type, value, props FROM {t}"
+    ),
+}
+
+
 def _build_fixture(tag: str, rewrites: dict, src: str) -> str:
     """Materialize a rewritten fixture through the repo's own staging
     machinery (scratch_dir keys on the SOURCE content fingerprint +
@@ -149,6 +192,11 @@ def build_hostile_fixture(src: str = "/root/testdata/sf0.001") -> str:
 def build_ties_fixture(src: str = "/root/testdata/sf0.001") -> str:
     """The duplicate-sort-key fixture (see _TIES_REWRITES)."""
     return _build_fixture("hostile_ties", _TIES_REWRITES, src)
+
+
+def build_unicode_fixture(src: str = "/root/testdata/sf0.001") -> str:
+    """The multibyte/multi-script text fixture (see _UNICODE_REWRITES)."""
+    return _build_fixture("hostile_unicode", _UNICODE_REWRITES, src)
 
 
 def canonical(df_pandas):

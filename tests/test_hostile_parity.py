@@ -124,3 +124,70 @@ def test_ties_gate_detects_a_seeded_tiebreak_divergence(spark, ties_dir):
     )
     problems = compare(spark_side, oracle)
     assert problems, "ties fixture no longer produces tied keys"
+
+
+# --------------------------------------------------------------------------
+# Unicode (multibyte/multi-script) parity sentinels — the third
+# hostile dimension. First run of `driver_replica.py --unicode` (r9)
+# found 8 live divergences: oracles counting codepoints where the
+# Spark side operates on octets, oracles assuming every complete
+# event row renders into a PARSEABLE monolog line (Java regex \w —
+# like the reference's PCRE \w — is ASCII-only, so a multibyte
+# event_type dead-letters), and DuckDB's array_to_string([]) = NULL
+# vs Spark's array_join([]) = ''. These sentinels pin the previously
+# red names; the full registry replay is
+# `python scripts/driver_replica.py --unicode`.
+# --------------------------------------------------------------------------
+
+UNICODE_SENTINELS = (
+    "parse_monolog",
+    "filter_valid",
+    "enrich_constants",
+    "callback_transform",
+    "sink_table",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize_fake",
+    "text_winnow_fingerprint",
+    # never red, but the most unicode-exposed textops: codepoint
+    # counting and \w-class tokenization over CJK/emoji/RTL text
+    "text_token_count",
+    "text_lang_id",
+    "dedup_ngram_jaccard",
+)
+
+
+@pytest.fixture(scope="module")
+def unicode_dir():
+    from tests.oracle_harness import build_unicode_fixture
+
+    return build_unicode_fixture()
+
+
+@pytest.mark.parametrize("name", UNICODE_SENTINELS)
+def test_query_matches_oracle_on_unicode_text(spark, unicode_dir, name):
+    problems = compare(
+        QUERIES[name](spark, unicode_dir),
+        run_oracle(ORACLES[name], unicode_dir),
+    )
+    assert problems == [], (name, problems)
+
+
+def test_unicode_gate_detects_a_seeded_codepoint_divergence(spark, unicode_dir):
+    """Prove the gate is not vacuous: a Spark side measuring OCTETS
+    against an 'oracle' measuring CODEPOINTS must be flagged on this
+    fixture — if not, the fixture has stopped carrying multibyte text
+    and every sentinel above passes for the wrong reason."""
+    from pyspark.sql import functions as F
+
+    from log2ck_spark.io import tbl
+
+    docs = tbl(spark, unicode_dir, "documents")
+    spark_side = docs.select(
+        "doc_id", F.octet_length("text").alias("n")
+    )
+    oracle = run_oracle(
+        "SELECT doc_id, length(text) AS n FROM documents", unicode_dir
+    )
+    problems = compare(spark_side, oracle)
+    assert problems, "unicode fixture no longer carries multibyte text"
