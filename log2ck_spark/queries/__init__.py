@@ -111,6 +111,19 @@ ROTATION_FIRST: tuple[str, ...] = (
     "multimodal_frame_sample",
     "multimodal_resize_fake",
     "text_winnow_fingerprint",
+    # r9 pins, second batch: the --badjson hostile gate (malformed
+    # props fixture) found 11 names red; beyond the already-pinned
+    # monolog family, these 6 JSON-extraction names changed code
+    # (ANSI cast → try_cast for non-numeric k) and/or oracle
+    # (TRY_CAST-to-JSON guard: DuckDB json_extract_string raises on
+    # malformed input that Spark NULLs). All re-verified green on
+    # sf0.01 + hostile + ties + unicode + badjson post-fix.
+    "json_extract",
+    "from_json_struct",
+    "agg_map_sum",
+    "ingest_jsonl",
+    "ingest_csv",
+    "ingest_orc",
 )
 
 

@@ -53,9 +53,15 @@ CORPUS_COMPLETE_SQL = " AND ".join(
 # raw line-count oracles must NOT (the unparseable line still lands in
 # the file). logger is 'user_' || user_id (always ASCII); level is
 # checked post-UPPER because case mapping can change the character
-# class (ICU 'ß' → 'SS'). DuckDB-side SQL — the Spark side needs no
-# twin because it parses with the real regex.
-CORPUS_PARSEABLE_SQL = "regexp_matches(upper(event_type), '^[A-Za-z0-9_]+$')"
+# class (ICU 'ß' → 'SS'). The context field is the space-stripped
+# props rendered as a ([^ ]+) token — empty (or all-spaces) props
+# render a double space the grammar cannot match, so the line
+# dead-letters (found by the r9 --badjson gate). DuckDB-side SQL —
+# the Spark side needs no twin because it parses with the real regex.
+CORPUS_PARSEABLE_SQL = (
+    "regexp_matches(upper(event_type), '^[A-Za-z0-9_]+$')"
+    " AND REPLACE(props, ' ', '') <> ''"
+)
 
 
 def _complete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,7 +213,11 @@ def _callback(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for ctx in pdf["context"]:
             try:
                 ks.append(int(json.loads(ctx).get("k")))
-            except (ValueError, TypeError):
+            except (ValueError, TypeError, AttributeError):
+                # ValueError: malformed JSON / non-numeric k;
+                # TypeError: k absent (int(None)); AttributeError:
+                # valid JSON with a non-object root ('[3, 4]'.get) —
+                # found by the r9 --badjson gate
                 ks.append(None)
         yield pd.DataFrame(
             {
@@ -224,7 +234,8 @@ def _callback(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle=f"""
     SELECT DATE_TRUNC('second', ts) AS created_at,
            event_type AS level_lower,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                    AS INTEGER) AS k,
            CAST(LENGTH('event ' || event_id) AS INTEGER) AS msg_len
     FROM events WHERE event_id % 13 <> 0 AND {CORPUS_COMPLETE_SQL}
       AND {CORPUS_PARSEABLE_SQL}
@@ -354,7 +365,8 @@ _ORACLE_EVENTS_ROUNDTRIP = """
     SELECT event_id,
            strftime(DATE_TRUNC('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s,
            user_id, event_type, value,
-           CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k
+           TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                    AS INTEGER) AS prop_k
     FROM events
 """
 
@@ -400,7 +412,8 @@ def ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
-        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        # try_cast: non-numeric k must be NULL, not an ANSI crash
+        F.get_json_object("props", "$.k").try_cast("int").alias("prop_k"),
     )
 
 
@@ -435,7 +448,8 @@ def ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
-        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        # try_cast: non-numeric k must be NULL, not an ANSI crash
+        F.get_json_object("props", "$.k").try_cast("int").alias("prop_k"),
     )
 
 
@@ -468,7 +482,8 @@ def ingest_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
-        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        # try_cast: non-numeric k must be NULL, not an ANSI crash
+        F.get_json_object("props", "$.k").try_cast("int").alias("prop_k"),
     )
 
 

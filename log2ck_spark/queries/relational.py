@@ -285,7 +285,8 @@ def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_extract",
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+    SELECT TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                    AS INTEGER) AS k,
            COUNT(*) AS n,
            {sum_value}
     FROM events
@@ -294,10 +295,15 @@ def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_json_object on the JSON-text `props` column (the analog of
-    the reference's `context`/`extra` String columns)."""
+    the reference's `context`/`extra` String columns). try_cast, not
+    cast: real props carry non-numeric k values, and ANSI CAST kills
+    the query where the intent is k = NULL; the oracle's
+    TRY_CAST(props AS JSON) mirrors get_json_object's NULL-on-
+    malformed (DuckDB's json_extract_string RAISES on bad JSON) —
+    both found by the r9 --badjson gate."""
     return (
         tbl(spark, sf_dir, "events")
-        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .withColumn("k", F.get_json_object("props", "$.k").try_cast("int"))
         .groupBy("k")
         .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
     )

@@ -243,17 +243,23 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "from_json_struct",
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+    SELECT TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                    AS INTEGER) AS k,
            COUNT(DISTINCT user_id) AS n_users
     FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    WHERE TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                   AS INTEGER) >= 50
     GROUP BY 1
     """,
 )
 def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """from_json with a declared schema: one parse per row into a
     typed struct (vs one JSON scan per get_json_object call) — the
-    right shape when several keys are extracted."""
+    right shape when several keys are extracted. from_json is
+    PERMISSIVE (null struct/field on malformed or wrong-typed input),
+    so the oracle mirrors with TRY_CAST-to-JSON + TRY_CAST-to-int —
+    DuckDB's json_extract_string raises on malformed JSON and ANSI
+    CAST raises on non-numeric k (r9 --badjson gate)."""
     ev = tbl(spark, sf_dir, "events").withColumn(
         "p", F.from_json("props", "k int")
     )
@@ -548,12 +554,14 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_map_sum",
     oracle="""
     SELECT event_type, k.key,
-           CAST(SUM(CAST(json_extract_string(props, k.key) AS INTEGER))
+           CAST(SUM(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON),
+                                                 k.key) AS INTEGER))
                 AS BIGINT) AS total,
            COUNT(*) AS n_rows
     FROM events
     CROSS JOIN (SELECT unnest(['k']) AS key) k
-    WHERE json_extract_string(props, k.key) IS NOT NULL
+    WHERE TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), k.key)
+                   AS INTEGER) IS NOT NULL
     GROUP BY 1, 2
     """,
 )

@@ -31,6 +31,12 @@ tiebreak diverges here (the r8 stream_session_window defect class).
 (CJK, ZWJ emoji, NFC+NFD accents, RTL document texts; a multibyte
 event_type value) — where Java-regex/UTF8String and DuckDB string
 semantics can diverge on \\w classes, casing, and codepoint counts.
+
+`--badjson` is the same gate on the malformed-props fixture
+(truncated JSON, non-JSON debris, empty strings, wrong-typed values,
+array roots) — where DuckDB's json_extract_string raises on input
+Spark's get_json_object NULLs, and ANSI CAST crashes where the
+intent is NULL.
 """
 
 from __future__ import annotations
@@ -48,13 +54,14 @@ from tests.oracle_harness import compare, run_oracle  # noqa: E402
 
 def main() -> int:
     argv = sys.argv[1:]
-    if argv[:1] in (["--hostile"], ["--ties"], ["--unicode"]):
+    if argv[:1] in (["--hostile"], ["--ties"], ["--unicode"], ["--badjson"]):
         from tests import oracle_harness as oh
 
         build = {
             "--hostile": oh.build_hostile_fixture,
             "--ties": oh.build_ties_fixture,
             "--unicode": oh.build_unicode_fixture,
+            "--badjson": oh.build_badjson_fixture,
         }[argv[0]]
         try:
             sf_dir, rest = build(), argv[1:]

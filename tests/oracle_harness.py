@@ -148,6 +148,37 @@ _UNICODE_REWRITES = {
 }
 
 
+# --------------------------------------------------------------------------
+# Bad-JSON fixture: the FOURTH hostile dimension — a props column that
+# is not the well-formed {"k": <int>} the generator always emits. Real
+# log pipelines ship truncated writes, non-JSON debris, empty fields,
+# wrong-typed values, and array roots. Two engine asymmetries hide
+# here: DuckDB's json_extract_string RAISES on malformed JSON where
+# Spark's get_json_object returns NULL (oracle must TRY_CAST to JSON
+# first), and ANSI-mode CAST('oops' AS INT) raises on BOTH engines
+# where the intent is NULL (both sides must TRY_CAST). Known
+# out-of-contract corner (not in this fixture, documented here):
+# decimal-string k like '{"k": "3.7"}' — Spark try_cast(int) yields
+# NULL while DuckDB TRY_CAST rounds to 4; the generator's k is always
+# a JSON integer.
+# --------------------------------------------------------------------------
+
+# NB: {{ }} because these templates go through .format(t=...)
+_BADJSON_REWRITES = {
+    "events": (
+        "SELECT event_id, ts, user_id, event_type, value,"
+        " CASE event_id % 17"
+        "   WHEN 1 THEN '{{\"k\": 1'"          # truncated write
+        "   WHEN 4 THEN 'not json'"            # non-JSON debris
+        "   WHEN 6 THEN ''"                    # empty field
+        "   WHEN 9 THEN '{{\"k\": \"oops\"}}'"  # wrong-typed value
+        "   WHEN 11 THEN '[3, 4]'"             # array root
+        "   WHEN 14 THEN '{{\"j\": {{\"n\": 2}}}}'"  # missing k, nested
+        "   ELSE props END AS props FROM {t}"
+    ),
+}
+
+
 def _build_fixture(tag: str, rewrites: dict, src: str) -> str:
     """Materialize a rewritten fixture through the repo's own staging
     machinery (scratch_dir keys on the SOURCE content fingerprint +
@@ -197,6 +228,11 @@ def build_ties_fixture(src: str = "/root/testdata/sf0.001") -> str:
 def build_unicode_fixture(src: str = "/root/testdata/sf0.001") -> str:
     """The multibyte/multi-script text fixture (see _UNICODE_REWRITES)."""
     return _build_fixture("hostile_unicode", _UNICODE_REWRITES, src)
+
+
+def build_badjson_fixture(src: str = "/root/testdata/sf0.001") -> str:
+    """The malformed-props fixture (see _BADJSON_REWRITES)."""
+    return _build_fixture("hostile_badjson", _BADJSON_REWRITES, src)
 
 
 def canonical(df_pandas):

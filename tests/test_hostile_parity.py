@@ -191,3 +191,65 @@ def test_unicode_gate_detects_a_seeded_codepoint_divergence(spark, unicode_dir):
     )
     problems = compare(spark_side, oracle)
     assert problems, "unicode fixture no longer carries multibyte text"
+
+
+# --------------------------------------------------------------------------
+# Malformed-JSON (props) parity sentinels — the fourth hostile
+# dimension. First run of `driver_replica.py --badjson` (r9) found 11
+# names red: DuckDB's json_extract_string RAISES on malformed JSON
+# where Spark's get_json_object returns NULL (oracles now TRY_CAST to
+# JSON first); ANSI CAST('oops' AS INT) kills the query on BOTH
+# engines where the intent is NULL (both sides now try_cast); empty
+# props render a double space the monolog ([^ ]+) context group
+# cannot match, so the line dead-letters (CORPUS_PARSEABLE_SQL now
+# requires a non-empty space-stripped props); and the per-row
+# callback crashed on valid-JSON non-object roots ('[3, 4]'.get —
+# AttributeError now caught). Full replay:
+# `python scripts/driver_replica.py --badjson`.
+# --------------------------------------------------------------------------
+
+BADJSON_SENTINELS = (
+    "json_extract",
+    "from_json_struct",
+    "agg_map_sum",
+    "ingest_jsonl",
+    "ingest_csv",
+    "ingest_orc",
+    "callback_transform",
+    "parse_monolog",
+    "filter_valid",
+    "sink_table",
+)
+
+
+@pytest.fixture(scope="module")
+def badjson_dir():
+    from tests.oracle_harness import build_badjson_fixture
+
+    return build_badjson_fixture()
+
+
+@pytest.mark.parametrize("name", BADJSON_SENTINELS)
+def test_query_matches_oracle_on_malformed_props(spark, badjson_dir, name):
+    problems = compare(
+        QUERIES[name](spark, badjson_dir),
+        run_oracle(ORACLES[name], badjson_dir),
+    )
+    assert problems == [], (name, problems)
+
+
+def test_badjson_gate_detects_a_seeded_strictness_divergence(spark, badjson_dir):
+    """Prove the gate is not vacuous: an 'oracle' that json-parses
+    props STRICTLY (no TRY_CAST guard) must ERR or diverge on this
+    fixture — if it runs clean, the fixture has stopped carrying
+    malformed props and every sentinel above passes for the wrong
+    reason."""
+    import duckdb as _duckdb
+
+    import pytest as _pytest
+
+    with _pytest.raises(_duckdb.Error):
+        run_oracle(
+            "SELECT json_extract_string(props, '$.k') AS k FROM events",
+            badjson_dir,
+        )
