@@ -68,7 +68,11 @@ def _off(v) -> int:
 
 
 def _ino(v) -> "int | None":
-    return int(v[1]) if isinstance(v, (list, tuple)) and len(v) > 1 else None
+    # v[1] can be None for a legacy plain-int offset that later grew a
+    # miss-streak ([off, None, streak]) — int(None) must not raise
+    if isinstance(v, (list, tuple)) and len(v) > 1 and v[1] is not None:
+        return int(v[1])
+    return None
 
 
 def _miss(v) -> int:

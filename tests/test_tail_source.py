@@ -396,3 +396,31 @@ def test_stream_tail_growing_file_end_to_end(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def test_legacy_int_offset_survives_vanish_and_reappear(tmp_path):
+    """A pre-inode checkpoint stores plain-int offsets. If such a path
+    vanishes, the grace entry is [off, None, streak] — the None inode
+    slot must not crash _ino/read on the next trigger, and the
+    restored file resumes from the retained offset."""
+    import shutil
+
+    f = tmp_path / "app.log"
+    stash = tmp_path / "stash"
+    f.write_bytes(b"one\ntwo\n")
+    r = TailStreamReader({"path": str(tmp_path / "*.log"), "skiphistory": "false"})
+    legacy = {str(f): 8}  # plain int, as a pre-r8 checkpoint would hold
+
+    shutil.move(str(f), str(stash))
+    rows, off = r.read(legacy)  # absent trigger 1: grace entry, no crash
+    assert list(rows) == []
+    assert off[str(f)] == [8, None, 1]
+
+    rows, off = r.read(off)  # absent trigger 2: still held, no crash
+    assert list(rows) == [] and off[str(f)] == [8, None, 2]
+
+    shutil.move(str(stash), str(f))
+    with open(f, "ab") as fh:
+        fh.write(b"three\n")
+    rows, off = r.read(off)
+    assert [v for _, v in rows] == ["three"]  # resumed at byte 8, no dups
