@@ -396,7 +396,9 @@ def final_line_json(line: dict) -> str:
     fully preserved in the sidecar and on the penultimate registry
     line, so nothing is lost — only the final line slims down. The
     remaining keys are bounded scalars, so the fallback terminates
-    well under budget."""
+    well under budget. Works on a COPY — the caller's dict also feeds
+    the sidecar dump and must never lose keys to the shedding loop."""
+    line = dict(line)
     s = json.dumps(line)
     if len(s) <= _FINAL_LINE_BUDGET:
         return s
@@ -661,39 +663,41 @@ def _previous_bench(
         if isinstance(rec, dict) and int(m.group(1)) > best_n:
             best_n, parsed = int(m.group(1)), rec
     side = _read_sidecar(root)
-    if parsed is not None:
-        src = f"BENCH_r{best_n:02d}.json"
-        # Registry map: the sidecar WINS when both exist. Every official
-        # sf0.1 run overwrites the sidecar, so it is at least as fresh
-        # as the newest driver record; an old-protocol driver record
-        # (pre-r6 final lines embedded registry_sf001) can be rounds
-        # stale and must not shadow it. The driver record stays
-        # authoritative for the headline map — it is the line the
-        # driver actually parsed from the same run.
-        reg = (side or {}).get("registry_sf001") or {}
-        if reg:
-            src += "+sidecar"
-        else:
-            reg = parsed.get("registry_sf001") or {}
-        # Baseline calib: ONLY the headline record's own anchor — it is
-        # ratioed against that record's timings, so a calib borrowed
-        # from the sidecar (a different run, possibly a different
-        # machine era) would normalize headline pairs by a machine
-        # ratio from the wrong baseline, flagging or masking ~63
-        # queries at once. A driver record predating the key simply
-        # yields calib_ratio = None (median-only normalization, the
-        # safe degraded mode).
-        cal = parsed.get("calib")
-        cal = cal if isinstance(cal, (int, float)) and cal > 0 else None
-        return parsed.get("queries") or {}, reg, src, parsed.get("sf"), cal
-    if side is not None:
+    # The SIDECAR wins as the baseline record when it carries a
+    # queries map: since r9 the final stdout line carries only the
+    # 27-name r3 subset, so preferring a driver-parsed record would
+    # silently narrow the headline regression baseline to 27 of ~64
+    # names — a 10x regression in any other headline query would never
+    # pair and never flag. Every official sf0.1 run (including the
+    # round driver's own) overwrites the sidecar with the FULL maps,
+    # so it is at least as fresh as the newest driver record, and its
+    # calib comes from the SAME run as its timings — the pairing the
+    # drift normalization requires (a calib ratioed against another
+    # run's timings would mis-normalize every pair at once).
+    if side is not None and side.get("queries"):
+        src = "bench_registry.json"
+        if parsed is not None:
+            src += f"+BENCH_r{best_n:02d}.json"
         cal = side.get("calib")
         cal = cal if isinstance(cal, (int, float)) and cal > 0 else None
+        reg = (
+            side.get("registry_sf001")
+            or (parsed or {}).get("registry_sf001")
+            or {}
+        )
+        return side.get("queries"), reg, src, side.get("sf"), cal
+    if parsed is not None:
+        # No usable sidecar (fresh checkout, corrupted file): the
+        # newest driver record is the degraded fallback — its queries
+        # map may be the 27-name subset, so coverage of the tripwire
+        # narrows, but nothing mis-pairs (calib is its own run's).
+        cal = parsed.get("calib")
+        cal = cal if isinstance(cal, (int, float)) and cal > 0 else None
         return (
-            side.get("queries") or {},
-            side.get("registry_sf001") or {},
-            "bench_registry.json",
-            side.get("sf"),
+            parsed.get("queries") or {},
+            parsed.get("registry_sf001") or {},
+            f"BENCH_r{best_n:02d}.json",
+            parsed.get("sf"),
             cal,
         )
     return {}, {}, None, None, None

@@ -52,8 +52,13 @@ CORPUS_COMPLETE_SQL = " AND ".join(
 # Oracles deriving PARSED monolog output must carry this predicate;
 # raw line-count oracles must NOT (the unparseable line still lands in
 # the file). logger is 'user_' || user_id (always ASCII); level is
-# checked post-UPPER because case mapping can change the character
-# class (ICU 'ß' → 'SS'). The context field is the space-stripped
+# checked post-UPPER because that is the value the renderer embeds —
+# NOTE the residual cross-engine corner here: Java's toUpperCase does
+# full case mapping ('ß' → 'SS', parseable) while DuckDB's upper
+# yields 'ẞ' (verified in-container; NOT parseable), so a full-casing
+# character in event_type diverges. No generator or hostile fixture
+# emits one; documented as out-of-contract in PARITY.md rather than
+# guessed at in SQL. The context field is the space-stripped
 # props rendered as a ([^ ]+) token — empty (or all-spaces) props
 # render a double space the grammar cannot match, so the line
 # dead-letters (found by the r9 --badjson gate). DuckDB-side SQL —
@@ -233,7 +238,7 @@ def _callback(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "callback_transform",
     oracle=f"""
     SELECT DATE_TRUNC('second', ts) AS created_at,
-           event_type AS level_lower,
+           lower(upper(event_type)) AS level_lower,
            TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
                     AS INTEGER) AS k,
            CAST(LENGTH('event ' || event_id) AS INTEGER) AS msg_len

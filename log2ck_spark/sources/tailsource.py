@@ -166,8 +166,17 @@ class TailStreamReader(SimpleDataSourceStreamReader):
         for p, v in start.items():
             if os.path.exists(p):
                 end[p] = [_off(v), _ino(v)] if _ino(v) is not None else v
-            elif (streak := _miss(v) + 1) < _MISS_DROP_TRIGGERS:
+            elif _ino(v) is not None and (
+                streak := _miss(v) + 1
+            ) < _MISS_DROP_TRIGGERS:
                 end[p] = [_off(v), _ino(v), streak]
+            # Inode-LESS (legacy plain-int) entries drop on first
+            # absence, the pre-grace behavior: without an inode, a
+            # reappearing file cannot be told apart from a NEW file
+            # created at the same path, and resuming a new file at the
+            # old offset would skip its head and emit a mid-line
+            # fragment — data loss, strictly worse than the duplicate
+            # re-read the grace window exists to prevent.
         rows: list[tuple[str, str]] = []
         for p in self._files():
             prev = start.get(p, 0)

@@ -127,18 +127,17 @@ _UNI_ACCENT = "résumé résumé naivë francaiş dejà vu"
 _UNI_RTL = "الحوسبة الموزعة mixed مع نص latin وعربي bidirectional text"
 
 _UNICODE_REWRITES = {
+    # n_chars recomputed from the REWRITTEN text in an outer select so
+    # the corpus invariant n_chars == length(text) holds by
+    # construction (one CASE, not two copies to edit in lockstep)
     "documents": (
-        f"SELECT doc_id,"
+        f"SELECT doc_id, text, lang, source, length(text) AS n_chars"
+        f" FROM (SELECT doc_id,"
         f" CASE WHEN doc_id % 10 = 2 THEN '{_UNI_CJK}'"
         f" WHEN doc_id % 10 = 5 THEN '{_UNI_EMOJI}'"
         f" WHEN doc_id % 10 = 7 THEN '{_UNI_ACCENT}'"
         f" WHEN doc_id % 10 = 9 THEN '{_UNI_RTL}'"
-        f" ELSE text END AS text, lang, source,"
-        f" length(CASE WHEN doc_id % 10 = 2 THEN '{_UNI_CJK}'"
-        f" WHEN doc_id % 10 = 5 THEN '{_UNI_EMOJI}'"
-        f" WHEN doc_id % 10 = 7 THEN '{_UNI_ACCENT}'"
-        f" WHEN doc_id % 10 = 9 THEN '{_UNI_RTL}'"
-        f" ELSE text END) AS n_chars FROM {{t}}"
+        f" ELSE text END AS text, lang, source FROM {{t}})"
     ),
     "events": (
         "SELECT event_id, ts, user_id,"

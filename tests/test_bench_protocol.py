@@ -3,10 +3,12 @@
 The r5 round lost its official headline number because everything was
 serialized into ONE stdout line that outgrew the capture buffer; these
 tests pin the protocol invariants that prevent a repeat: the baseline
-reader prefers the newest PARSEABLE driver record, merges the registry
-map from the sidecar (driver records never carry it under this
-protocol), refuses cross-SF headline comparisons, and the printed
-regressions map is bounded.
+reader prefers the SIDECAR record (since r9 the final stdout line
+carries only the 27-name r3 subset, so a driver-parsed record would
+silently narrow the headline tripwire to 27 of ~64 names; the sidecar
+is rewritten with the FULL maps by every official run), falls back to
+the newest PARSEABLE driver record, refuses cross-SF headline
+comparisons, and the printed regressions map is bounded.
 """
 
 from __future__ import annotations
@@ -21,6 +23,8 @@ def _write(p, obj):
 
 
 def test_previous_bench_prefers_newest_parseable_driver_record(tmp_path):
+    """With NO sidecar, the newest PARSEABLE driver record is the
+    degraded fallback (r5's truncated null skipped)."""
     _write(
         tmp_path / "BENCH_r03.json",
         {"parsed": {"queries": {"q": 1.0}, "registry_sf001": {"r": 0.1}}},
@@ -37,23 +41,30 @@ def test_previous_bench_prefers_newest_parseable_driver_record(tmp_path):
     assert sf == 0.1
 
 
-def test_previous_bench_merges_registry_from_sidecar(tmp_path):
-    """Driver-parsed final lines deliberately do NOT carry
-    registry_sf001 (it prints on its own earlier line), so without the
-    sidecar merge the ~106 registry-only queries would be permanently
-    baseline-less for the tripwire."""
+def test_previous_bench_sidecar_headline_wins_over_driver_record(tmp_path):
+    """Since r9 the driver-parsed final line carries only the 27-name
+    r3 subset; preferring it would silently narrow the headline
+    regression tripwire to 27 of ~64 names. The sidecar is rewritten
+    with the FULL queries map (and its own same-run calib) by every
+    official run, so when it exists it IS the baseline."""
     _write(
         tmp_path / "BENCH_r06.json",
-        {"parsed": {"queries": {"q": 2.0}, "sf": 0.1}},
+        {"parsed": {"queries": {"q": 2.0}, "sf": 0.1, "calib": 0.5}},
     )
     _write(
         tmp_path / "bench_registry.json",
-        {"queries": {"q": 9.9}, "registry_sf001": {"r": 0.2}, "sf": 0.1},
+        {
+            "queries": {"q": 9.9, "not_in_r3_subset": 1.0},
+            "registry_sf001": {"r": 0.2},
+            "sf": 0.1,
+            "calib": 0.7,
+        },
     )
     head, reg, src, sf, cal = bench._previous_bench(str(tmp_path))
-    assert head == {"q": 2.0}  # headline from the DRIVER record
-    assert reg == {"r": 0.2}  # registry merged from the sidecar
-    assert src == "BENCH_r06.json+sidecar"
+    assert head == {"q": 9.9, "not_in_r3_subset": 1.0}  # FULL map
+    assert reg == {"r": 0.2}
+    assert src == "bench_registry.json+BENCH_r06.json"
+    assert cal == 0.7  # calib paired with the sidecar's own timings
 
 
 def test_previous_bench_falls_back_to_sidecar(tmp_path):
@@ -81,8 +92,7 @@ def test_previous_bench_tolerates_junk_and_absence(tmp_path):
 def test_previous_bench_sidecar_registry_wins_over_driver_record(tmp_path):
     """An old-protocol driver record can embed a rounds-stale
     registry_sf001; the sidecar is rewritten by every official run, so
-    when both exist the sidecar's registry map must win (the driver
-    record stays authoritative for the headline map)."""
+    when both exist the sidecar's maps win outright."""
     _write(
         tmp_path / "BENCH_r04.json",
         {
@@ -98,9 +108,33 @@ def test_previous_bench_sidecar_registry_wins_over_driver_record(tmp_path):
         {"queries": {"q": 3.3}, "registry_sf001": {"r": 0.2}, "sf": 0.1},
     )
     head, reg, src, sf, cal = bench._previous_bench(str(tmp_path))
-    assert head == {"q": 2.0}  # headline still from the driver record
+    assert head == {"q": 3.3}  # sidecar's full map is the baseline
     assert reg == {"r": 0.2}  # registry from the fresher sidecar
-    assert src == "BENCH_r04.json+sidecar"
+    assert src == "bench_registry.json+BENCH_r04.json"
+
+
+def test_previous_bench_sidecar_registry_falls_back_to_driver(tmp_path):
+    """A sidecar with a queries map but no registry map (hand-pruned
+    or pre-r6) still wins the headline; the registry map falls back to
+    the driver record's embedded copy rather than vanishing."""
+    _write(
+        tmp_path / "BENCH_r04.json",
+        {
+            "parsed": {
+                "queries": {"q": 2.0},
+                "registry_sf001": {"r": 9.9},
+                "sf": 0.1,
+            }
+        },
+    )
+    _write(
+        tmp_path / "bench_registry.json",
+        {"queries": {"q": 3.3}, "sf": 0.1},
+    )
+    head, reg, src, sf, cal = bench._previous_bench(str(tmp_path))
+    assert head == {"q": 3.3}
+    assert reg == {"r": 9.9}
+    assert src == "bench_registry.json+BENCH_r04.json"
 
 
 def test_detect_regressions_divides_out_uniform_drift():
@@ -218,15 +252,16 @@ def test_detect_regressions_uniform_regression_on_faster_machine():
 
 
 def test_previous_bench_never_borrows_calib_across_records(tmp_path):
-    """The baseline calib is ratioed against the headline record's own
-    timings; borrowing the sidecar's anchor (a different run, possibly
-    a different machine era) would normalize ~63 headline pairs by a
-    machine ratio from the wrong baseline. A driver record without a
-    calib key must yield cal=None (median-only normalization), even
-    when a sidecar with a calib sits right next to it."""
+    """The baseline calib must pair with the SAME record's timings —
+    a calib ratioed against another run's timings would mis-normalize
+    every headline pair at once. Under the sidecar-wins rule this
+    means: sidecar timings ship with the sidecar's own calib (never
+    the driver record's), and a driver-record fallback without a calib
+    key yields cal=None (median-only, the safe degraded mode) even if
+    a calib exists elsewhere."""
     _write(
         tmp_path / "BENCH_r06.json",
-        {"parsed": {"queries": {"q": 2.0}, "sf": 0.1}},
+        {"parsed": {"queries": {"q": 2.0}, "sf": 0.1, "calib": 0.9}},
     )
     _write(
         tmp_path / "bench_registry.json",
@@ -238,12 +273,31 @@ def test_previous_bench_never_borrows_calib_across_records(tmp_path):
         },
     )
     head, reg, src, sf, cal = bench._previous_bench(str(tmp_path))
-    assert head == {"q": 2.0} and reg == {"r": 0.2}
-    assert cal is None  # r6 record has no calib; sidecar's not borrowed
-    # Sidecar-only fallback keeps its OWN calib — same-record, coherent.
-    (tmp_path / "BENCH_r06.json").unlink()
+    assert head == {"q": 9.9} and reg == {"r": 0.2}
+    assert cal == 0.15  # the sidecar's OWN anchor, not the driver's 0.9
+    # Sidecar without a calib: cal=None, never borrowed from the
+    # driver record sitting next to it.
+    _write(
+        tmp_path / "bench_registry.json",
+        {"queries": {"q": 9.9}, "registry_sf001": {"r": 0.2}, "sf": 0.1},
+    )
     head, reg, src, sf, cal = bench._previous_bench(str(tmp_path))
-    assert src == "bench_registry.json" and cal == 0.15
+    assert head == {"q": 9.9} and cal is None
+    # Driver-record fallback (no sidecar at all) keeps its OWN calib.
+    (tmp_path / "bench_registry.json").unlink()
+    head, reg, src, sf, cal = bench._previous_bench(str(tmp_path))
+    assert src == "BENCH_r06.json" and head == {"q": 2.0} and cal == 0.9
+
+
+def test_final_line_json_does_not_mutate_caller_dict():
+    """The same dict feeds the sidecar dump; the shedding loop must
+    work on a copy or an over-budget line would silently strip keys
+    from the official sidecar record."""
+    line = _worst_case_headline_line()
+    line["queries"] = {f"q{i}": 999.999 for i in range(500)}
+    before = json.dumps(line)
+    bench.final_line_json(line)
+    assert json.dumps(line) == before
 
 
 def test_detect_regressions_floor_is_drift_adjusted():

@@ -398,11 +398,14 @@ def test_stream_tail_growing_file_end_to_end(spark, tmp_path):
         q.awaitTermination(30)
 
 
-def test_legacy_int_offset_survives_vanish_and_reappear(tmp_path):
-    """A pre-inode checkpoint stores plain-int offsets. If such a path
-    vanishes, the grace entry is [off, None, streak] — the None inode
-    slot must not crash _ino/read on the next trigger, and the
-    restored file resumes from the retained offset."""
+def test_legacy_int_offset_gets_no_grace_window(tmp_path):
+    """A pre-inode checkpoint stores plain-int offsets. Such an entry
+    must NOT get the absence grace window: without an inode, a
+    reappearing file cannot be told apart from a NEW file created at
+    the same path, and resuming a new file at the old offset would
+    skip its head — data loss, strictly worse than the duplicate
+    re-read that dropping the entry costs. So: drop on first absence;
+    whatever appears at the path later is read from byte 0."""
     import shutil
 
     f = tmp_path / "app.log"
@@ -412,15 +415,11 @@ def test_legacy_int_offset_survives_vanish_and_reappear(tmp_path):
     legacy = {str(f): 8}  # plain int, as a pre-r8 checkpoint would hold
 
     shutil.move(str(f), str(stash))
-    rows, off = r.read(legacy)  # absent trigger 1: grace entry, no crash
-    assert list(rows) == []
-    assert off[str(f)] == [8, None, 1]
+    rows, off = r.read(legacy)  # absent: dropped immediately, no crash
+    assert list(rows) == [] and off == {}
 
-    rows, off = r.read(off)  # absent trigger 2: still held, no crash
-    assert list(rows) == [] and off[str(f)] == [8, None, 2]
-
-    shutil.move(str(stash), str(f))
-    with open(f, "ab") as fh:
-        fh.write(b"three\n")
+    # a NEW file at the same path: its head must not be skipped
+    f.write_bytes(b"fresh-head\nfresh-tail\n")
     rows, off = r.read(off)
-    assert [v for _, v in rows] == ["three"]  # resumed at byte 8, no dups
+    assert [v for _, v in rows] == ["fresh-head", "fresh-tail"]
+    assert _off(off[str(f)]) == 22
