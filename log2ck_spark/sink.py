@@ -18,33 +18,41 @@ from pyspark.sql import functions as F
 
 from log2ck_spark.config import SinkConfig
 
-# Writers per date partition: one date spreads across this many tasks
-# instead of serializing onto one. Bounded so a write still produces
-# few large files per date, not shuffle.partitions tiny ones.
-WRITE_BUCKETS = 8
+
+
+def _date_ranged(df: DataFrame, sink: SinkConfig) -> DataFrame:
+    """RANGE-repartition on (date, sort keys) + within-task sort — the
+    MergeTree-like dated layout, shared by the batch AND streaming
+    writers.
+
+    Each writer task holds a CONTIGUOUS (date, key) slice, so a task
+    usually spans one partition value and writes ~one file. The
+    previous hash-bucket shuffle interleaved every date across every
+    task — measured r9 at sf0.1: 960 files for a 30-date/92k-row
+    corpus (tasks × dates), the small-files explosion that kills a
+    100 TB table's listing and open() costs, re-created PER MICRO-
+    BATCH on the streaming path. Range keeps the two properties the
+    bucketing existed for: a HOT date still fans out over several
+    tasks (the range sampler balances ROWS per task, so a date bigger
+    than one share spans multiple contiguous tasks — the skew plain
+    repartition(date) serialized), and AQE still coalesces adjacent
+    slices of small dates. Strictly better third property: within a
+    hot date the files' sort-key ranges are NON-overlapping (hash
+    buckets overlapped every file), so parquet min/max skipping prunes
+    whole files, not just row groups. The within-task sort leads with
+    the partition column so the dynamic-partition writer streams each
+    date's rows contiguously instead of juggling open files."""
+    sort_cols = [c for c in sink.sort_cols if c in df.columns]
+    if sink.partition_col in df.columns and sort_cols:
+        df = df.repartitionByRange(sink.partition_col, *sort_cols)
+        df = df.sortWithinPartitions(sink.partition_col, *sort_cols)
+    return df
 
 
 def write_batch(df: DataFrame, sink: SinkConfig) -> None:
-    """Batch write with the MergeTree-like layout."""
-    out = df
+    """Batch write with the MergeTree-like layout (see _date_ranged)."""
+    out = _date_ranged(df, sink)
     if sink.partition_col in df.columns:
-        sort_cols = [c for c in sink.sort_cols if c in df.columns]
-        if sort_cols:
-            # Repartition on (date, hash-bucket): plain repartition
-            # (date) collapsed each date onto ONE task, so a hot date
-            # serialized the whole write. The bucket expression spreads
-            # every date over up to WRITE_BUCKETS writers; because the
-            # repartition carries no explicit partition count, AQE
-            # remains free to COALESCE the buckets of small dates back
-            # together — cold dates still produce one file, only dates
-            # bigger than the advisory partition size actually fan out
-            # (asserted in tests). sortWithinPartitions still gives
-            # each output file parquet min/max row-group stats (ranges
-            # may overlap across a hot date's files — skipping stays
-            # effective within each file).
-            bucket = F.pmod(F.xxhash64(*sort_cols), F.lit(WRITE_BUCKETS))
-            out = out.repartition(F.col(sink.partition_col), bucket)
-            out = out.sortWithinPartitions(*sort_cols)
         out.write.mode("overwrite").partitionBy(sink.partition_col).parquet(sink.path)
     else:
         out.write.mode("overwrite").parquet(sink.path)
@@ -119,7 +127,9 @@ def foreach_batch_writer(
         if not checked_layout:
             _check_layout()
             checked_layout = True
-        out = batch_df
+        # Same dated layout as write_batch — without it every
+        # micro-batch re-creates the tasks×dates small-files explosion
+        out = _date_ranged(batch_df, sink)
         if idempotent:
             import os
 

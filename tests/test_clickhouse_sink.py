@@ -114,8 +114,38 @@ def test_write_batch_spreads_hot_date_over_writers(spark, tmp_path):
             spark.conf.set(k, v)
     part = os.path.join(str(tmp_path / "t"), "log_date=2024-01-01")
     n_files = sum(1 for f in os.listdir(part) if f.endswith(".parquet"))
-    assert 1 < n_files <= 8, n_files  # spread, but bounded by WRITE_BUCKETS
+    # spread over multiple range slices, bounded by shuffle.partitions
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert 1 < n_files <= n_shuffle, n_files
     assert spark.read.parquet(str(tmp_path / "t")).count() == 4000
+
+
+def test_write_batch_multi_date_corpus_stays_near_one_file_per_date(
+    spark, tmp_path
+):
+    """The r9 regression this layout fixes: hash-bucketing interleaved
+    every date across every task, writing tasks x dates files (960 for
+    a 30-date/92k-row corpus at sf0.1). Range partitioning keeps each
+    task date-contiguous, so a many-date corpus lands near one file
+    per date — the difference between a queryable table and a
+    small-files explosion at 100 TB."""
+    import glob as _glob
+
+    from log2ck_spark.sink import write_batch
+
+    rows = [
+        (f"2024-01-{1 + (i % 30):02d}", i, f"2024-01-01 00:{i % 60:02d}:00")
+        for i in range(9000)
+    ]
+    df = spark.createDataFrame(
+        rows, "log_date string, v int, created_at string"
+    ).repartition(32)
+    sink = SinkConfig(path=str(tmp_path / "t"))
+    write_batch(df, sink)
+    files = _glob.glob(str(tmp_path / "t" / "*" / "*.parquet"))
+    # 30 dates: near one file per date, never the tasks-x-dates blowup
+    assert len(files) <= 2 * 30, len(files)
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 9000
 
 
 def test_idempotent_batch_writer_replay_does_not_duplicate(spark, tmp_path):
