@@ -407,7 +407,16 @@ def final_line_json(line: dict) -> str:
         s = json.dumps(line)
         if len(s) <= _FINAL_LINE_BUDGET:
             return s
-    return s
+    # Last resort (r10 ADVICE fix): if some future long scalar keeps
+    # the line over budget even after shedding every bulk key, fall
+    # back to the minimal fixed-key line rather than silently emitting
+    # an over-budget string that the driver's 2000-byte stdout tail
+    # would truncate into a dead artifact. The bounded keys below are
+    # a few hundred bytes at most.
+    minimal = {
+        k: line[k] for k in ("metric", "value", "unit", "sf") if k in line
+    }
+    return json.dumps(minimal)
 
 
 def measure_ingest_throughput(spark, sf_dir: str) -> "dict | None":

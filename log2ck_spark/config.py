@@ -125,9 +125,14 @@ class EngineConfig:
                 # constructs with a known Java spelling up front.
                 # ((?P<name>) is (?<name>) in Java; (?P=name) is \k<name>;
                 # conditional groups (?(1)...) have no Java equivalent.)
-                if t.pattern and (
-                    "(?P" in t.pattern or _re.search(r"\(\?\(", t.pattern)
-                ):
+                # Anchor on an UNESCAPED "(" so a literal "\(?P" (an
+                # escaped paren followed by optional P) isn't falsely
+                # rejected: (?<!\\) plus an even-backslash guard keeps
+                # "\\(?P" (escaped backslash, real group) caught.
+                _py_only = _re.compile(
+                    r"(?<!\\)(?:\\\\)*(\(\?P[<=]|\(\?\()"
+                )
+                if t.pattern and _py_only.search(t.pattern):
                     raise ValueError(
                         f"tail {t.name}: pattern uses Python-only regex "
                         f"syntax ((?P<name>…)/(?P=name)/(?(n)…)) that "

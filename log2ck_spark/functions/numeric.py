@@ -7,13 +7,22 @@ decimal before summing (decimal addition is associative ⇒
 order-independent and engine-independent), then cast the final result
 back to double. The oracle mirrors the same cast chain:
 
-    Spark : F.sum(col.cast("decimal(18,6)")).cast("double")
-    DuckDB: CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+    Spark : F.sum(col.try_cast("decimal(18,6)")).cast("double")
+    DuckDB: CAST(SUM(TRY_CAST(x AS DECIMAL(18,6))) AS DOUBLE)
 
 decimal(18,6) holds |x| < 1e12 at 1e-6 resolution — ample for every
-testdata column (prices < 1e6). Spark widens the sum to decimal(28,6),
-DuckDB to decimal(38,6); both are exact, and the final double cast of
-the same exact value is identical. At 100 TB the decimal sum is still a
+testdata column (prices < 1e6). TRY_CAST (r10 migration, SCALE.md)
+NULL-skips out-of-range values IDENTICALLY on both engines instead of
+raising NUMERIC_VALUE_OUT_OF_RANGE under Spark 4 ANSI mode — a hostile
+1e15 outlier now becomes a documented exclude-from-exact-aggregate,
+never a dead query, and in-range results are bit-identical to the old
+plain-cast chain (probed + pinned in tests/test_decimal_bounds.py;
+NULL/0 for an all-excluded group is NULL on both engines). Spark
+widens the sum to decimal(28,6), DuckDB to decimal(38,6); both are
+exact, and the final double cast of the same exact value is identical.
+Residual bound: the SUM itself can still overflow decimal(28,6)
+(|Σ| ≥ 1e22 — ~1e10 rows at max magnitude); that raises loudly under
+ANSI rather than corrupting. At 100 TB the decimal sum is still a
 single-pass partial+final hash aggregate (no perf cliff vs double).
 """
 
@@ -26,29 +35,40 @@ DECIMAL = "decimal(18,6)"
 
 
 def dsum(col: Column | str, alias: str | None = None) -> Column:
-    """Order-independent SUM over a double column, returned as double."""
+    """Order-independent SUM over a double column, returned as double.
+
+    Out-of-range values (|x| >= 1e12) are NULL-skipped via try_cast —
+    identical on both engines — instead of crashing under ANSI mode.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(DECIMAL)).cast("double")
+    out = F.sum(c.try_cast(DECIMAL)).cast("double")
     return out.alias(alias) if alias else out
 
 
 def davg(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent AVG: exact decimal sum / count, as double.
 
-    Oracle twin: CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x)
+    The count is over the try_cast column, so the mean stays a true
+    mean of the INCLUDED (in-range) values; an all-excluded group is
+    NULL/0 = NULL on both engines.
+
+    Oracle twin: CAST(SUM(TRY_CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(TRY_CAST(x AS DECIMAL(18,6)))
     """
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(DECIMAL)).cast("double") / F.count(c)
+    d = c.try_cast(DECIMAL)
+    out = F.sum(d).cast("double") / F.count(d)
     return out.alias(alias) if alias else out
 
 
 def oracle_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+    return f"CAST(SUM(TRY_CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
 
 
 def oracle_davg(expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / COUNT({expr}) AS {alias}"
+        f"CAST(SUM(TRY_CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT(TRY_CAST({expr} AS DECIMAL(18,6))) AS {alias}"
     )
 
 

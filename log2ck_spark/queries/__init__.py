@@ -87,43 +87,74 @@ ROTATION_FIRST: tuple[str, ...] = (
     # ONLY queries whose code/oracle changed after their latest driver
     # row are pinned — the automatic stalest-first order handles
     # everything else (never-checked first, then failed-last-check,
-    # then stalest green). All 14 r8 pins (the shared-HLL pair, the 11
-    # hostile-parity ingest names, and stream_session_window) went
-    # full-value green in CORRECTNESS_r08 and are RELEASED — per the
-    # pin rule, a green driver row after the change is the evidence
-    # the pin existed to obtain, and holding it would burn window
-    # slots re-checking fresh names (the r7 mistake with the r6 pins).
-    # r9 pins: the --unicode hostile gate (multibyte/multi-script
-    # text fixture) found 8 Spark-vs-oracle divergences on its first
-    # run; the fixes changed these names' oracles (and
-    # multimodal_resize_fake's code: hex-defined thumb digest) after
-    # their latest driver rows, so the pin rule applies. All 9
-    # re-verified green on normal sf0.01 + hostile + ties + unicode
-    # fixtures post-fix. multimodal_frame_sample's oracle had the
-    # same codepoint-vs-octet defect latent (masked by the frame
-    # stride at fixture text lengths) and changed with them.
-    "parse_monolog",
-    "filter_valid",
-    "enrich_constants",
-    "callback_transform",
-    "sink_table",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize_fake",
-    "text_winnow_fingerprint",
-    # r9 pins, second batch: the --badjson hostile gate (malformed
-    # props fixture) found 11 names red; beyond the already-pinned
-    # monolog family, these 6 JSON-extraction names changed code
-    # (ANSI cast → try_cast for non-numeric k) and/or oracle
-    # (TRY_CAST-to-JSON guard: DuckDB json_extract_string raises on
-    # malformed input that Spark NULLs). All re-verified green on
-    # sf0.01 + hostile + ties + unicode + badjson post-fix.
+    # then stalest green). All 15 r9 pins (the 9 unicode-fix names and
+    # the 6 badjson JSON-extraction names) went full-value green in
+    # CORRECTNESS_r09 and are RELEASED per the pin rule.
+    #
+    # r10 pins, batch 1 — the decimal(18,6) → TRY_CAST exact-aggregate
+    # migration (SCALE.md "Known domain bound"; functions/numeric.py):
+    # every dsum/davg oracle twin and inline decimal-sum SQL changed
+    # from CAST to TRY_CAST (out-of-range values now NULL-skip
+    # identically on both engines instead of killing the query under
+    # ANSI). 45 oracles changed (diffed mechanically against the r9
+    # HEAD registry); in-range fixture values are bit-identical, so
+    # these rows must simply re-prove green on the new SQL.
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_share",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_join",
+    "tpch_q20_excess_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "agg_group_count",
+    "agg_skew_salted",
+    "agg_time_bucket",
+    "anomaly_zscore",
+    "bm25_score",
+    "cube_rollup",
+    "doc_entropy",
+    "doc_perplexity",
+    "drift_psi",
+    "embedding_centroid",
+    "embedding_dim_stats",
+    "ingest_json_lines",
+    "join_bucketed_colocated",
+    "join_dim",
+    "join_skew_salted",
     "json_extract",
-    "from_json_struct",
-    "agg_map_sum",
-    "ingest_jsonl",
-    "ingest_csv",
-    "ingest_orc",
+    "scan_partition_prune",
+    "seasonal_hour_profile",
+    "sliding_window_agg",
+    "stats_moments",
+    "stream_session_window",
+    "stream_static_join",
+    "stream_tumbling_agg",
+    "time_weighted_avg",
+    "topk_order_limit",
+    "window_running",
+    "window_time_range",
+    # r10 pins, batch 2 — callback_transform's oracle now extracts k
+    # from the SPACE-STRIPPED props (mirroring the renderer — ADVICE
+    # fix), and the BUCKET_CAP bounded pair expansion changed the
+    # PLANS of the four _candidate_pairs/_exact_jaccard_pairs
+    # consumers (output unchanged at fixture scale — the cap only
+    # binds past 1024 ids/bucket — but the pin rule is code-changed,
+    # not output-changed).
+    "callback_transform",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
 )
 
 

@@ -198,11 +198,11 @@ _Z_THRESHOLD = 2.5
     oracle=f"""
     WITH stats AS (
       SELECT event_type, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)
                / COUNT(*) AS mean,
              sqrt(greatest(
-               (CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
-                - pow(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+               (CAST(SUM(TRY_CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
+                - pow(CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
                   / COUNT(*))
                / (COUNT(*) - 1), 0.0)) AS std
       FROM events GROUP BY event_type
@@ -229,8 +229,8 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     window would shuffle every event by a low-cardinality key
     (skew); the broadcast join shuffles nothing but the stats."""
     ev = tbl(spark, sf_dir, "events")
-    s = F.sum(F.col("value").cast(DECIMAL)).cast("double")
-    s2 = F.sum((F.col("value") * F.col("value")).cast(DECIMAL)).cast("double")
+    s = F.sum(F.col("value").try_cast(DECIMAL)).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).try_cast(DECIMAL)).cast("double")
     n = F.count("*")
     var = (s2 - F.pow(s, 2) / n) / (n - 1)
     stats = ev.groupBy("event_type").agg(
@@ -375,7 +375,7 @@ _PSI_BIN = 25.0  # value-bin width
            CAST(MAX(n_a) AS BIGINT) AS n_a,
            CAST(MAX(n_b) AS BIGINT) AS n_b,
            COUNT(*) AS n_bins_used,
-           ROUND(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi
+           ROUND(CAST(SUM(TRY_CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi
     FROM terms GROUP BY event_type
     """,
 )
@@ -424,7 +424,7 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_b").cast("bigint").alias("n_b"),
         F.count("*").alias("n_bins_used"),
         F.round(
-            F.sum(F.col("term").cast("decimal(18,9)")).cast("double"), 6
+            F.sum(F.col("term").try_cast("decimal(18,9)")).cast("double"), 6
         ).alias("psi"),
     )
 

@@ -38,6 +38,26 @@ from log2ck_spark.queries import register
 
 JACCARD_THRESHOLD = 0.7  # fixture near-dups cluster at >=0.9; noise <0.3
 
+# Hard bound on per-bucket pair expansion (r10). A duplicate class of
+# d docs shares ALL LSH bands / simhash chunks, so one bucket holds all
+# d ids and the naive i<j expansion emits d(d-1)/2 structs in ONE task
+# — a 1M-copy boilerplate page (routine in a web crawl) is a 5×10¹¹-
+# pair array materialized before the explode, i.e. an executor OOM.
+# The cap bounds the expansion to CAP(CAP-1)/2 all-pairs among the CAP
+# smallest doc_ids PLUS a connectivity-preserving "star": every doc
+# beyond the cap is still paired with the bucket's minimum id, so no
+# document silently vanishes from candidate generation (no silent
+# caps) and exact-duplicate classes still dedup COMPLETELY — every
+# (min, x) pair verifies at jaccard 1.0 and transitive clustering
+# (dedup_clusters) reconnects the class through the shared min. What
+# the cap gives up, documented: in a bucket of d > CAP, tail×tail
+# pairs that are similar to each other but NOT to the bucket min are
+# not emitted from THIS bucket (they usually surface from another of
+# the 32 bands). Fixture buckets never approach the cap, so oracle
+# results are bit-identical; tests/test_dedup_scale.py proves the
+# bound and the connectivity guarantee on a synthetic dup-class bomb.
+BUCKET_CAP = 1024
+
 _ORACLE_SHINGLE_PAIRS = """
     WITH tok AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -77,17 +97,19 @@ def _candidate_pairs(posting: DataFrame, key_cols: list[str]) -> DataFrame:
 
     Instead of a self-join (which computes the whole upstream pipeline
     twice and shuffles it twice), group once per key, collect the
-    sorted doc-id set, and emit all i<j combinations with a codegen'd
+    sorted doc-id set, and emit i<j combinations with a codegen'd
     nested-transform expression. One upstream pass, one shuffle; the
-    per-bucket expansion is exactly the d(d-1)/2 pairs the self-join
-    would produce."""
+    per-bucket expansion is BUCKET_CAP-bounded (see the constant's
+    docstring): all pairs among the CAP smallest ids plus a
+    connectivity-preserving star from the bucket min to every id past
+    the cap, so no doc drops out of candidate generation."""
     grouped = (
         posting.groupBy(*key_cols)
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     return (
-        grouped.select(F.explode(pairs_expr("ids")).alias("p"))
+        grouped.select(F.explode(capped_pairs_expr("ids")).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -95,8 +117,9 @@ def _candidate_pairs(posting: DataFrame, key_cols: list[str]) -> DataFrame:
 
 def pairs_expr(ids: str) -> Column:
     """All i<j (doc_a, doc_b) structs from a sorted id array — the
-    codegen'd nested-transform expansion shared by every group-once
-    bucket joiner (`_candidate_pairs`, winnow containment)."""
+    codegen'd nested-transform expansion. Use ONLY where bucket size
+    is already bounded upstream (winnow containment's max_df cut);
+    unbounded buckets go through `capped_pairs_expr`."""
     return F.flatten(
         F.transform(
             F.col(ids),
@@ -106,6 +129,36 @@ def pairs_expr(ids: str) -> Column:
             ),
         )
     )
+
+
+def capped_pairs_expr(ids: str, cap: int = BUCKET_CAP) -> Column:
+    """BUCKET_CAP-bounded pair expansion from a SORTED id array:
+    all i<j pairs among the first `cap` ids, plus (ids[0], y) for every
+    y past the cap. Expansion is ≤ cap(cap-1)/2 + (d - cap) structs —
+    O(d) past the cap instead of O(d²) — and every id appears in at
+    least one pair, so a duplicate-class "bomb" bucket stays fully
+    connected for transitive dedup while a 1M-id bucket emits ~1.5M
+    structs instead of 5×10¹¹. Buckets at or under the cap produce
+    EXACTLY the full i<j expansion (fixture-scale output unchanged)."""
+    col = F.col(ids)
+    head = F.slice(col, 1, cap)
+    tail = F.slice(col, cap + 1, F.greatest(F.size(col) - cap, F.lit(0)))
+    head_pairs = F.flatten(
+        F.transform(
+            head,
+            lambda x, i: F.transform(
+                F.slice(head, i + 2, F.size(head)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    star = F.transform(
+        tail,
+        lambda y: F.struct(
+            F.element_at(col, 1).alias("doc_a"), y.alias("doc_b")
+        ),
+    )
+    return F.concat(head_pairs, star)
 
 
 def _verify_jaccard(
@@ -359,18 +412,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set(F.struct("doc_id", "sim"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    hamming64(x["sim"], y["sim"]).alias("hamming"),
-                ),
-            ),
+    # BUCKET_CAP-bounded expansion (same contract as capped_pairs_expr,
+    # carrying the signatures): all pairs among the CAP lowest-id
+    # structs + a star from the bucket min to everything past the cap.
+    # An exact-duplicate class shares all four chunks, so the star
+    # pairs verify at hamming 0 and the class stays fully connected;
+    # expansion is O(d) past the cap instead of d(d-1)/2.
+    ds = F.col("ds")
+    head = F.slice(ds, 1, BUCKET_CAP)
+    tail = F.slice(
+        ds, BUCKET_CAP + 1, F.greatest(F.size(ds) - BUCKET_CAP, F.lit(0))
+    )
+
+    def _pair(x, y):
+        return F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            hamming64(x["sim"], y["sim"]).alias("hamming"),
         )
+
+    pairs = F.concat(
+        F.flatten(
+            F.transform(
+                head,
+                lambda x, i: F.transform(
+                    F.slice(head, i + 2, F.size(head)), lambda y: _pair(x, y)
+                ),
+            )
+        ),
+        F.transform(tail, lambda y: _pair(F.element_at(ds, 1), y)),
     )
     return (
         grouped.select(F.explode(pairs).alias("p"))

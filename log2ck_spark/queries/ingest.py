@@ -239,7 +239,13 @@ def _callback(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle=f"""
     SELECT DATE_TRUNC('second', ts) AS created_at,
            lower(upper(event_type)) AS level_lower,
-           TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+           -- the renderer writes REPLACE(props, ' ', '') into the log
+           -- line, so the callback parses the SPACE-STRIPPED JSON;
+           -- extract from the same string here or values whose
+           -- extraction changes under stripping (e.g. k = "1 2")
+           -- diverge (r10 ADVICE fix)
+           TRY_CAST(json_extract_string(
+                    TRY_CAST(REPLACE(props, ' ', '') AS JSON), '$.k')
                     AS INTEGER) AS k,
            CAST(LENGTH('event ' || event_id) AS INTEGER) AS msg_len
     FROM events WHERE event_id % 13 <> 0 AND {CORPUS_COMPLETE_SQL}

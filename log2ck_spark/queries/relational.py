@@ -538,7 +538,7 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running",
     oracle="""
     SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
     FROM events WHERE event_type = 'click'
@@ -557,7 +557,7 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "ts",
-            F.sum(F.col("value").cast(DECIMAL)).over(w).cast("double").alias("running_value"),
+            F.sum(F.col("value").try_cast(DECIMAL)).over(w).cast("double").alias("running_value"),
         )
     )
 

@@ -40,7 +40,7 @@ def _csum(cond: F.Column, value, alias: str) -> F.Column:
     like dsum) — the CASE WHEN ... THEN x ELSE 0 aggregation pattern."""
     v = F.lit(value) if isinstance(value, (int, float)) else value
     return (
-        F.sum(F.when(cond, v).otherwise(F.lit(0.0)).cast(DECIMAL))
+        F.sum(F.when(cond, v).otherwise(F.lit(0.0)).try_cast(DECIMAL))
         .cast("double")
         .alias(alias)
     )
@@ -48,7 +48,7 @@ def _csum(cond: F.Column, value, alias: str) -> F.Column:
 
 def _oracle_csum(cond: str, expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(CAST(CASE WHEN {cond} THEN {expr} ELSE 0 END"
+        f"CAST(SUM(TRY_CAST(CASE WHEN {cond} THEN {expr} ELSE 0 END"
         f" AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
     )
 
@@ -293,8 +293,8 @@ _Q11_NATIONS = "s_nationkey < 13"
     SELECT l_partkey AS p_key, {value}
     FROM ps
     GROUP BY l_partkey
-    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-           > (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+    HAVING CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           > (SELECT CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
                      * 0.001 FROM ps)
     """.format(nations=_Q11_NATIONS, value=oracle_dsum("l_extendedprice", "value")),
 )
@@ -548,11 +548,11 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
     ), lim AS (
       SELECT l_partkey AS pk,
-             (CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             (CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
               / COUNT(l_quantity)) * 0.5 AS qty_limit
       FROM target GROUP BY l_partkey
     )
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+    SELECT CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
            / 7.0 AS avg_yearly,
            COUNT(*) AS n_small
     FROM target JOIN lim ON l_partkey = pk
@@ -576,7 +576,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lim = target.groupBy(F.col("l_partkey").alias("pk")).agg(
         (
-            (F.sum(F.col("l_quantity").cast(DECIMAL)).cast("double") / F.count("l_quantity"))
+            (F.sum(F.col("l_quantity").try_cast(DECIMAL)).cast("double") / F.count("l_quantity"))
             * F.lit(0.5)
         ).alias("qty_limit")
     )
@@ -584,7 +584,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.join(F.broadcast(lim), F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
         .agg(
-            (F.sum(F.col("l_extendedprice").cast(DECIMAL)).cast("double") / F.lit(7.0)).alias(
+            (F.sum(F.col("l_extendedprice").try_cast(DECIMAL)).cast("double") / F.lit(7.0)).alias(
                 "avg_yearly"
             ),
             F.count("*").alias("n_small"),
@@ -733,7 +733,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_global_sales_opportunity",
     oracle="""
     WITH avg_bal AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+      SELECT CAST(SUM(TRY_CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
              / COUNT(c_acctbal) AS v
       FROM customer WHERE c_acctbal > 0.0
     )
@@ -758,7 +758,7 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(
             (
-                F.sum(F.col("c_acctbal").cast(DECIMAL)).cast("double")
+                F.sum(F.col("c_acctbal").try_cast(DECIMAL)).cast("double")
                 / F.count("c_acctbal")
             ).alias("v")
         )
@@ -817,14 +817,14 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
            {mean},
            CASE WHEN COUNT(*) > 1 THEN
              ROUND(sqrt(greatest(
-               (CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
-                - pow(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+               (CAST(SUM(TRY_CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
+                - pow(CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
                   / COUNT(*))
                / (COUNT(*) - 1), 0.0)), 6)
            END AS std
     FROM events GROUP BY event_type
     """.format(
-        mean="ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+        mean="ROUND(CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
         " / COUNT(*), 6) AS mean"
     ),
 )
@@ -835,8 +835,8 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitionings or engines; the decimal route is both, at the same
     single-shuffle cost."""
     ev = tbl(spark, sf_dir, "events")
-    s = F.sum(F.col("value").cast(DECIMAL)).cast("double")
-    s2 = F.sum((F.col("value") * F.col("value")).cast(DECIMAL)).cast("double")
+    s = F.sum(F.col("value").try_cast(DECIMAL)).cast("double")
+    s2 = F.sum((F.col("value") * F.col("value")).try_cast(DECIMAL)).cast("double")
     n = F.count("*")
     var = (s2 - F.pow(s, 2) / n) / (n - 1)
     return ev.groupBy("event_type").agg(
@@ -861,8 +861,8 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS cost
+             CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS cost
       FROM lineitem GROUP BY 1, 2
     ), target AS (
       SELECT l_partkey, l_suppkey, cost
@@ -892,8 +892,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             (
-                F.sum(F.col("l_extendedprice").cast(DECIMAL)).cast("double")
-                / F.sum(F.col("l_quantity").cast(DECIMAL)).cast("double")
+                F.sum(F.col("l_extendedprice").try_cast(DECIMAL)).cast("double")
+                / F.sum(F.col("l_quantity").try_cast(DECIMAL)).cast("double")
             ).alias("cost")
         )
     )
@@ -935,12 +935,12 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'
     ), sq AS (
       SELECT l_partkey, l_suppkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+             CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
       FROM lineitem JOIN blue ON p_partkey = l_partkey
       GROUP BY 1, 2
     ), tot AS (
       SELECT l_partkey AS pk,
-             CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE) AS total,
+             CAST(SUM(TRY_CAST(qty AS DECIMAL(18,6))) AS DOUBLE) AS total,
              COUNT(*) AS nsupp
       FROM sq GROUP BY 1
     ), dominant AS (
@@ -971,10 +971,10 @@ def tpch_q20_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl(spark, sf_dir, "lineitem")
         .join(F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast(DECIMAL)).cast("double").alias("qty"))
+        .agg(F.sum(F.col("l_quantity").try_cast(DECIMAL)).cast("double").alias("qty"))
     )
     tot = sq.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(F.col("qty").cast(DECIMAL)).cast("double").alias("total"),
+        F.sum(F.col("qty").try_cast(DECIMAL)).cast("double").alias("total"),
         F.count("*").alias("nsupp"),
     )
     dominant = (
@@ -1001,7 +1001,7 @@ def tpch_q20_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_time_range",
     oracle="""
     SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) OVER (
              PARTITION BY user_id
              ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
@@ -1031,7 +1031,7 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast(DECIMAL)).over(w).cast("double").alias(
+        F.sum(F.col("value").try_cast(DECIMAL)).over(w).cast("double").alias(
             "trailing_1h"
         ),
     )

@@ -69,12 +69,13 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partial = salted.groupBy("l_returnflag", "_salt").agg(
         F.count("*").alias("pn"),
-        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("pqty"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("pprice"),
-        # AVG's denominator must be the NON-NULL count (SQL AVG
-        # semantics, what the oracle's COUNT(expr) computes) — dividing
-        # by the row count pn would silently drift on nullable columns.
-        F.count("l_extendedprice").alias("pc"),
+        F.sum(F.col("l_quantity").try_cast("decimal(18,6)")).alias("pqty"),
+        F.sum(F.col("l_extendedprice").try_cast("decimal(18,6)")).alias("pprice"),
+        # AVG's denominator must be the count of values INCLUDED in the
+        # sum — i.e. the non-NULL try_cast count, matching the oracle's
+        # COUNT(TRY_CAST(expr)). Dividing by the row count pn would
+        # silently drift on nullable columns or excluded magnitudes.
+        F.count(F.col("l_extendedprice").try_cast("decimal(18,6)")).alias("pc"),
     )
     return partial.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n"),
@@ -124,8 +125,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
         (
-            F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
-            / F.count("l_discount")
+            F.sum(F.col("l_discount").try_cast("decimal(18,6)")).cast("double")
+            / F.count(F.col("l_discount").try_cast("decimal(18,6)"))
         ).alias("avg_discount"),
     )
 

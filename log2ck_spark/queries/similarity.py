@@ -529,7 +529,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ex AS (
       SELECT label, g.pos AS pos,
-             CAST(CAST(embedding[g.pos] AS DOUBLE) AS DECIMAL(18,9)) AS x
+             TRY_CAST(CAST(embedding[g.pos] AS DOUBLE) AS DECIMAL(18,9)) AS x
       FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) g
     )
     SELECT label, CAST(pos AS INTEGER) AS pos,
@@ -552,8 +552,7 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings").select(
         "label", F.posexplode(as_double("embedding")).alias("pos0", "x")
     )
+    d = F.col("x").try_cast("decimal(18,9)")
     return e.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos")).agg(
-        F.round(
-            F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count("x"), 6
-        ).alias("centroid")
+        F.round(F.sum(d).cast("double") / F.count(d), 6).alias("centroid")
     )

@@ -111,7 +111,7 @@ _BM25_TERMS = ("join", "hash")
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
     )
     SELECT doc_id,
-           CAST(SUM(CAST(part AS DECIMAL(18,6))) AS DOUBLE) AS score
+           CAST(SUM(TRY_CAST(part AS DECIMAL(18,6))) AS DOUBLE) AS score
     FROM parts GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT 20
     """,
@@ -150,7 +150,7 @@ def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         parts.groupBy("doc_id")
-        .agg(F.sum(F.col("part").cast(DECIMAL)).cast("double").alias("score"))
+        .agg(F.sum(F.col("part").try_cast(DECIMAL)).cast("double").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
@@ -218,7 +218,7 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(SUM(tf) AS INTEGER) AS n_tokens,
            ROUND(log2(CAST(SUM(tf) AS DOUBLE))
-                 - CAST(SUM(CAST(tf * log2(tf) AS DECIMAL(18,6))) AS DOUBLE)
+                 - CAST(SUM(TRY_CAST(tf * log2(tf) AS DECIMAL(18,6))) AS DOUBLE)
                    / SUM(tf),
                  6) AS entropy
     FROM tf GROUP BY doc_id
@@ -239,7 +239,7 @@ def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     n = F.sum("tf")
-    s = F.sum((F.col("tf") * F.log2("tf")).cast(DECIMAL)).cast("double")
+    s = F.sum((F.col("tf") * F.log2("tf")).try_cast(DECIMAL)).cast("double")
     return tf.groupBy("doc_id").agg(
         n.cast("int").alias("n_tokens"),
         F.round(F.log2(n.cast("double")) - s / n, 6).alias("entropy"),
@@ -376,7 +376,7 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           ROUND(-CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*),
+           ROUND(-CAST(SUM(TRY_CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*),
                  6) AS bits_per_token
     FROM scored GROUP BY doc_id
     """,
@@ -409,7 +409,7 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(
-            -F.sum(F.col("lp").cast("decimal(18,9)")).cast("double")
+            -F.sum(F.col("lp").try_cast("decimal(18,9)")).cast("double")
             / F.count("*"),
             6,
         ).alias("bits_per_token"),

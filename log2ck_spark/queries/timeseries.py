@@ -127,7 +127,7 @@ rate_counter.__doc__ = rate_counter.__doc__.format(w=_WRAP)
     SELECT user_id,
            COUNT(*) AS n_samples,
            CAST(SUM(w) AS BIGINT) AS duration_s,
-           ROUND(CAST(SUM(CAST(value * w AS DECIMAL(18,6))) AS DOUBLE)
+           ROUND(CAST(SUM(TRY_CAST(value * w AS DECIMAL(18,6))) AS DOUBLE)
                  / SUM(w), 6) AS twa
     FROM weighted
     WHERE w IS NOT NULL
@@ -158,7 +158,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = ev.withColumn(
         "w", F.lead("ts_s").over(w_lead) - F.col("ts_s")
     ).filter(F.col("w").isNotNull())
-    wsum = F.sum((F.col("value") * F.col("w")).cast(DECIMAL)).cast("double")
+    wsum = F.sum((F.col("value") * F.col("w")).try_cast(DECIMAL)).cast("double")
     return (
         weighted.groupBy("user_id")
         .agg(
@@ -396,7 +396,7 @@ def iat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT event_type, hour(ts) AS hod,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, CAST(hod AS INTEGER) AS hod, n,
@@ -424,7 +424,7 @@ def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.hour("ts").cast("int").alias("hod")
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast(DECIMAL)).cast("double").alias("sv"),
+        F.sum(F.col("value").try_cast(DECIMAL)).cast("double").alias("sv"),
     )
     wt = Window.partitionBy("event_type")
     mean = F.col("sv") / F.col("n")

@@ -161,11 +161,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) g
     )
     SELECT CAST(pos AS INTEGER) AS pos,
-           ROUND(CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x), 6)
+           ROUND(CAST(SUM(TRY_CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x), 6)
              AS mean,
            ROUND(sqrt(greatest(
-             CAST(SUM(CAST(x * x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x)
-             - pow(CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x), 2),
+             CAST(SUM(TRY_CAST(x * x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x)
+             - pow(CAST(SUM(TRY_CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x), 2),
              0.0)), 6) AS std
     FROM ex GROUP BY pos
     """,
@@ -180,8 +180,8 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = tbl(spark, sf_dir, "embeddings").select(
         F.posexplode(as_double("embedding")).alias("pos0", "x")
     )
-    s = F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
-    s2 = F.sum((F.col("x") * F.col("x")).cast("decimal(18,9)")).cast("double")
+    s = F.sum(F.col("x").try_cast("decimal(18,9)")).cast("double")
+    s2 = F.sum((F.col("x") * F.col("x")).try_cast("decimal(18,9)")).cast("double")
     n = F.count("x")
     mean = s / n
     return ex.groupBy((F.col("pos0") + 1).cast("int").alias("pos")).agg(

@@ -161,11 +161,21 @@ class TailStreamReader(SimpleDataSourceStreamReader):
         # previously emitted line. So an absent path's entry survives
         # with an incremented miss-streak (3rd offset element) and is
         # dropped only after _MISS_DROP_TRIGGERS consecutive absent
-        # triggers; any reappearance resets the streak below.
+        # triggers; the streak resets ONLY on a successful stat/read
+        # in the files loop below (r10 ADVICE fix: resetting here on a
+        # bare exists() let a path that repeatedly vanishes between
+        # exists() and stat() — the TOCTOU the read loop tolerates —
+        # restart its grace window every trigger and keep a dead
+        # checkpoint entry alive indefinitely).
         end: dict = {}
         for p, v in start.items():
             if os.path.exists(p):
-                end[p] = [_off(v), _ino(v)] if _ino(v) is not None else v
+                if _ino(v) is None:
+                    end[p] = v
+                elif _miss(v):
+                    end[p] = [_off(v), _ino(v), _miss(v)]  # keep streak
+                else:
+                    end[p] = [_off(v), _ino(v)]
             elif _ino(v) is not None and (
                 streak := _miss(v) + 1
             ) < _MISS_DROP_TRIGGERS:

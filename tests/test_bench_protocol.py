@@ -430,6 +430,23 @@ def test_final_line_json_sheds_bulk_before_dying():
     assert parsed["metric"] == "headline_queries_total"
 
 
+def test_final_line_json_minimal_fallback_when_scalars_bloat():
+    """r10 ADVICE fix: if a future long SCALAR (not one of the four
+    sheddable bulk keys) blows the budget, the fallback emits the
+    minimal fixed-key line instead of silently returning an
+    over-budget string — the dead-artifact failure mode the budget
+    guard exists to prevent."""
+    line = _worst_case_headline_line()
+    line["regressions_baseline"] = "x" * 5000  # unsheddable scalar
+    s = bench.final_line_json(line)
+    assert len(s) <= bench._FINAL_LINE_BUDGET, len(s)
+    parsed = json.loads(s)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["value"] == 99999.999
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+
+
 def test_r3_subset_is_exactly_the_r3_bench_set():
     """r3_subset_total is the cross-round apples-to-apples number; its
     definition is 'the 27 names BENCH_r03 timed'. If someone reorders

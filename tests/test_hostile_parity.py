@@ -253,3 +253,60 @@ def test_badjson_gate_detects_a_seeded_strictness_divergence(spark, badjson_dir)
             "SELECT json_extract_string(props, '$.k') AS k FROM events",
             badjson_dir,
         )
+
+
+# --------------------------------------------------------------------------
+# Documented OUT-OF-CONTRACT corners (PARITY.md) — pinned as explicit
+# expected-divergence assertions so a refactor can't silently
+# un-document them, and so we NOTICE if the engines ever converge
+# (at which point the contract can widen and these tests flip).
+# --------------------------------------------------------------------------
+
+
+def test_full_casing_corner_is_still_out_of_contract(spark):
+    """PARITY.md corner 1: Java's toUpperCase does FULL case mapping
+    ('ß' → 'SS', two chars, \\w+-parseable) while DuckDB's upper gives
+    the single capital 'ẞ' — so CORPUS_PARSEABLE_SQL would classify a
+    'ß' event_type dead where the engine parses it. The contract is
+    that no generator or hostile fixture emits a full-casing char; if
+    this assertion ever fails (the engines converged), widen the
+    contract instead and delete this pin."""
+    import duckdb as _duckdb
+
+    from pyspark.sql import functions as F
+
+    spark_up = (
+        spark.range(1).select(F.upper(F.lit("ß")).alias("u")).collect()[0]["u"]
+    )
+    duck_up = _duckdb.sql("SELECT upper('ß')").fetchone()[0]
+    assert spark_up == "SS"  # Java full casemap, matches monolog \w+
+    assert duck_up == "ẞ"  # single-codepoint capital, NOT \w-parseable
+    assert spark_up != duck_up  # the divergence the contract excludes
+
+
+def test_decimal_string_json_k_corner_is_still_out_of_contract(spark):
+    """PARITY.md corner 2: a decimal-STRING k ('{"k": "3.7"}') —
+    Spark's try_cast(string→int) yields NULL while DuckDB's TRY_CAST
+    rounds to 4. The contract is that the generators only emit JSON
+    integer k values; this pins the divergence so it stays documented
+    rather than silently wrong."""
+    import duckdb as _duckdb
+
+    from pyspark.sql import functions as F
+
+    spark_k = (
+        spark.range(1)
+        .select(
+            F.get_json_object(F.lit('{"k": "3.7"}'), "$.k")
+            .try_cast("int")
+            .alias("k")
+        )
+        .collect()[0]["k"]
+    )
+    duck_k = _duckdb.sql(
+        "SELECT TRY_CAST(json_extract_string('{\"k\": \"3.7\"}', '$.k')"
+        " AS INTEGER)"
+    ).fetchone()[0]
+    assert spark_k is None  # Spark: non-integral string → NULL
+    assert duck_k == 4  # DuckDB: parses and ROUNDS
+    assert spark_k != duck_k

@@ -264,6 +264,33 @@ def test_validate_rejects_python_only_regex_syntax():
         ]
     ).validate()
 
+    # ESCAPED-paren literals that merely CONTAIN the "(?P" substring
+    # are valid in both engines and must pass (r10 ADVICE fix: the
+    # raw substring test falsely rejected these), while an escaped
+    # BACKSLASH before the group ("\\\\(?P" = literal backslash, real
+    # Python-only group) must still be caught.
+    EngineConfig(
+        tails=[
+            TailSpec(
+                name="t",
+                path="p",
+                pattern=r"^x\(?P(\w+) (\S+)$",  # literal "(", optional — fine
+                groups=("a", "b"),
+            )
+        ]
+    ).validate()
+    with pytest.raises(ValueError, match="Python-only"):
+        EngineConfig(
+            tails=[
+                TailSpec(
+                    name="t",
+                    path="p",
+                    pattern="^x\\\\(?P<a>\\w+) (\\S+)$",
+                    groups=("a", "b"),
+                )
+            ]
+        ).validate()
+
 
 def test_stream_date_glob_rolls_at_midnight():
     """{date} in a STREAMING path must become a date-family glob:

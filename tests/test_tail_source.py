@@ -141,6 +141,44 @@ def test_transient_absence_keeps_offset_no_duplicates(tmp_path):
     assert len(off[str(f)]) == 2
 
 
+def test_flapping_path_cannot_outlive_grace_window(tmp_path, monkeypatch):
+    """r10 ADVICE fix: a path that passes the hygiene-pass exists()
+    but vanishes before the read loop's stat (the TOCTOU the except
+    already tolerates) must KEEP its miss streak, not have it reset to
+    the compact form — otherwise a repeatedly racing path restarts its
+    grace window every trigger and a dead checkpoint entry lives
+    forever. The streak resets only on a successful stat/read."""
+    import os
+
+    import log2ck_spark.sources.tailsource as ts
+
+    f = tmp_path / "app.log"
+    f.write_bytes(b"one\n")
+    r = TailStreamReader({"path": str(tmp_path / "*.log"), "skiphistory": "false"})
+    rows, off = r.read(r.initialOffset())
+    assert [v for _, v in rows] == ["one"]
+
+    os.remove(f)
+    rows, off = r.read(off)
+    assert off[str(f)][2] == 1  # first absent trigger: streak 1
+
+    # flap: exists() says alive, but the file is NOT there for the
+    # glob/stat — the entry must carry the PRIOR streak, not reset it
+    real_exists = ts.os.path.exists
+    monkeypatch.setattr(
+        ts.os.path, "exists", lambda p: p == str(f) or real_exists(p)
+    )
+    rows, off = r.read(off)
+    assert off[str(f)][2] == 1  # streak preserved, not reset
+    monkeypatch.undo()
+
+    # absence continues: streak resumes from 1, pruned on schedule
+    rows, off = r.read(off)
+    assert off[str(f)][2] == 2
+    rows, off = r.read(off)
+    assert str(f) not in off  # pruned at the 3rd consecutive absence
+
+
 def test_create_mode_rotation_with_larger_replacement(tmp_path):
     """logrotate create-mode where the REPLACEMENT grows past the old
     offset between triggers: same path, new inode, size ABOVE the
