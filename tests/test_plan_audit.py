@@ -329,3 +329,25 @@ def test_repeated_table_scans_only_where_justified(plans):
         f"unjustified repeated scans (one-pass rewrite or allowlist "
         f"review needed): {bad}"
     )
+
+
+def test_bucket_joiners_use_the_capped_expansion():
+    """r10 BUCKET_CAP guard: the unbounded-bucket candidate generators
+    must route through capped_pairs_expr (or an inline BUCKET_CAP
+    slice, simhash) — a refactor back to the raw i<j expansion
+    re-opens the duplicate-class d²/2 single-task bomb SCALE.md
+    documents. The uncapped pairs_expr stays legal ONLY where the
+    bucket is bounded upstream (winnow's max_df stop cut)."""
+    import inspect
+
+    from log2ck_spark.queries import dedup
+    from log2ck_spark.queries.textops3 import dedup_winnow_containment
+
+    src = inspect.getsource(dedup._candidate_pairs)
+    assert "capped_pairs_expr" in src, "candidate generator lost its cap"
+    simhash_src = inspect.getsource(dedup.dedup_simhash)
+    assert "BUCKET_CAP" in simhash_src, "simhash expansion lost its cap"
+    # winnow is allowed the plain expansion ONLY while the max_df
+    # size filter bounds its buckets — both must appear together
+    win_src = inspect.getsource(dedup_winnow_containment)
+    assert "max_df" in win_src and "pairs_expr" in win_src
