@@ -8,7 +8,7 @@ order-independent and engine-independent), then cast the final result
 back to double. The oracle mirrors the same cast chain:
 
     Spark : F.sum(col.try_cast("decimal(18,6)")).cast("double")
-    DuckDB: CAST(SUM(TRY_CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+    DuckDB: CAST(CAST(SUM(TRY_CAST(CAST(x AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
 
 decimal(18,6) holds |x| < 1e12 at 1e-6 resolution — ample for every
 testdata column (prices < 1e6). TRY_CAST (r10 migration, SCALE.md)
@@ -19,7 +19,13 @@ never a dead query, and in-range results are bit-identical to the old
 plain-cast chain (probed + pinned in tests/test_decimal_bounds.py;
 NULL/0 for an all-excluded group is NULL on both engines). Spark
 widens the sum to decimal(28,6), DuckDB to decimal(38,6); both are
-exact, and the final double cast of the same exact value is identical.
+exact. The oracle's final conversion routes through VARCHAR because
+DuckDB's direct decimal→double is NOT correctly rounded once the sum
+needs more significant digits than a double holds (~16): probed r10,
+CAST(1000000000341.190100::DECIMAL(38,6) AS DOUBLE) lands 1 ulp high
+while the VARCHAR→DOUBLE path (strtod) and Spark's
+BigDecimal.doubleValue are both correctly rounded — found live by the
+--bignum hostile gate (12 queries diverged on sums ≥ 1e12).
 Residual bound: the SUM itself can still overflow decimal(28,6)
 (|Σ| ≥ 1e22 — ~1e10 rows at max magnitude); that raises loudly under
 ANSI rather than corrupting. At 100 TB the decimal sum is still a
@@ -52,8 +58,8 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
     mean of the INCLUDED (in-range) values; an all-excluded group is
     NULL/0 = NULL on both engines.
 
-    Oracle twin: CAST(SUM(TRY_CAST(x AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(TRY_CAST(x AS DECIMAL(18,6)))
+    Oracle twin: CAST(CAST(SUM(TRY_CAST(CAST(x AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(TRY_CAST(CAST(x AS VARCHAR) AS DECIMAL(18,6)))
     """
     c = F.col(col) if isinstance(col, str) else col
     d = c.try_cast(DECIMAL)
@@ -62,13 +68,32 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
 
 
 def oracle_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(TRY_CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+    return f"CAST(CAST(SUM(TRY_CAST(CAST({expr} AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS {alias}"
 
 
 def oracle_davg(expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(TRY_CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
-        f" / COUNT(TRY_CAST({expr} AS DECIMAL(18,6))) AS {alias}"
+        f"CAST(CAST(SUM(TRY_CAST(CAST({expr} AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
+        f" / COUNT(TRY_CAST(CAST({expr} AS VARCHAR) AS DECIMAL(18,6))) AS {alias}"
+    )
+
+
+def oracle_round6(expr: str) -> str:
+    """DuckDB twin of Spark's ROUND(double, 6) that stays portable at
+    LARGE magnitudes. DuckDB's native ROUND(double, n) multiplies by
+    10^n in double space, so past ~9e9 (where x*1e6 leaves the 2^53
+    exact-integer range) it lands 1 ulp off Spark's BigDecimal-based
+    round — found live by the --bignum gate (stats_moments /
+    seasonal_hour_profile means over ~1e12-magnitude sums). The
+    portable route mirrors what Spark's Round actually does: take the
+    double's SHORTEST DECIMAL REPR (CAST to VARCHAR), round that digit
+    string at scale 6 with HALF_UP (decimal cast), and convert back
+    through the correctly-rounded string→double path. In-range small
+    values are bit-identical to native ROUND. TRY_CAST so a value past
+    decimal(38,6) yields NULL instead of killing the query."""
+    return (
+        f"CAST(CAST(TRY_CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,6))"
+        f" AS VARCHAR) AS DOUBLE)"
     )
 
 

@@ -198,11 +198,11 @@ _Z_THRESHOLD = 2.5
     oracle=f"""
     WITH stats AS (
       SELECT event_type, COUNT(*) AS n,
-             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(CAST(SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                / COUNT(*) AS mean,
              sqrt(greatest(
-               (CAST(SUM(TRY_CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
-                - pow(CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
+               (CAST(CAST(SUM(TRY_CAST(CAST(value * value AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                - pow(CAST(CAST(SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE), 2)
                   / COUNT(*))
                / (COUNT(*) - 1), 0.0)) AS std
       FROM events GROUP BY event_type
@@ -375,7 +375,7 @@ _PSI_BIN = 25.0  # value-bin width
            CAST(MAX(n_a) AS BIGINT) AS n_a,
            CAST(MAX(n_b) AS BIGINT) AS n_b,
            COUNT(*) AS n_bins_used,
-           ROUND(CAST(SUM(TRY_CAST(term AS DECIMAL(18,9))) AS DOUBLE), 6) AS psi
+           ROUND(CAST(CAST(SUM(TRY_CAST(CAST(term AS VARCHAR) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE), 6) AS psi
     FROM terms GROUP BY event_type
     """,
 )

@@ -550,6 +550,10 @@ def accesslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(value * 10) AS BIGINT) AS bytes
     FROM events
     WHERE event_id % 13 <> 0 AND {CORPUS_COMPLETE_SQL}
+      -- the grammar's bytes group is (\d+): a NEGATIVE rendered value
+      -- cannot match, so the engine dead-letters the line — mirror
+      -- that here or big negative metric values diverge (r10 --bignum)
+      AND floor(value * 10) >= 0
     """,
 )
 def parse_accesslog(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -538,9 +538,10 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running",
     oracle="""
     SELECT event_id, user_id, ts,
-           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) OVER (
+           CAST(CAST(SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS VARCHAR) AS DOUBLE) AS running_value
     FROM events WHERE event_type = 'click'
     """,
 )

@@ -416,7 +416,7 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH big AS (
       SELECT l_orderkey, {sum_qty}
       FROM lineitem GROUP BY l_orderkey
-      HAVING SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) > 300
+      HAVING SUM(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,6))) > 300
     )
     SELECT c.c_custkey, o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,

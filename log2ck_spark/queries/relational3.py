@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from log2ck_spark.functions.numeric import DECIMAL, dsum, oracle_dsum
+from log2ck_spark.functions.numeric import DECIMAL, dsum, oracle_dsum, oracle_round6
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -48,8 +48,8 @@ def _csum(cond: F.Column, value, alias: str) -> F.Column:
 
 def _oracle_csum(cond: str, expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(TRY_CAST(CASE WHEN {cond} THEN {expr} ELSE 0 END"
-        f" AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+        f"CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN {cond} THEN {expr} ELSE 0 END"
+        f" AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS {alias}"
     )
 
 
@@ -293,8 +293,8 @@ _Q11_NATIONS = "s_nationkey < 13"
     SELECT l_partkey AS p_key, {value}
     FROM ps
     GROUP BY l_partkey
-    HAVING CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-           > (SELECT CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+    HAVING CAST(CAST(SUM(TRY_CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+           > (SELECT CAST(CAST(SUM(TRY_CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                      * 0.001 FROM ps)
     """.format(nations=_Q11_NATIONS, value=oracle_dsum("l_extendedprice", "value")),
 )
@@ -548,11 +548,11 @@ def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
     ), lim AS (
       SELECT l_partkey AS pk,
-             (CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             (CAST(CAST(SUM(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
               / COUNT(l_quantity)) * 0.5 AS qty_limit
       FROM target GROUP BY l_partkey
     )
-    SELECT CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+    SELECT CAST(CAST(SUM(TRY_CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
            / 7.0 AS avg_yearly,
            COUNT(*) AS n_small
     FROM target JOIN lim ON l_partkey = pk
@@ -733,7 +733,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_global_sales_opportunity",
     oracle="""
     WITH avg_bal AS (
-      SELECT CAST(SUM(TRY_CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+      SELECT CAST(CAST(SUM(TRY_CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
              / COUNT(c_acctbal) AS v
       FROM customer WHERE c_acctbal > 0.0
     )
@@ -816,16 +816,23 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, COUNT(*) AS n,
            {mean},
            CASE WHEN COUNT(*) > 1 THEN
-             ROUND(sqrt(greatest(
-               (CAST(SUM(TRY_CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
-                - pow(CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2)
-                  / COUNT(*))
-               / (COUNT(*) - 1), 0.0)), 6)
+             {std}
            END AS std
     FROM events GROUP BY event_type
     """.format(
-        mean="ROUND(CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
-        " / COUNT(*), 6) AS mean"
+        std=oracle_round6(
+            "sqrt(greatest("
+            "(CAST(CAST(SUM(TRY_CAST(CAST(value * value AS VARCHAR)"
+            " AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
+            " - pow(CAST(CAST(SUM(TRY_CAST(CAST(value AS VARCHAR)"
+            " AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE), 2)"
+            " / COUNT(*)) / (COUNT(*) - 1), 0.0))"
+        ),
+        mean=oracle_round6(
+            "CAST(CAST(SUM(TRY_CAST(CAST(value AS VARCHAR)"
+            " AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)"
+        )
+        + " AS mean"
     ),
 )
 def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -861,8 +868,8 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
-             CAST(SUM(TRY_CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS cost
+             CAST(CAST(SUM(TRY_CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS cost
       FROM lineitem GROUP BY 1, 2
     ), target AS (
       SELECT l_partkey, l_suppkey, cost
@@ -935,12 +942,12 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'
     ), sq AS (
       SELECT l_partkey, l_suppkey,
-             CAST(SUM(TRY_CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+             CAST(CAST(SUM(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS qty
       FROM lineitem JOIN blue ON p_partkey = l_partkey
       GROUP BY 1, 2
     ), tot AS (
       SELECT l_partkey AS pk,
-             CAST(SUM(TRY_CAST(qty AS DECIMAL(18,6))) AS DOUBLE) AS total,
+             CAST(CAST(SUM(TRY_CAST(CAST(qty AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total,
              COUNT(*) AS nsupp
       FROM sq GROUP BY 1
     ), dominant AS (
@@ -1001,11 +1008,11 @@ def tpch_q20_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_time_range",
     oracle="""
     SELECT event_id, user_id,
-           CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) OVER (
+           CAST(CAST(SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))) OVER (
              PARTITION BY user_id
              ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS trailing_1h
+           ) AS VARCHAR) AS DOUBLE) AS trailing_1h
     FROM events
     """,
 )

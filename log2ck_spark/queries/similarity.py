@@ -529,11 +529,12 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ex AS (
       SELECT label, g.pos AS pos,
-             TRY_CAST(CAST(embedding[g.pos] AS DOUBLE) AS DECIMAL(18,9)) AS x
+             TRY_CAST(CAST(CAST(embedding[g.pos] AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) AS x
       FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) g
     )
     SELECT label, CAST(pos AS INTEGER) AS pos,
-           ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(x), 6) AS centroid
+           ROUND(CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) / COUNT(x), 6)
+             AS centroid
     FROM ex GROUP BY label, pos
     """,
 )

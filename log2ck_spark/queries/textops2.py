@@ -111,7 +111,7 @@ _BM25_TERMS = ("join", "hash")
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
     )
     SELECT doc_id,
-           CAST(SUM(TRY_CAST(part AS DECIMAL(18,6))) AS DOUBLE) AS score
+           CAST(CAST(SUM(TRY_CAST(CAST(part AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS score
     FROM parts GROUP BY doc_id
     ORDER BY score DESC, doc_id LIMIT 20
     """,
@@ -218,7 +218,7 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(SUM(tf) AS INTEGER) AS n_tokens,
            ROUND(log2(CAST(SUM(tf) AS DOUBLE))
-                 - CAST(SUM(TRY_CAST(tf * log2(tf) AS DECIMAL(18,6))) AS DOUBLE)
+                 - CAST(CAST(SUM(TRY_CAST(CAST(tf * log2(tf) AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                    / SUM(tf),
                  6) AS entropy
     FROM tf GROUP BY doc_id
@@ -376,7 +376,7 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           ROUND(-CAST(SUM(TRY_CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*),
+           ROUND(-CAST(CAST(SUM(TRY_CAST(CAST(lp AS VARCHAR) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / COUNT(*),
                  6) AS bits_per_token
     FROM scored GROUP BY doc_id
     """,

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from log2ck_spark.functions.numeric import DECIMAL
+from log2ck_spark.functions.numeric import DECIMAL, oracle_round6
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -127,7 +127,7 @@ rate_counter.__doc__ = rate_counter.__doc__.format(w=_WRAP)
     SELECT user_id,
            COUNT(*) AS n_samples,
            CAST(SUM(w) AS BIGINT) AS duration_s,
-           ROUND(CAST(SUM(TRY_CAST(value * w AS DECIMAL(18,6))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(TRY_CAST(CAST(value * w AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                  / SUM(w), 6) AS twa
     FROM weighted
     WHERE w IS NOT NULL
@@ -396,16 +396,26 @@ def iat_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT event_type, hour(ts) AS hod,
              COUNT(*) AS n,
-             CAST(SUM(TRY_CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+             SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))) AS sv_dec
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, CAST(hod AS INTEGER) AS hod, n,
-           ROUND(sv / n, 6) AS mean_value,
-           ROUND(sv / n - SUM(sv) OVER (PARTITION BY event_type)
-                          / SUM(n) OVER (PARTITION BY event_type), 6)
-             AS dev_from_daily_mean
+           {m} AS mean_value,
+           {d} AS dev_from_daily_mean
     FROM hourly
-    """,
+    """.format(
+        m=oracle_round6("CAST(CAST(sv_dec AS VARCHAR) AS DOUBLE) / n"),
+        # the daily total stays in DECIMAL through the window sum —
+        # summing the hourly DOUBLES is order-dependent and visibly so
+        # once the sums reach 1e12 (r10 --bignum); only the final
+        # already-exact totals convert to double (varchar route)
+        d=oracle_round6(
+            "CAST(CAST(sv_dec AS VARCHAR) AS DOUBLE) / n"
+            " - CAST(CAST(SUM(sv_dec) OVER (PARTITION BY event_type)"
+            "   AS VARCHAR) AS DOUBLE)"
+            " / SUM(n) OVER (PARTITION BY event_type)"
+        ),
+    ),
 )
 def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day seasonality baseline per metric: mean value in each
@@ -424,11 +434,15 @@ def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.hour("ts").cast("int").alias("hod")
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").try_cast(DECIMAL)).cast("double").alias("sv"),
+        # keep the hourly sum as DECIMAL: the daily total below re-sums
+        # it in a window, and decimal addition is the only way that
+        # second sum stays order-independent (double accumulation
+        # drifts visibly at 1e12 magnitudes — r10 --bignum gate)
+        F.sum(F.col("value").try_cast(DECIMAL)).alias("sv_dec"),
     )
     wt = Window.partitionBy("event_type")
-    mean = F.col("sv") / F.col("n")
-    daily = F.sum("sv").over(wt) / F.sum("n").over(wt)
+    mean = F.col("sv_dec").cast("double") / F.col("n")
+    daily = F.sum("sv_dec").over(wt).cast("double") / F.sum("n").over(wt)
     return hourly.select(
         "event_type",
         "hod",

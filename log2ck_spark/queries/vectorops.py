@@ -161,11 +161,11 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) g
     )
     SELECT CAST(pos AS INTEGER) AS pos,
-           ROUND(CAST(SUM(TRY_CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x), 6)
+           ROUND(CAST(CAST(SUM(TRY_CAST(CAST(x AS VARCHAR) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / COUNT(x), 6)
              AS mean,
            ROUND(sqrt(greatest(
-             CAST(SUM(TRY_CAST(x * x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x)
-             - pow(CAST(SUM(TRY_CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x), 2),
+             CAST(CAST(SUM(TRY_CAST(CAST(x * x AS VARCHAR) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / COUNT(x)
+             - pow(CAST(CAST(SUM(TRY_CAST(CAST(x AS VARCHAR) AS DECIMAL(18,9))) AS VARCHAR) AS DOUBLE) / COUNT(x), 2),
              0.0)), 6) AS std
     FROM ex GROUP BY pos
     """,

@@ -37,6 +37,12 @@ semantics can diverge on \\w classes, casing, and codepoint counts.
 array roots) — where DuckDB's json_extract_string raises on input
 Spark's get_json_object NULLs, and ANSI CAST crashes where the
 intent is NULL.
+
+`--bignum` is the same gate on the extreme-magnitude fixture (values
+at and past the decimal(18,6) |x| < 1e12 exact-aggregate domain bound
+in every summed double column) — the end-to-end proof of the r10
+decimal → TRY_CAST migration: out-of-range values must NULL-skip
+identically on both engines instead of raising under ANSI.
 """
 
 from __future__ import annotations
@@ -54,7 +60,9 @@ from tests.oracle_harness import compare, run_oracle  # noqa: E402
 
 def main() -> int:
     argv = sys.argv[1:]
-    if argv[:1] in (["--hostile"], ["--ties"], ["--unicode"], ["--badjson"]):
+    if argv[:1] in (
+        ["--hostile"], ["--ties"], ["--unicode"], ["--badjson"], ["--bignum"]
+    ):
         from tests import oracle_harness as oh
 
         build = {
@@ -62,6 +70,7 @@ def main() -> int:
             "--ties": oh.build_ties_fixture,
             "--unicode": oh.build_unicode_fixture,
             "--badjson": oh.build_badjson_fixture,
+            "--bignum": oh.build_bignum_fixture,
         }[argv[0]]
         try:
             sf_dir, rest = build(), argv[1:]

@@ -177,6 +177,49 @@ _BADJSON_REWRITES = {
     ),
 }
 
+# --------------------------------------------------------------------------
+# Extreme-magnitude fixture: the FIFTH hostile dimension (r10, the
+# decimal -> TRY_CAST migration's end-to-end gate). Values at and past
+# the decimal(18,6) |x| < 1e12 domain bound injected into EVERY double
+# column the exact-aggregate contract sums (events.value, lineitem
+# prices/quantities, orders.o_totalprice, customer.c_acctbal — byte
+# counters and epoch-nanos land in metric fields in real log data).
+# Pre-migration this fixture killed every exact-aggregate query with
+# NUMERIC_VALUE_OUT_OF_RANGE under ANSI; the contract now is that
+# out-of-range values NULL-skip IDENTICALLY on both engines, so all
+# 169 must stay green. 999999999999.5 sits just INSIDE decimal(18,6)
+# (max 999999999999.999999) to pin boundary inclusion; magnitudes stay
+# <= 1e15 so derived bigint casts (floor(value*10) in the accesslog
+# renderer) stay inside int64. Embeddings are deliberately NOT
+# rewritten: embedding floats are model-bounded by construction.
+# --------------------------------------------------------------------------
+
+_BIGNUM_REWRITES = {
+    "events": (
+        "SELECT event_id, ts, user_id, event_type,"
+        " CASE event_id % 19"
+        "   WHEN 3 THEN 1e15"
+        "   WHEN 7 THEN -2.5e14"
+        "   WHEN 12 THEN 999999999999.5"
+        "   ELSE value END AS value, props FROM {t}"
+    ),
+    "lineitem": (
+        "SELECT * REPLACE("
+        " CASE l_orderkey % 13 WHEN 2 THEN 8.5e14"
+        "   ELSE l_extendedprice END AS l_extendedprice,"
+        " CASE l_orderkey % 17 WHEN 5 THEN 3.2e13"
+        "   ELSE l_quantity END AS l_quantity) FROM {t}"
+    ),
+    "orders": (
+        "SELECT * REPLACE(CASE o_orderkey % 11 WHEN 4 THEN 7.7e14"
+        " ELSE o_totalprice END AS o_totalprice) FROM {t}"
+    ),
+    "customer": (
+        "SELECT * REPLACE(CASE c_custkey % 9 WHEN 2 THEN -6.1e13"
+        " ELSE c_acctbal END AS c_acctbal) FROM {t}"
+    ),
+}
+
 
 def _build_fixture(tag: str, rewrites: dict, src: str) -> str:
     """Materialize a rewritten fixture through the repo's own staging
@@ -227,6 +270,11 @@ def build_ties_fixture(src: str = "/root/testdata/sf0.001") -> str:
 def build_unicode_fixture(src: str = "/root/testdata/sf0.001") -> str:
     """The multibyte/multi-script text fixture (see _UNICODE_REWRITES)."""
     return _build_fixture("hostile_unicode", _UNICODE_REWRITES, src)
+
+
+def build_bignum_fixture(src: str = "/root/testdata/sf0.001") -> str:
+    """Extreme-magnitude fixture (see _BIGNUM_REWRITES)."""
+    return _build_fixture("hostile_bignum", _BIGNUM_REWRITES, src)
 
 
 def build_badjson_fixture(src: str = "/root/testdata/sf0.001") -> str:

@@ -310,3 +310,69 @@ def test_decimal_string_json_k_corner_is_still_out_of_contract(spark):
     assert spark_k is None  # Spark: non-integral string → NULL
     assert duck_k == 4  # DuckDB: parses and ROUNDS
     assert spark_k != duck_k
+
+
+# --------------------------------------------------------------------------
+# Extreme-magnitude (bignum) sentinels — the r10 decimal→TRY_CAST
+# migration's end-to-end gate. First full run found 12 live
+# divergences; the sentinels below are the red set: DuckDB's DIRECT
+# double→decimal conversion multiplies by 10^scale in double space
+# (999999999999.5 → 999999999999.500032 past ~9e9), its direct
+# decimal→double and ROUND(double, 6) land 1 ulp off Spark past ~16
+# significant digits, double accumulation in a window total drifts
+# visibly at 1e12 (seasonal_hour_profile), and the accesslog oracle
+# counted negative-bytes lines the (\d+) grammar dead-letters. The
+# full-registry replay is `python scripts/driver_replica.py --bignum`.
+# --------------------------------------------------------------------------
+
+BIGNUM_SENTINELS = (
+    "agg_group_count",
+    "agg_time_bucket",
+    "json_extract",
+    "parse_accesslog",
+    "scan_partition_prune",
+    "seasonal_hour_profile",
+    "stats_moments",
+    "stream_static_join",
+    "topk_order_limit",
+    "window_running",
+    "window_time_range",
+    "tpch_q1_pricing_summary",  # lineitem-side injection coverage
+)
+
+
+@pytest.fixture(scope="module")
+def bignum_dir():
+    from tests.oracle_harness import build_bignum_fixture
+
+    return build_bignum_fixture()
+
+
+@pytest.mark.parametrize("name", BIGNUM_SENTINELS)
+def test_query_matches_oracle_on_extreme_magnitudes(spark, bignum_dir, name):
+    problems = compare(
+        QUERIES[name](spark, bignum_dir),
+        run_oracle(ORACLES[name], bignum_dir),
+    )
+    assert problems == [], (name, problems)
+
+
+def test_bignum_gate_detects_a_seeded_conversion_divergence(spark, bignum_dir):
+    """Prove the gate is not vacuous: an 'oracle' using DuckDB's
+    DIRECT double→decimal conversion (the pre-r10 spelling) must
+    diverge on this fixture's 999999999999.5 boundary rows — if it
+    matches, the fixture stopped carrying boundary magnitudes and the
+    sentinels above pass for the wrong reason."""
+    import duckdb as _duckdb
+
+    direct = _duckdb.sql(
+        "SELECT CAST(TRY_CAST(value AS DECIMAL(18,6)) AS VARCHAR)"
+        f" FROM read_parquet('{bignum_dir}/events.parquet')"
+        " WHERE value = 999999999999.5 LIMIT 1"
+    ).fetchone()
+    assert direct is not None, "fixture lost its boundary-magnitude rows"
+    assert direct[0] != "999999999999.500000", (
+        "DuckDB's direct double→decimal became exact — the VARCHAR "
+        "route in the oracles can be simplified away; update "
+        "functions/numeric.py and retire this canary deliberately"
+    )
