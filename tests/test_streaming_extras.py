@@ -166,13 +166,15 @@ def test_stream_stream_interval_join_live(spark, tmp_path):
         def got():
             return {tuple(r) for r in spark.sql("SELECT * FROM ssj").collect()}
 
-        # 180s, not 90: the interval join runs two sources + state
-        # store through 500ms triggers, and with the whole suite's 32
-        # threads busy on a contended host one full-suite run timed
-        # out at 90 while passing in isolation in ~24s. The predicate
-        # returns the moment the sets match, so the budget only binds
-        # under exactly that worst case.
-        assert _wait(lambda: got() == expected, timeout=180), (
+        # 360s, raised twice (90 → 180 → 360): the interval join runs
+        # two sources + state store through 500ms triggers, and under
+        # full-suite load on a contended host (r10: the suite sharing
+        # the machine with a replica sweep) 180 was exceeded while the
+        # test passes isolated in ~15s, three runs in a row. The
+        # predicate returns the moment the sets match, so the budget
+        # only binds under exactly that worst case — a bigger number
+        # costs nothing on healthy runs.
+        assert _wait(lambda: got() == expected, timeout=360), (
             f"streaming join emitted {len(got())} pairs, want {len(expected)}"
         )
     finally:
