@@ -78,6 +78,30 @@ def oracle_davg(expr: str, alias: str) -> str:
     )
 
 
+def oracle_epoch_s(expr: str) -> str:
+    """DuckDB twin of Spark's unix_timestamp(): epoch seconds with
+    TRUNCATION TOWARD ZERO. Spark's unix_timestamp is integer long
+    division of the microsecond tick (JVM `/`, truncating), so a
+    pre-1970 fractional-second instant rounds UP toward zero:
+    1969-12-31 23:59:59.999999 → 0, not floor's -1. The engine
+    contract follows Spark's built-in (PARITY.md "epoch-second
+    truncation"); every oracle that buckets, gaps, or range-frames on
+    epoch seconds must mirror it with this helper. The previous
+    spelling, CAST(floor(date_part('epoch', ts)) AS BIGINT), FLOORS —
+    identical for epoch >= 0, one second low for every pre-1970
+    fractional instant (found live by the --timewarp gate: 4 red, 5
+    more latent). epoch_us is BIGINT end-to-end and DuckDB's `//` on
+    BIGINT truncates, so this is exact at any representable timestamp
+    — no DOUBLE epoch() anywhere (epoch()'s ulp passes 1 µs around
+    year 2242, and floor(epoch()) starts misbucketing .999999 instants
+    once the ulp passes 2 µs, ~year 2514). The window-start oracles'
+    floor(epoch(ts)/width) spelling is a DIFFERENT, deliberate
+    contract: Spark's window()/session_window() FLOOR the epoch (their
+    TimeWindow math is floorMod), so those oracles mirror floor — and
+    stay exact through the same ~2514 bound."""
+    return f"(epoch_us({expr}) // 1000000)"
+
+
 def oracle_round6(expr: str) -> str:
     """DuckDB twin of Spark's ROUND(double, 6) that stays portable at
     LARGE magnitudes. DuckDB's native ROUND(double, n) multiplies by

@@ -27,9 +27,10 @@ _GAP_S = 1800  # 30-minute inactivity ends a session
     oracle=f"""
     WITH e AS (
       SELECT user_id, event_id,
-             -- floor, not CAST: DuckDB CAST(double AS BIGINT) rounds
-             -- half-to-even while Spark's unix_timestamp truncates
-             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_s
+             -- numeric.oracle_epoch_s: BIGINT // truncates toward
+             -- zero exactly like Spark's unix_timestamp (floor is
+             -- one low for pre-1970 fractional instants — --timewarp)
+             (epoch_us(ts) // 1000000) AS ts_s
       FROM events
     ), flagged AS (
       SELECT user_id, event_id, ts_s,
@@ -433,8 +434,8 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs_encode",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, event_type, event_id,
-             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_s,
+      SELECT user_id, event_type, event_id, ts,
+             (epoch_us(ts) // 1000000) AS ts_s,
              CASE WHEN event_type IS DISTINCT FROM
                        lag(event_type) OVER w
                   THEN 1 ELSE 0 END AS chg
@@ -442,7 +443,7 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), runs AS (
       SELECT user_id, event_type, ts_s,
-             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS run_id
       FROM ordered
     )
@@ -469,10 +470,15 @@ def runs_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     telemetry table with slowly-changing states that is orders of
     magnitude smaller than the input."""
     ev = tbl(spark, sf_dir, "events").select(
-        "user_id", "event_type", "event_id",
+        "user_id", "event_type", "event_id", "ts",
         F.unix_timestamp("ts").alias("ts_s"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    # Order runs by TRUE event time (full microsecond ts, event_id
+    # tiebreak), not by the second-truncated ts_s the output reports:
+    # two state flips within one second must still encode as two runs
+    # in flip order. The ts_s-ordered variant also disagreed with the
+    # full-ts lag under truncation collisions (--timewarp gate).
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     chg = F.when(
         ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
     ).otherwise(0)

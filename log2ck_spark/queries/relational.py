@@ -654,9 +654,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zorder_layout",
     oracle="""
     WITH dims AS (
-      SELECT (user_id % 65536) AS a,
-             (CAST(floor(date_part('epoch', ts)) AS BIGINT) // 3600) % 65536
-               AS b
+      SELECT ((user_id % 65536) + 65536) % 65536 AS a,
+             ((CAST(floor((epoch_us(ts) // 1000000) / 3600.0) AS BIGINT)
+               % 65536) + 65536) % 65536 AS b
       FROM events
     ), keyed AS (
       SELECT a, b,
@@ -690,9 +690,16 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     same expression (B2 machinery); at 100 TB the sort key costs a
     map-side expression, never a shuffle of its own."""
     ev = tbl(spark, sf_dir, "events").select(
-        (F.col("user_id") % 65536).alias("a"),
-        (
-            (F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")) % 65536
+        # pmod, not %: a z-cell coordinate must land in [0, 65536) or
+        # the bit interleave below is meaningless — signed % keeps the
+        # dividend's sign, so a pre-1970 hour index (negative epoch)
+        # produced NEGATIVE cells whose "z-key" scattered instead of
+        # clustering (found by the --timewarp gate). pmod wraps
+        # negatives into the grid on both engines.
+        F.pmod(F.col("user_id"), F.lit(65536)).alias("a"),
+        F.pmod(
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint"),
+            F.lit(65536),
         ).alias("b"),
     )
     zkey = None

@@ -1010,7 +1010,7 @@ def tpch_q20_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            CAST(CAST(SUM(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6))) OVER (
              PARTITION BY user_id
-             ORDER BY CAST(floor(date_part('epoch', ts)) AS BIGINT)
+             ORDER BY (epoch_us(ts) // 1000000)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
            ) AS VARCHAR) AS DOUBLE) AS trailing_1h
     FROM events

@@ -211,8 +211,8 @@ def join_clicks_to_errors(
     "stream_stream_join",
     oracle=f"""
     SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
-           CAST(floor(date_part('epoch', e.ts))
-                - floor(date_part('epoch', c.ts)) AS BIGINT) AS lag_s
+           (epoch_us(e.ts) // 1000000)
+             - (epoch_us(c.ts) // 1000000) AS lag_s
     FROM events c JOIN events e
       ON c.user_id = e.user_id
      AND c.event_type = 'click' AND e.event_type = 'error'

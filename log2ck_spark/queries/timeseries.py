@@ -30,7 +30,7 @@ _WRAP = 100_000  # counter wraps at 1e5 cents → several resets per user
     oracle=f"""
     WITH samples AS (
       SELECT user_id, event_id,
-             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_s,
+             (epoch_us(ts) // 1000000) AS ts_s,
              CAST(floor(value * 100) AS BIGINT) AS v_int
       FROM events
     ), counter AS (
@@ -115,7 +115,7 @@ rate_counter.__doc__ = rate_counter.__doc__.format(w=_WRAP)
     oracle="""
     WITH samples AS (
       SELECT user_id, value,
-             CAST(floor(date_part('epoch', ts)) AS BIGINT) AS ts_s,
+             (epoch_us(ts) // 1000000) AS ts_s,
              event_id
       FROM events
     ), weighted AS (
@@ -297,7 +297,7 @@ def correlate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
            latest.value AS last_value
     FROM (
       SELECT user_id,
-             MAX({'ts_s': CAST(floor(date_part('epoch', ts)) AS BIGINT),
+             MAX({'ts_s': (epoch_us(ts) // 1000000),
                   'event_id': event_id,
                   'event_type': event_type,
                   'value': value}) AS latest
@@ -344,8 +344,8 @@ def agg_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gaps AS (
       SELECT event_type,
-             CAST(floor(date_part('epoch', ts)) AS BIGINT)
-               - lag(CAST(floor(date_part('epoch', ts)) AS BIGINT))
+             (epoch_us(ts) // 1000000)
+               - lag((epoch_us(ts) // 1000000))
                  OVER (PARTITION BY event_type ORDER BY ts, event_id)
                AS gap_s
       FROM events

@@ -43,6 +43,14 @@ at and past the decimal(18,6) |x| < 1e12 exact-aggregate domain bound
 in every summed double column) — the end-to-end proof of the r10
 decimal → TRY_CAST migration: out-of-range values must NULL-skip
 identically on both engines instead of raising under ANSI.
+
+`--timewarp` is the same gate on the hostile-timestamp fixture
+(pre-1970 fractional epochs where floor != truncate, epoch 0,
+far-future microsecond edges where DuckDB's DOUBLE epoch() loses the
+fractional second, leap-day and exact-bucket-boundary instants,
+century-scale gaps; pre-1970/far-future dates in orders/lineitem) —
+where second-granularity bucketing, window membership, and
+epoch-conversion precision can diverge between engines.
 """
 
 from __future__ import annotations
@@ -61,7 +69,8 @@ from tests.oracle_harness import compare, run_oracle  # noqa: E402
 def main() -> int:
     argv = sys.argv[1:]
     if argv[:1] in (
-        ["--hostile"], ["--ties"], ["--unicode"], ["--badjson"], ["--bignum"]
+        ["--hostile"], ["--ties"], ["--unicode"], ["--badjson"],
+        ["--bignum"], ["--timewarp"],
     ):
         from tests import oracle_harness as oh
 
@@ -71,6 +80,7 @@ def main() -> int:
             "--unicode": oh.build_unicode_fixture,
             "--badjson": oh.build_badjson_fixture,
             "--bignum": oh.build_bignum_fixture,
+            "--timewarp": oh.build_timewarp_fixture,
         }[argv[0]]
         try:
             sf_dir, rest = build(), argv[1:]

@@ -221,6 +221,69 @@ _BIGNUM_REWRITES = {
 }
 
 
+# --------------------------------------------------------------------------
+# Timewarp fixture: the SIXTH hostile dimension — hostile timestamps
+# and dates. The generator's events.ts lives in one tidy modern range,
+# so every time-family query (bucketing, sessionization, windows,
+# resampling, cohorts, the dated sink) agrees with its oracle without
+# ever exercising the epoch sign boundary or conversion precision.
+# Real log data has clock-skewed agents, 1970-01-01 defaults from
+# zeroed fields, and far-future garbage. The hostile values, each a
+# distinct divergence class:
+#   * 1969-12-31 23:59:59.999999 — epoch = -1 µs: floor(-1e-6) = -1
+#     but truncation-toward-zero = 0, so any second-granularity bucket
+#     built with CAST/::BIGINT instead of floor() puts the row in the
+#     wrong bucket (and only for pre-1970 rows).
+#   * 1969-07-20 20:17:40.5 / 23:59:59 integral — negative fractional
+#     and negative integral epochs.
+#   * 1970-01-01 00:00:00 — epoch 0 exactly (sign-boundary bucket).
+#   * 2249-12-31 23:59:59.999999 — epoch ≈ 8.8e9 s, where DOUBLE's ulp
+#     is ~2e-6 s: DuckDB's epoch(ts) DOUBLE rounds .999999 UP to the
+#     next integral second, so floor(epoch(ts)/w) lands one bucket
+#     late vs Spark's exact integer-microsecond floorDiv — oracles
+#     must derive buckets from epoch_us(ts) (BIGINT), never epoch(ts).
+#     Chosen inside pandas' datetime64[ns] range (max 2262-04-11).
+#   * 2024-02-29 23:59:59 — leap day at the day-truncation boundary.
+#   * date_trunc('hour', ts) — instants EXACTLY on bucket boundaries
+#     (half-open window membership must agree).
+#   * ts - 100 years — scattered deep past preserving sub-day
+#     structure (century-scale gaps through every diff/rate path).
+# Dates get the same treatment where TPC-H queries do date arithmetic
+# (orders.o_orderdate, lineitem.l_shipdate): pre-1970 and far-future
+# values flow through year-extraction, interval comparison, and
+# cohort-week paths on both engines.
+# --------------------------------------------------------------------------
+
+_TIMEWARP_REWRITES = {
+    "events": (
+        "SELECT event_id,"
+        " CASE event_id % 29"
+        "   WHEN 2 THEN TIMESTAMP '1969-12-31 23:59:59.999999'"
+        "   WHEN 5 THEN TIMESTAMP '1969-07-20 20:17:40.5'"
+        "   WHEN 7 THEN TIMESTAMP '1970-01-01 00:00:00'"
+        "   WHEN 11 THEN TIMESTAMP '2249-12-31 23:59:59.999999'"
+        "   WHEN 13 THEN TIMESTAMP '2024-02-29 23:59:59'"
+        "   WHEN 17 THEN date_trunc('hour', ts)"
+        "   WHEN 19 THEN ts - INTERVAL 100 YEAR"
+        "   WHEN 23 THEN TIMESTAMP '1969-12-31 23:59:59'"
+        "   ELSE ts END AS ts,"
+        " user_id, event_type, value, props FROM {t}"
+    ),
+    "orders": (
+        "SELECT * REPLACE("
+        " CASE o_orderkey % 7 WHEN 2 THEN DATE '1969-12-29'"
+        "   WHEN 4 THEN DATE '2199-06-15'"
+        "   ELSE o_orderdate END AS o_orderdate) FROM {t}"
+    ),
+    "lineitem": (
+        "SELECT * REPLACE("
+        " CASE l_orderkey % 11 WHEN 3 THEN DATE '1969-12-31'"
+        "   WHEN 7 THEN DATE '2149-01-01'"
+        "   ELSE l_shipdate END AS l_shipdate) FROM {t}"
+    ),
+}
+
+
 def _build_fixture(tag: str, rewrites: dict, src: str) -> str:
     """Materialize a rewritten fixture through the repo's own staging
     machinery (scratch_dir keys on the SOURCE content fingerprint +
@@ -280,6 +343,11 @@ def build_bignum_fixture(src: str = "/root/testdata/sf0.001") -> str:
 def build_badjson_fixture(src: str = "/root/testdata/sf0.001") -> str:
     """The malformed-props fixture (see _BADJSON_REWRITES)."""
     return _build_fixture("hostile_badjson", _BADJSON_REWRITES, src)
+
+
+def build_timewarp_fixture(src: str = "/root/testdata/sf0.001") -> str:
+    """The hostile-timestamp fixture (see _TIMEWARP_REWRITES)."""
+    return _build_fixture("hostile_timewarp", _TIMEWARP_REWRITES, src)
 
 
 def canonical(df_pandas):

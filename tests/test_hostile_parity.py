@@ -376,3 +376,70 @@ def test_bignum_gate_detects_a_seeded_conversion_divergence(spark, bignum_dir):
         "route in the oracles can be simplified away; update "
         "functions/numeric.py and retire this canary deliberately"
     )
+
+
+# --------------------------------------------------------------------------
+# Hostile-timestamp (timewarp) sentinels — the r10 epoch-second
+# truncation contract's gate. First full run found 8 live divergences
+# sharing one root cause: Spark's unix_timestamp TRUNCATES the
+# microsecond tick toward zero (1969-12-31 23:59:59.999999 → 0) while
+# the oracles' floor(date_part('epoch', ts)) FLOORS (→ -1) —
+# identical for every epoch >= 0, one second apart for every pre-1970
+# fractional instant. The contract (PARITY.md "epoch-second
+# truncation") follows the engine built-in; oracles mirror it with
+# numeric.oracle_epoch_s = (epoch_us(ts) // 1000000), BIGINT
+# end-to-end (DuckDB's // truncates). Two secondary defects fixed in
+# the same sweep: zorder_layout's signed % put pre-1970 hour indexes
+# in NEGATIVE z-cells (now pmod, both engines), and runs_encode
+# computed its change flags and its running run-ids under DIFFERENT
+# orderings (full-precision ts vs truncated ts_s — now true event
+# order on both sides). agg_latest_by_key carried the floor spelling
+# latently (its max-struct never straddled 1970 on this fixture).
+# The full-registry replay is `python scripts/driver_replica.py
+# --timewarp`.
+# --------------------------------------------------------------------------
+
+TIMEWARP_SENTINELS = (
+    "agg_latest_by_key",
+    "iat_stats",
+    "rate_counter",
+    "runs_encode",
+    "sessionize_gap",
+    "stream_stream_join",
+    "time_weighted_avg",
+    "window_time_range",
+    "zorder_layout",
+)
+
+
+@pytest.fixture(scope="module")
+def timewarp_dir():
+    from tests.oracle_harness import build_timewarp_fixture
+
+    return build_timewarp_fixture()
+
+
+@pytest.mark.parametrize("name", TIMEWARP_SENTINELS)
+def test_query_matches_oracle_on_hostile_timestamps(spark, timewarp_dir, name):
+    problems = compare(
+        QUERIES[name](spark, timewarp_dir),
+        run_oracle(ORACLES[name], timewarp_dir),
+    )
+    assert problems == [], (name, problems)
+
+
+def test_timewarp_gate_detects_a_seeded_floor_divergence(timewarp_dir):
+    """Prove the gate is not vacuous: the pre-r10 floor spelling must
+    disagree with the truncation contract on this fixture's pre-1970
+    fractional instants — if it matches everywhere, the fixture has
+    stopped carrying them and the sentinels above pass for the wrong
+    reason."""
+    import duckdb as _duckdb
+
+    n = _duckdb.sql(
+        "SELECT count(*) FROM"
+        f" read_parquet('{timewarp_dir}/events.parquet')"
+        " WHERE CAST(floor(date_part('epoch', ts)) AS BIGINT)"
+        "       <> (epoch_us(ts) // 1000000)"
+    ).fetchone()[0]
+    assert n > 0, "fixture lost its pre-1970 fractional-second rows"

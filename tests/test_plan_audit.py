@@ -351,3 +351,45 @@ def test_bucket_joiners_use_the_capped_expansion():
     # size filter bounds its buckets — both must appear together
     win_src = inspect.getsource(dedup_winnow_containment)
     assert "max_df" in win_src and "pairs_expr" in win_src
+
+
+def test_oracles_use_the_truncating_epoch_second():
+    """r10 epoch-second contract guard: Spark's unix_timestamp
+    TRUNCATES the microsecond tick toward zero, so an oracle spelling
+    epoch seconds as floor(date_part('epoch', ts)) is one second low
+    for every pre-1970 fractional instant (8 live divergences on the
+    --timewarp gate). Every oracle must route through
+    numeric.oracle_epoch_s — (epoch_us(x) // 1000000), BIGINT
+    end-to-end. date_part('epoch', ...) stays legal only on inputs
+    that are integral seconds BY CONSTRUCTION (retention_cohort's
+    date_trunc('week') epochs), where floor == truncate == exact."""
+    import __spark_entry__ as contract
+
+    from log2ck_spark.functions.numeric import oracle_epoch_s
+
+    # the helper itself is the single source of truth the oracles
+    # inline; if its spelling changes, the scan below must follow
+    assert oracle_epoch_s("ts") == "(epoch_us(ts) // 1000000)"
+
+    offenders = {
+        name: sql
+        for name, sql in contract.oracle_sql().items()
+        if "floor(date_part('epoch'" in sql
+    }
+    assert offenders == {}, (
+        f"oracles using the FLOORING epoch-second spelling (one second "
+        f"low pre-1970; use numeric.oracle_epoch_s): {sorted(offenders)}"
+    )
+    # the only sanctioned date_part('epoch', ...) sites are integral-
+    # second inputs; anything new needs an explicit review + listing
+    allowed = {"retention_cohort"}
+    other = {
+        name
+        for name, sql in contract.oracle_sql().items()
+        if "date_part('epoch'" in sql and name not in allowed
+    }
+    assert other == set(), (
+        f"unreviewed date_part('epoch') oracle sites (integral-second "
+        f"inputs only; add to the allowlist with justification): "
+        f"{sorted(other)}"
+    )
