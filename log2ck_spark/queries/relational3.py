@@ -785,7 +785,11 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
            CAST(ntile(4) OVER w AS INTEGER) AS quartile,
            ROUND(percent_rank() OVER w, 6) AS pr
     FROM events
-    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    -- NULLS FIRST: the engine contract is Spark's ASC default (NULL
+    -- scores sort lowest); DuckDB's default is NULLS LAST regardless
+    -- of direction, so it must be spelled out (--sparse gate)
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY value NULLS FIRST, event_id)
     """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:

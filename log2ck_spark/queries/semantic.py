@@ -109,11 +109,20 @@ def _scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     small corpus makes single-digit cells, the recall killer at
     tau=0.4 (66°), and production SemDeDup scales k with n for the
     same per-cell occupancy reason."""
-    e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
+    e = tbl(spark, sf_dir, "embeddings", fanout=True).where(
+        # NULL vectors can't quantize or cluster — the corpus is the
+        # non-NULL rows, and k derives from THEIR count so the oracle
+        # (whose e CTE carries the same filter) sizes identically
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", as_double("embedding").alias("v")
     )
     z = e.select("vec_id", _quantize_expr("v").alias("z"))
-    n = tbl(spark, sf_dir, "embeddings").count()
+    n = (
+        tbl(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .count()
+    )
     k = min(_K_MAX, max(1, n // _CELL_TARGET))
     sample_rows = (
         z.select("z", F.md5(F.col("vec_id").cast("string")).alias("hh"), "vec_id")
@@ -205,7 +214,7 @@ def _kmeans_oracle() -> str:
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(FLOOR(x * {float(_Q)!r}) AS BIGINT)
                                  + {_OFFSET}) AS z
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     params AS (
       SELECT LEAST({_K_MAX}, GREATEST(1, COUNT(*) // {_CELL_TARGET})) AS k
@@ -288,7 +297,8 @@ def _semdedup_oracle() -> str:
     from log2ck_spark.queries.similarity import SEED_ORDER_SQL
 
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE embedding IS NOT NULL),
     params AS (
       SELECT LEAST({_K_MAX}, GREATEST(1, COUNT(*) // {_CELL_TARGET})) AS k
       FROM e
@@ -356,14 +366,22 @@ def _seed_scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         squared_distance_expr,
     )
 
-    e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
+    e = tbl(spark, sf_dir, "embeddings", fanout=True).where(
+        # NULL vectors can't seed or join cells — corpus = non-NULL
+        # rows; k derives from their count, mirrored by the oracle
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", as_double("embedding").alias("v")
     )
-    # count the RAW scan, not `e`: counting after the cast+fanout would
-    # cast every embedding and shuffle the corpus just to count rows;
-    # on the bare scan Catalyst prunes every column and the job reads
-    # parquet row-group metadata only.
-    n = tbl(spark, sf_dir, "embeddings").count()
+    # count the RAW scan (with only the null filter), not `e`:
+    # counting after the cast+fanout would cast every embedding and
+    # shuffle the corpus just to count rows; the bare filtered scan
+    # reads the embedding column's definition levels and nothing else.
+    n = (
+        tbl(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .count()
+    )
     k = min(_K_MAX, max(1, n // _CELL_TARGET))
     seed_rows = seed_centroid_rows(e, k)
     cent = seed_centroid_table(spark, seed_rows, "cluster_id")

@@ -32,7 +32,7 @@ TOP_K = 5
 @register(
     "similarity_topk",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos
@@ -53,7 +53,11 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan; cosine is a codegen'd higher-order expression (no
     UDF); rank via window with (cos, neighbor_id) tie-break so the
     k-set is deterministic cross-engine."""
-    e = tbl(spark, sf_dir, "embeddings").select(
+    e = tbl(spark, sf_dir, "embeddings").where(
+        # NULL vectors (failed embedding jobs) are skipped, not
+        # crashed on — the corpus is the non-NULL rows (--sparse)
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", as_double("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -127,7 +131,7 @@ def _lsh_oracle() -> str:
         for t in range(_LSH_TABLES)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
     sigs AS (
       {sig_selects}
     ),
@@ -167,7 +171,9 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions.vectors.plane_signatures). The oracle replays the SAME
     planes as inlined SQL literals (see _lsh_oracle), making this ANN
     path value-checked, not rows-only."""
-    e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
+    e = tbl(spark, sf_dir, "embeddings", fanout=True).where(
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", as_double("embedding").alias("v")
     )
     dim = _corpus_dim(e)
@@ -236,7 +242,7 @@ def _dedup_lsh_oracle() -> str:
         for t in range(_DEDUP_LSH_TABLES)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
     sigs AS (
       {sig_selects}
     ),
@@ -303,7 +309,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     threshold = _DEDUP_LSH_TAU
-    e = tbl(spark, sf_dir, "embeddings", fanout=True).select(
+    e = tbl(spark, sf_dir, "embeddings", fanout=True).where(
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", as_double("embedding").alias("v")
     )
     dim = _corpus_dim(e)
@@ -407,7 +415,7 @@ def _ivf_oracle() -> str:
     engine-order flip needs two distances within ~1e-12, and exact ties
     (duplicate vectors) break on list_id in both engines."""
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
     seeds AS (
       SELECT v AS c, CAST(ROW_NUMBER() OVER (
                ORDER BY {SEED_ORDER_SQL}
@@ -474,7 +482,11 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and probing are single-scan column expressions; each query touches
     nprobe/k of the corpus instead of all of it. Recall vs brute force
     is asserted in tests."""
-    e = tbl(spark, sf_dir, "embeddings").select(
+    e = tbl(spark, sf_dir, "embeddings").where(
+        # NULL vectors (failed embedding jobs) are skipped, not
+        # crashed on — the corpus is the non-NULL rows (--sparse)
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", as_double("embedding").alias("v")
     )
     k, nprobe = _IVF_K, _IVF_NPROBE

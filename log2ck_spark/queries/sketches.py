@@ -354,7 +354,12 @@ _QH_QS = (0.5, 0.95, 0.99)
       SELECT event_type,
              CAST(floor(value / {_QH_WIDTH}) AS BIGINT) AS bin,
              COUNT(*) AS c
-      FROM events GROUP BY 1, 2
+      FROM events
+      -- a quantile estimator ignores NULL observations (SQL
+      -- percentile semantics); without this both engines grew a NULL
+      -- bin whose window placement ALSO diverged (--sparse gate)
+      WHERE value IS NOT NULL
+      GROUP BY 1, 2
     ), cum AS (
       SELECT event_type, bin, c,
              SUM(c) OVER (PARTITION BY event_type ORDER BY bin
@@ -391,7 +396,7 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exact-rank-reproducible. Exact-percentile parity is covered
     separately by `percentile_agg`; this query's point is the
     fixed-memory estimate at 100 TB."""
-    ev = tbl(spark, sf_dir, "events")
+    ev = tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
     from pyspark.sql import Window
 
     hist = (

@@ -204,7 +204,8 @@ _KNN_K = 5
     "knn_classify",
     oracle=f"""
     WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
     ), scored AS (
       SELECT q.vec_id AS query_id, c.label,
              ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos,
@@ -241,7 +242,11 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     a query). Without that filter a NULL-label group can win the vote,
     and the tie-break then diverges cross-engine: Spark's ascending
     sort puts NULL first, DuckDB's puts it last."""
-    e = tbl(spark, sf_dir, "embeddings").select(
+    e = tbl(spark, sf_dir, "embeddings").where(
+        # NULL vectors (failed embedding jobs) can neither query nor
+        # vote — the corpus is the non-NULL rows (--sparse gate)
+        F.col("embedding").isNotNull()
+    ).select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
     q = e.filter(F.col("vec_id") < _KNN_QUERIES).select(

@@ -51,6 +51,13 @@ fractional second, leap-day and exact-bucket-boundary instants,
 century-scale gaps; pre-1970/far-future dates in orders/lineitem) —
 where second-granularity bucketing, window membership, and
 epoch-conversion precision can diverge between engines.
+
+`--sparse` is the same gate on the NULL-measure/payload fixture
+(NULL events.value/props, NULL document text (+n_chars), NULL
+embedding vectors, NULL TPC-H money columns) — the complement of
+--hostile's NULL keys: COUNT(*) vs COUNT(col), AVG denominators,
+NULL propagation through arithmetic, all-NULL groups, and Arrow/UDF
+paths that assume a non-null string or array.
 """
 
 from __future__ import annotations
@@ -70,7 +77,7 @@ def main() -> int:
     argv = sys.argv[1:]
     if argv[:1] in (
         ["--hostile"], ["--ties"], ["--unicode"], ["--badjson"],
-        ["--bignum"], ["--timewarp"],
+        ["--bignum"], ["--timewarp"], ["--sparse"],
     ):
         from tests import oracle_harness as oh
 
@@ -81,6 +88,7 @@ def main() -> int:
             "--badjson": oh.build_badjson_fixture,
             "--bignum": oh.build_bignum_fixture,
             "--timewarp": oh.build_timewarp_fixture,
+            "--sparse": oh.build_sparse_fixture,
         }[argv[0]]
         try:
             sf_dir, rest = build(), argv[1:]

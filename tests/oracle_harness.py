@@ -284,6 +284,63 @@ _TIMEWARP_REWRITES = {
 }
 
 
+# --------------------------------------------------------------------------
+# Sparse fixture: the SEVENTH hostile dimension — NULLs in every
+# non-key VALUE column. The --hostile gate covers NULL GROUP KEYS;
+# this is its complement: NULL measures and payloads, which real
+# pipelines produce constantly (failed extractions → NULL text,
+# crashed embedding jobs → NULL vectors, absent metric fields → NULL
+# value, missing money columns in CDC feeds). The divergence classes
+# hiding here: COUNT(*) vs COUNT(col) confusions, AVG denominators
+# (rows vs non-NULL rows), NULL propagation through arithmetic
+# (price * (1 - discount)), aggregates over all-NULL groups (SUM →
+# NULL, not 0), Python/Arrow UDF paths receiving None where they
+# assume a string/array, and sort placement of NULL measure values.
+# documents.text and n_chars go NULL TOGETHER so the corpus invariant
+# n_chars == length(text) keeps holding (both engines see the same
+# NULL row; a textop must skip it, not crash). Embedding NULLs hit
+# every vector kernel (normalize/cosine/kmeans/LSH/IVF) at the Arrow
+# boundary where np.stack over a None is a TypeError, not a wrong
+# number.
+# --------------------------------------------------------------------------
+
+_SPARSE_REWRITES = {
+    "events": (
+        "SELECT event_id, ts, user_id, event_type,"
+        " CASE WHEN event_id % 6 = 1 THEN NULL ELSE value END AS value,"
+        " CASE WHEN event_id % 15 = 2 THEN NULL ELSE props END AS props"
+        " FROM {t}"
+    ),
+    "documents": (
+        "SELECT doc_id,"
+        " CASE WHEN doc_id % 9 = 3 THEN NULL ELSE text END AS text,"
+        " lang, source,"
+        " CASE WHEN doc_id % 9 = 3 THEN NULL ELSE n_chars END AS n_chars"
+        " FROM {t}"
+    ),
+    "embeddings": (
+        "SELECT vec_id,"
+        " CASE WHEN vec_id % 8 = 5 THEN NULL ELSE embedding END"
+        " AS embedding, label FROM {t}"
+    ),
+    "lineitem": (
+        "SELECT * REPLACE("
+        " CASE l_orderkey % 19 WHEN 6 THEN NULL"
+        "   ELSE l_discount END AS l_discount,"
+        " CASE l_orderkey % 23 WHEN 8 THEN NULL"
+        "   ELSE l_extendedprice END AS l_extendedprice) FROM {t}"
+    ),
+    "orders": (
+        "SELECT * REPLACE(CASE o_orderkey % 21 WHEN 9 THEN NULL"
+        " ELSE o_totalprice END AS o_totalprice) FROM {t}"
+    ),
+    "customer": (
+        "SELECT * REPLACE(CASE c_custkey % 13 WHEN 4 THEN NULL"
+        " ELSE c_acctbal END AS c_acctbal) FROM {t}"
+    ),
+}
+
+
 def _build_fixture(tag: str, rewrites: dict, src: str) -> str:
     """Materialize a rewritten fixture through the repo's own staging
     machinery (scratch_dir keys on the SOURCE content fingerprint +
@@ -348,6 +405,11 @@ def build_badjson_fixture(src: str = "/root/testdata/sf0.001") -> str:
 def build_timewarp_fixture(src: str = "/root/testdata/sf0.001") -> str:
     """The hostile-timestamp fixture (see _TIMEWARP_REWRITES)."""
     return _build_fixture("hostile_timewarp", _TIMEWARP_REWRITES, src)
+
+
+def build_sparse_fixture(src: str = "/root/testdata/sf0.001") -> str:
+    """The NULL-measure/payload fixture (see _SPARSE_REWRITES)."""
+    return _build_fixture("hostile_sparse", _SPARSE_REWRITES, src)
 
 
 def canonical(df_pandas):

@@ -443,3 +443,79 @@ def test_timewarp_gate_detects_a_seeded_floor_divergence(timewarp_dir):
         "       <> (epoch_us(ts) // 1000000)"
     ).fetchone()[0]
     assert n > 0, "fixture lost its pre-1970 fractional-second rows"
+
+
+# --------------------------------------------------------------------------
+# NULL-measure/payload (sparse) sentinels — the complement of the
+# NULL-KEY hostile gate. First full run found 9 live defects: five
+# vector queries CRASHED (DuckDB's list_cosine_similarity/
+# list_inner_product raise on NULL vectors; the k-means/SemDeDup
+# driver samples fed None into np.array; IVF seed collection
+# iterated a None) — the engine contract is now that NULL embeddings
+# (failed embedding jobs) are SKIPPED, the corpus is the non-NULL
+# rows, and cluster counts k derive from that filtered count on both
+# engines. Two value divergences: window_ntile ordered ASC over a
+# now-nullable measure (Spark default NULLS FIRST vs DuckDB default
+# NULLS LAST — the oracle now spells NULLS FIRST), and
+# sketch_quantile_hist grew a NULL histogram bin (a quantile
+# estimator ignores NULL observations — both sides now filter).
+# The full-registry replay is `python scripts/driver_replica.py
+# --sparse`.
+# --------------------------------------------------------------------------
+
+SPARSE_SENTINELS = (
+    "dedup_embedding_lsh",
+    "dedup_semantic",
+    "embedding_kmeans",
+    "knn_classify",
+    "similarity_ivf",
+    "similarity_lsh",
+    "similarity_topk",
+    "sketch_quantile_hist",
+    "window_ntile",
+)
+
+
+@pytest.fixture(scope="module")
+def sparse_dir():
+    from tests.oracle_harness import build_sparse_fixture
+
+    return build_sparse_fixture()
+
+
+@pytest.mark.parametrize("name", SPARSE_SENTINELS)
+def test_query_matches_oracle_on_null_measures(spark, sparse_dir, name):
+    problems = compare(
+        QUERIES[name](spark, sparse_dir),
+        run_oracle(ORACLES[name], sparse_dir),
+    )
+    assert problems == [], (name, problems)
+
+
+def test_sparse_gate_detects_seeded_null_payloads(sparse_dir):
+    """Prove the gate is not vacuous: the fixture must actually carry
+    NULL embeddings, NULL measure values, and NULL document texts —
+    and DuckDB must still raise on a NULL-vector similarity (the crash
+    the engine-side filter exists to avoid). If the raise ever stops,
+    the oracles' IS NOT NULL guards may be simplifiable; retire this
+    canary deliberately."""
+    import duckdb as _duckdb
+
+    import pytest as _pytest
+
+    nulls = _duckdb.sql(
+        "SELECT"
+        f" (SELECT count(*) FROM read_parquet('{sparse_dir}/embeddings.parquet')"
+        "   WHERE embedding IS NULL),"
+        f" (SELECT count(*) FROM read_parquet('{sparse_dir}/events.parquet')"
+        "   WHERE value IS NULL),"
+        f" (SELECT count(*) FROM read_parquet('{sparse_dir}/documents.parquet')"
+        "   WHERE text IS NULL AND n_chars IS NULL)"
+    ).fetchone()
+    assert all(n > 0 for n in nulls), f"fixture lost its NULLs: {nulls}"
+    with _pytest.raises(_duckdb.Error):
+        _duckdb.sql(
+            "SELECT list_cosine_similarity(CAST(embedding AS DOUBLE[]),"
+            "                              CAST(embedding AS DOUBLE[]))"
+            f" FROM read_parquet('{sparse_dir}/embeddings.parquet')"
+        ).fetchall()
