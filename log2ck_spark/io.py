@@ -67,7 +67,12 @@ def tbl(
 # v3: corpus renderers restrict to complete event rows
 # (ingest.CORPUS_COMPLETE_SQL) — byte-identical on NULL-free sources,
 # but the contract changed.
-STAGING_VERSION = "v3"
+# v4 (--blank gate): the CSV connector writes faithfully (no
+# whitespace trimming, \N null sentinel) and the accesslog/logfmt
+# renderers restrict to grammar-representable rows (no whitespace in
+# event_type) — byte-identical on the tidy generator corpora, but
+# the staged bytes change on whitespace-bearing sources.
+STAGING_VERSION = "v4"
 
 
 def _source_fingerprint(sf_dir: str) -> str:

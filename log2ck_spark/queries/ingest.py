@@ -68,6 +68,25 @@ CORPUS_PARSEABLE_SQL = (
     " AND REPLACE(props, ' ', '') <> ''"
 )
 
+# The accesslog/logfmt grammars embed event_type as an UNQUOTED token
+# (a URL path segment / a bare k=v value), so a value containing
+# whitespace is not representable — a real producer would %-encode or
+# quote it; this minimal renderer excludes the row instead, on BOTH
+# engines (found by the r10 --blank gate: a '  ' event_type rendered
+# a space-bearing path that (\S+) truncated on one engine and the
+# oracle rebuilt whole on the other, and a logfmt line whose empty
+# tokens crashed str_to_map with duplicate '' keys). Java \s and
+# DuckDB (RE2) \s are both ASCII whitespace classes, so the predicate
+# twins exactly. Monolog needs no such guard: its \w+ grammar already
+# rejects whitespace via CORPUS_PARSEABLE_SQL.
+# Both spellings are plain SQL STRINGS, not Column objects: this
+# module is re-imported inside Python workers when its Arrow callback
+# deserializes, and F.col(...) at import time there has no session
+# and crashes the worker (found live when the --blank sweep reached
+# callback_transform).
+SPACE_FREE_SQL = "NOT regexp_matches(event_type, '\\s')"
+SPACE_FREE_SPARK_SQL = r"NOT event_type RLIKE '\\s'"
+
 
 def _complete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl(spark, sf_dir, "events", fanout=True).where(
@@ -438,6 +457,13 @@ def ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     skips it) and an inference trap."""
     def _stage(p: str) -> None:
         ev = tbl(spark, sf_dir, "events", fanout=True)
+        # Faithful round-trip options (--blank gate): the writer's
+        # DEFAULTS trim leading/trailing whitespace from every field
+        # (a '  ' payload silently became ''), and the default
+        # nullValue="" makes '' unreadable as distinct from NULL. A
+        # connector must not rewrite payloads: keep whitespace, and
+        # spell NULL as the classic \N sentinel on both sides so the
+        # empty string survives as itself.
         ev.select(
             "event_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
@@ -445,12 +471,17 @@ def ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "value",
             "props",
-        ).write.mode("overwrite").option("header", "false").csv(p)
+        ).write.mode("overwrite").option("header", "false").option(
+            "ignoreLeadingWhiteSpace", "false"
+        ).option("ignoreTrailingWhiteSpace", "false").option(
+            "nullValue", "\\N"
+        ).csv(p)
 
     path = ensure_staged(scratch_dir(sf_dir, "events_csv"), _stage)
     back = (
         spark.read.schema(_EVENTS_JSON_SCHEMA)
         .option("header", "false")
+        .option("nullValue", "\\N")
         .csv(path)
     )
     return back.select(
@@ -518,8 +549,10 @@ ACCESSLOG_TS_FORMAT = "dd/MMM/yyyy:HH:mm:ss Z"
 def accesslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → Apache combined-log lines (garbage on event_id%13==0,
     same dead-letter injection as the monolog corpus). Complete rows
-    only (CORPUS_COMPLETE_SQL): a file line is never NULL."""
-    ev = _complete_events(spark, sf_dir)
+    only (CORPUS_COMPLETE_SQL), grammar-representable event_types only
+    (SPACE_FREE_SQL — a raw space cannot live in an unencoded URL
+    path): a file line is never NULL and never self-truncating."""
+    ev = _complete_events(spark, sf_dir).where(SPACE_FREE_SPARK_SQL)
     line = F.concat(
         F.lit("10.0.0."), F.col("user_id") % 50,
         F.lit(" - u"), F.col("user_id"),
@@ -554,6 +587,7 @@ def accesslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- cannot match, so the engine dead-letters the line — mirror
       -- that here or big negative metric values diverge (r10 --bignum)
       AND floor(value * 10) >= 0
+      AND {SPACE_FREE_SQL}
     """,
 )
 def parse_accesslog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,9 +620,10 @@ def parse_accesslog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def logfmt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → logfmt ``k=v`` lines (the Heroku/Go ecosystem's
-    structured-log grammar). Complete rows only (CORPUS_COMPLETE_SQL):
-    a file line is never NULL."""
-    ev = _complete_events(spark, sf_dir)
+    structured-log grammar). Complete rows only (CORPUS_COMPLETE_SQL),
+    grammar-representable event_types only (SPACE_FREE_SQL — a bare
+    k=v value cannot carry an unquoted space)."""
+    ev = _complete_events(spark, sf_dir).where(SPACE_FREE_SPARK_SQL)
     return ev.select(
         F.concat(
             F.lit("ts="), F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
@@ -606,7 +641,7 @@ def logfmt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DATE_TRUNC('second', ts) AS created_at,
            user_id, event_type,
            value, event_id
-    FROM events WHERE {CORPUS_COMPLETE_SQL}
+    FROM events WHERE {CORPUS_COMPLETE_SQL} AND {SPACE_FREE_SQL}
     """,
 )
 def parse_logfmt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,7 +653,12 @@ def parse_logfmt(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; the double round-trips value→string→double exactly in both
     engines."""
     lines = logfmt_lines(spark, sf_dir)
-    m = F.expr("str_to_map(value, ' ', '=')")
+    # trim + collapse space runs BEFORE splitting: a line with doubled
+    # spaces otherwise yields empty tokens, whose duplicate '' map
+    # keys RAISE under Spark's default EXCEPTION dedup policy — a
+    # parser must tolerate sloppy spacing, not crash on it (--blank
+    # gate). No-op on well-formed single-space lines.
+    m = F.expr("str_to_map(trim(regexp_replace(value, ' +', ' ')), ' ', '=')")
     return lines.select(m.alias("kv")).select(
         F.to_timestamp(
             F.col("kv")["ts"], "yyyy-MM-dd'T'HH:mm:ss"

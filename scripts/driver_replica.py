@@ -58,6 +58,13 @@ embedding vectors, NULL TPC-H money columns) — the complement of
 --hostile's NULL keys: COUNT(*) vs COUNT(col), AVG denominators,
 NULL propagation through arithmetic, all-NULL groups, and Arrow/UDF
 paths that assume a non-null string or array.
+
+`--blank` is the same gate on the empty/whitespace-string fixture
+(empty and whitespace-only document texts with n_chars recomputed,
+'' and '  ' event_type group keys, '' lang) — the class between
+present and NULL: ratio arithmetic over zero lengths (ANSI division
+by zero), tokenizers of '', zero-shingle docs, and empty-string
+group keys next to NULL ones.
 """
 
 from __future__ import annotations
@@ -77,7 +84,7 @@ def main() -> int:
     argv = sys.argv[1:]
     if argv[:1] in (
         ["--hostile"], ["--ties"], ["--unicode"], ["--badjson"],
-        ["--bignum"], ["--timewarp"], ["--sparse"],
+        ["--bignum"], ["--timewarp"], ["--sparse"], ["--blank"],
     ):
         from tests import oracle_harness as oh
 
@@ -89,6 +96,7 @@ def main() -> int:
             "--bignum": oh.build_bignum_fixture,
             "--timewarp": oh.build_timewarp_fixture,
             "--sparse": oh.build_sparse_fixture,
+            "--blank": oh.build_blank_fixture,
         }[argv[0]]
         try:
             sf_dir, rest = build(), argv[1:]

@@ -341,6 +341,47 @@ _SPARSE_REWRITES = {
 }
 
 
+# --------------------------------------------------------------------------
+# Blank fixture: the EIGHTH hostile dimension — EMPTY and
+# WHITESPACE-ONLY strings, the class between "present" and "NULL"
+# that every real corpus carries (empty extraction results, fields
+# that are all padding, keys that are ''). Distinct from --hostile
+# (NULL keys) and --sparse (NULL payloads): an empty STRING is a
+# value — it forms its own group, joins, sorts before everything,
+# and flows into length/ratio arithmetic as a ZERO, where ANSI-mode
+# Spark raises on division by zero that DuckDB turns into NULL/inf.
+# The divergence classes probed: ratio features over n_chars = 0
+# docs (gopher rules, entropy, repetition, quality scores),
+# tokenizers of '' and of whitespace-only text (split('') is [''] in
+# some engines, [] in others), shingle/fingerprint kernels over
+# zero-shingle docs, '' as a group key next to NULL keys, and the
+# monolog grammar facing an empty event_type ('' can't match \w+ —
+# parse-family oracles must dead-letter it identically).
+# n_chars is recomputed from the rewritten text so the corpus
+# invariant n_chars == length(text) holds (0 for '', the padding
+# length for whitespace-only).
+# --------------------------------------------------------------------------
+
+_BLANK_REWRITES = {
+    "documents": (
+        "SELECT doc_id, text, lang, source, length(text) AS n_chars"
+        " FROM (SELECT doc_id,"
+        " CASE WHEN doc_id % 10 = 6 THEN ''"
+        "      WHEN doc_id % 10 = 8 THEN '   ' || chr(9) || chr(10) || '  '"
+        "      ELSE text END AS text,"
+        " CASE WHEN doc_id % 17 = 3 THEN '' ELSE lang END AS lang,"
+        " source FROM {t})"
+    ),
+    "events": (
+        "SELECT event_id, ts, user_id,"
+        " CASE WHEN event_id % 13 = 4 THEN ''"
+        "      WHEN event_id % 13 = 9 THEN '  '"
+        "      ELSE event_type END AS event_type,"
+        " value, props FROM {t}"
+    ),
+}
+
+
 def _build_fixture(tag: str, rewrites: dict, src: str) -> str:
     """Materialize a rewritten fixture through the repo's own staging
     machinery (scratch_dir keys on the SOURCE content fingerprint +
@@ -410,6 +451,11 @@ def build_timewarp_fixture(src: str = "/root/testdata/sf0.001") -> str:
 def build_sparse_fixture(src: str = "/root/testdata/sf0.001") -> str:
     """The NULL-measure/payload fixture (see _SPARSE_REWRITES)."""
     return _build_fixture("hostile_sparse", _SPARSE_REWRITES, src)
+
+
+def build_blank_fixture(src: str = "/root/testdata/sf0.001") -> str:
+    """The empty/whitespace-string fixture (see _BLANK_REWRITES)."""
+    return _build_fixture("hostile_blank", _BLANK_REWRITES, src)
 
 
 def canonical(df_pandas):

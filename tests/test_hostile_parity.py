@@ -519,3 +519,68 @@ def test_sparse_gate_detects_seeded_null_payloads(sparse_dir):
             "                              CAST(embedding AS DOUBLE[]))"
             f" FROM read_parquet('{sparse_dir}/embeddings.parquet')"
         ).fetchall()
+
+
+# --------------------------------------------------------------------------
+# Empty/whitespace-string (blank) sentinels — the class BETWEEN
+# present and NULL. First full run found 3 live defects, all in the
+# connector/parse family (the textops already handled zero-length
+# text): the CSV writer's DEFAULT options silently trimmed
+# whitespace-only payloads to '' and the default nullValue=""
+# conflated '' with NULL (the connector now writes faithfully with a
+# \N sentinel); the accesslog renderer embedded a space-bearing
+# event_type into a URL path its own (\S+) grammar then truncated
+# (the corpus now excludes grammar-unrepresentable rows on both
+# engines — SPACE_FREE_SQL, the CORPUS_PARSEABLE precedent); and a
+# doubled space in a logfmt line produced duplicate '' map keys that
+# RAISE under Spark's default dedup policy (the parser now collapses
+# space runs before splitting). The full-registry replay is `python
+# scripts/driver_replica.py --blank`.
+# --------------------------------------------------------------------------
+
+BLANK_SENTINELS = (
+    "ingest_csv",
+    "parse_accesslog",
+    "parse_logfmt",
+    "text_token_count",  # zero-length docs through the token path
+    "agg_group_count",  # '' group key next to real ones
+)
+
+
+@pytest.fixture(scope="module")
+def blank_dir():
+    from tests.oracle_harness import build_blank_fixture
+
+    return build_blank_fixture()
+
+
+@pytest.mark.parametrize("name", BLANK_SENTINELS)
+def test_query_matches_oracle_on_blank_strings(spark, blank_dir, name):
+    problems = compare(
+        QUERIES[name](spark, blank_dir),
+        run_oracle(ORACLES[name], blank_dir),
+    )
+    assert problems == [], (name, problems)
+
+
+def test_blank_gate_detects_seeded_blank_values(blank_dir):
+    """Prove the gate is not vacuous: the fixture must carry empty AND
+    whitespace-only texts (with the n_chars invariant intact) and
+    empty/whitespace event_type group keys."""
+    import duckdb as _duckdb
+
+    counts = _duckdb.sql(
+        "SELECT"
+        f" (SELECT count(*) FROM read_parquet('{blank_dir}/documents.parquet')"
+        "   WHERE text = '' AND n_chars = 0),"
+        # regexp \s+, not trim(): DuckDB's trim strips only SPACES,
+        # and the whitespace archetype deliberately carries tab+newline
+        f" (SELECT count(*) FROM read_parquet('{blank_dir}/documents.parquet')"
+        "   WHERE text <> '' AND regexp_matches(text, '^\\s+$')"
+        "     AND n_chars = length(text)),"
+        f" (SELECT count(*) FROM read_parquet('{blank_dir}/events.parquet')"
+        "   WHERE event_type = ''),"
+        f" (SELECT count(*) FROM read_parquet('{blank_dir}/events.parquet')"
+        "   WHERE event_type = '  ')"
+    ).fetchone()
+    assert all(n > 0 for n in counts), f"fixture lost its blanks: {counts}"

@@ -17,6 +17,24 @@ def _wait(pred, timeout=60):
     return False
 
 
+def _drain(q):
+    """Teardown a streaming query without masking the test's own
+    failure: stop() interrupts an in-flight micro-batch, after which
+    Spark reports the query as STREAM_FAILED (InterruptedException)
+    and awaitTermination RE-RAISES that from the finally block —
+    replacing the real assertion that got us here (seen live in r10:
+    a timed-out interval-join assert surfaced as an unrelated
+    StreamingQueryException at q.awaitTermination). An exception out
+    of a deliberately stopped query is teardown noise; swallow it."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q.stop()
+    try:
+        q.awaitTermination(30)
+    except StreamingQueryException:
+        pass
+
+
 def test_stream_static_enrichment_join(spark, tmp_path):
     """stream_static_join's TRUE streaming execution: a rate-less file
     stream of events micro-batch-joins the broadcast customer dim and
@@ -55,8 +73,7 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         # every batch row joined a real segment value
         assert all(r["c_mktsegment"] is not None and r["n"] > 0 for r in got)
     finally:
-        q.stop()
-        q.awaitTermination(30)
+        _drain(q)
 
 
 def test_dead_letter_stream_and_listener(spark, tmp_path):
@@ -173,13 +190,19 @@ def test_stream_stream_interval_join_live(spark, tmp_path):
         # test passes isolated in ~15s, three runs in a row. The
         # predicate returns the moment the sets match, so the budget
         # only binds under exactly that worst case — a bigger number
-        # costs nothing on healthy runs.
-        assert _wait(lambda: got() == expected, timeout=360), (
+        # costs nothing on healthy runs. A query that DIED fails fast
+        # with its own exception instead of burning the budget.
+        _wait(
+            lambda: q.exception() is not None or got() == expected,
+            timeout=360,
+        )
+        if q.exception() is not None:
+            raise q.exception()
+        assert got() == expected, (
             f"streaming join emitted {len(got())} pairs, want {len(expected)}"
         )
     finally:
-        q.stop()
-        q.awaitTermination(30)
+        _drain(q)
 
 
 def test_hll_registers_stream_incrementally(spark, tmp_path):
@@ -239,8 +262,7 @@ def test_hll_registers_stream_incrementally(spark, tmp_path):
             f"streaming registers {len(got())} != batch {len(expected)}"
         )
     finally:
-        q.stop()
-        q.awaitTermination(30)
+        _drain(q)
 
 
 def test_session_window_stream_live(spark, tmp_path):
@@ -296,8 +318,7 @@ def test_session_window_stream_live(spark, tmp_path):
 
         assert _wait(lambda: got() == expected, timeout=90)
     finally:
-        q.stop()
-        q.awaitTermination(30)
+        _drain(q)
 
 
 def test_stream_stream_left_outer_join_emits_on_watermark_expiry(
@@ -365,8 +386,7 @@ def test_stream_stream_left_outer_join_emits_on_watermark_expiry(
         w(e_src / "b2.json", [("2024-01-02 10:00:00", 9, 901)])
         assert _wait(lambda: (2, 200, None, None) in got(), timeout=90)
     finally:
-        q.stop()
-        q.awaitTermination(30)
+        _drain(q)
 
 
 def _state_rows(q):
@@ -455,8 +475,7 @@ def test_stream_stream_join_state_bounded_by_watermark(spark, tmp_path):
         # bounded: only batch-3 rows (and bookkeeping) may remain
         assert _state_rows(q) <= 4, f"residual state {_state_rows(q)}"
     finally:
-        q.stop()
-        q.awaitTermination(30)
+        _drain(q)
 
 
 def test_run_intervals_state_is_per_key_not_per_event(spark, tmp_path):
@@ -530,5 +549,4 @@ def test_run_intervals_state_is_per_key_not_per_event(spark, tmp_path):
         # and still only the two closures from batch 2
         assert {c[:2] for c in closed()} == {("u1", 0), ("u2", 0)}
     finally:
-        q.stop()
-        q.awaitTermination(30)
+        _drain(q)
