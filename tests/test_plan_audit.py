@@ -393,3 +393,35 @@ def test_oracles_use_the_truncating_epoch_second():
         f"inputs only; add to the allowlist with justification): "
         f"{sorted(other)}"
     )
+
+
+def test_registry_imports_without_an_active_session():
+    """r10 worker-import guard: modules under log2ck_spark are
+    RE-IMPORTED inside Python workers whenever one of their Arrow UDFs
+    deserializes, and a worker has no active SparkSession — so a
+    module-scope expression like `F.col(...)` crashes every task that
+    touches the UDF (found live when the --blank sweep reached
+    callback_transform: a module-level Column predicate in
+    queries/ingest.py took down the whole query). Importing the full
+    registry in a clean subprocess replicates the worker condition;
+    building the query DAGs (which DOES need a session) stays inside
+    the registered callables."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __spark_entry__ as c; qs = c.queries();"
+            " os_ = c.oracle_sql(); assert len(qs) >= 169, len(qs)",
+        ],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, (
+        f"registry import needs an active session (worker-unsafe "
+        f"module scope?):\n{proc.stderr[-2000:]}"
+    )
