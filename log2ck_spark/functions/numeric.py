@@ -40,6 +40,25 @@ from pyspark.sql import functions as F
 DECIMAL = "decimal(18,6)"
 
 
+def finite(col: Column | str) -> Column:
+    """Finite-observation predicate: non-NULL, not NaN, not ±Inf.
+
+    Order statistics (percentiles, histogram bins) and derived integer
+    buckets have no defensible placement for a non-finite measure, and
+    the engines disagree where one sneaks in (DuckDB CAST(nan AS
+    BIGINT) raises, quantile_cont counts NaN as the largest value
+    while Spark's percentile excludes it) — so queries in those
+    families define their observation set as the FINITE values,
+    identically on both engines (--nonfinite gate). Oracle twin:
+    ``isfinite(x)`` (NULL-safe: isfinite(NULL) is NULL → filtered).
+    The exact-aggregate chain above needs no such filter — try_cast
+    NULL-skips non-finite on both engines already."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+    )
+
+
 def dsum(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent SUM over a double column, returned as double.
 

@@ -21,6 +21,30 @@ def as_double(vec: Column | str) -> Column:
     return c.cast("array<double>")
 
 
+def finite_vec(vec: Column | str = "embedding") -> Column:
+    """Corpus-membership predicate for every vector kernel: a usable
+    embedding is non-NULL (--sparse: failed embedding jobs write NULL
+    rows) with EVERY component finite (--nonfinite: crashed jobs also
+    write NaN/Inf components, which would turn each norm, cosine,
+    centroid, and fixed-point conversion into NaN — or, in the int64
+    fixed-point path, an ANSI long-overflow crash). Skip, don't crash:
+    the corpus is the clean rows, identically on both engines
+    (`ORACLE_FINITE_VEC` is the DuckDB twin). F.exists is a codegen'd
+    higher-order predicate — one pass over the array, no UDF."""
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return c.isNotNull() & ~F.exists(
+        c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+
+
+# DuckDB twin of finite_vec: NULL-skip + every-component-finite.
+# (isfinite(nan) and isfinite(±inf) are both false in DuckDB.)
+ORACLE_FINITE_VEC = (
+    "embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0"
+)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from log2ck_spark.functions.numeric import DECIMAL
+from log2ck_spark.functions.numeric import DECIMAL, finite
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -267,7 +267,11 @@ _EWMA_THRESHOLD = 25.0
       SELECT user_id, value,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      -- observations = FINITE values (--nonfinite contract): one NaN
+      -- poisons z for the rest of the user's walk, and Inf deltas
+      -- make abs(x - z) comparisons engine-ambiguous — skip them like
+      -- the NULLs this filter already skipped
+      FROM events WHERE isfinite(value) AND ts IS NOT NULL
     ), rec AS (
       SELECT user_id, rn, value AS z, 0 AS n_alerts FROM ord WHERE rn = 1
       UNION ALL
@@ -308,7 +312,8 @@ def anomaly_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = (
         tbl(spark, sf_dir, "events")
-        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        # finite observations only (--nonfinite; mirrors the oracle)
+        .filter(finite("value") & F.col("ts").isNotNull())
         .select(
             "user_id",
             "ts",
@@ -358,7 +363,10 @@ _PSI_BIN = 25.0  # value-bin width
              CAST(floor(value / {_PSI_BIN}) AS BIGINT) AS bin,
              COUNT(*) FILTER (WHERE day(ts) <= 15) AS cnt_a,
              COUNT(*) FILTER (WHERE day(ts) > 15) AS cnt_b
-      FROM events GROUP BY 1, 2
+      -- a distribution has no bin for NaN/±Inf (DuckDB's CAST even
+      -- raises on them) — observations are the finite values on both
+      -- engines (--nonfinite contract)
+      FROM events WHERE isfinite(value) GROUP BY 1, 2
     ), tot AS (
       SELECT event_type, bin, cnt_a, cnt_b,
              SUM(cnt_a) OVER (PARTITION BY event_type) AS n_a,
@@ -396,7 +404,7 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the standard finite-PSI convention, applied identically in both
     engines). One (type, bin) shuffle of pre-combined counts; the
     windows and final agg run on ≤ |types|×bins rows."""
-    ev = tbl(spark, sf_dir, "events")
+    ev = tbl(spark, sf_dir, "events").where(finite("value"))
     binned = ev.groupBy(
         "event_type",
         F.floor(F.col("value") / _PSI_BIN).cast("bigint").alias("bin"),

@@ -32,7 +32,7 @@ from log2ck_spark.functions.text import (
     simhash_from_votes,
     tokens,
 )
-from log2ck_spark.functions.vectors import as_double, cosine
+from log2ck_spark.functions.vectors import as_double, cosine, finite_vec
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -458,15 +458,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding",
     oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+    )
     SELECT DISTINCT
            LEAST(a.vec_id, b.vec_id) AS vec_a,
            GREATEST(a.vec_id, b.vec_id) AS vec_b,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos
-    FROM embeddings a JOIN embeddings b
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+    FROM e a JOIN e b
       ON a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id
-    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
     """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,9 +491,16 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     The anchor side is a broadcast nested-loop by construction, but
     against a BOUNDED build side: cost is linear in the corpus.
     tests/test_plans.py asserts the corpus is scanned once and never
-    shuffled corpus×corpus."""
-    e = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
+    shuffled corpus×corpus.
+
+    Corpus membership is finite_vec (--sparse/--nonfinite contract):
+    a NaN/Inf component turns the cosine into NaN/±Inf, where Spark
+    and DuckDB comparison semantics diverge — skip the poisoned
+    vector on both engines instead."""
+    e = (
+        tbl(spark, sf_dir, "embeddings")
+        .where(finite_vec())
+        .select("vec_id", as_double("embedding").alias("v"))
     )
     anchors = e.filter(F.col("vec_id") % 20 == 0)
     return (

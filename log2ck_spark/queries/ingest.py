@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from log2ck_spark.config import EngineConfig, SinkConfig, TailSpec
+from log2ck_spark.functions.numeric import finite
 from log2ck_spark.io import ensure_staged, scratch_dir, tbl
 from log2ck_spark.parse import enrich, parse_lines, split_valid, with_log_date
 from log2ck_spark.pipeline import transform_chain
@@ -551,8 +552,18 @@ def accesslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     same dead-letter injection as the monolog corpus). Complete rows
     only (CORPUS_COMPLETE_SQL), grammar-representable event_types only
     (SPACE_FREE_SQL — a raw space cannot live in an unencoded URL
-    path): a file line is never NULL and never self-truncating."""
-    ev = _complete_events(spark, sf_dir).where(SPACE_FREE_SPARK_SQL)
+    path): a file line is never NULL and never self-truncating.
+    Finite values only (--nonfinite): the bytes field is (\\d+), and
+    Spark's floor SATURATES non-finite doubles (nan → 0, inf →
+    Long.MAX) into silently-wrong parseable digits rather than a
+    dead-letterable token — a faithful accesslog corpus cannot carry
+    them, so exclude at render time on both engines (the SPACE_FREE
+    precedent)."""
+    ev = (
+        _complete_events(spark, sf_dir)
+        .where(SPACE_FREE_SPARK_SQL)
+        .where(finite("value"))
+    )
     line = F.concat(
         F.lit("10.0.0."), F.col("user_id") % 50,
         F.lit(" - u"), F.col("user_id"),
@@ -585,8 +596,13 @@ def accesslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE event_id % 13 <> 0 AND {CORPUS_COMPLETE_SQL}
       -- the grammar's bytes group is (\d+): a NEGATIVE rendered value
       -- cannot match, so the engine dead-letters the line — mirror
-      -- that here or big negative metric values diverge (r10 --bignum)
-      AND floor(value * 10) >= 0
+      -- that here or big negative metric values diverge (r10 --bignum).
+      -- The CASE guard mirrors the renderer's finite-only corpus
+      -- (--nonfinite): non-finite → NULL → excluded, and DuckDB never
+      -- evaluates floor over a NaN it would refuse to cast (WHERE
+      -- conjunct order is not guaranteed, so the guard must be INSIDE
+      -- the floor conjunct, not a sibling isfinite AND).
+      AND floor(CASE WHEN isfinite(value) THEN value END * 10) >= 0
       AND {SPACE_FREE_SQL}
     """,
 )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from log2ck_spark.functions.numeric import dsum, oracle_dsum
+from log2ck_spark.functions.numeric import dsum, finite, oracle_dsum
 from log2ck_spark.io import ensure_staged, scratch_dir, tbl
 from log2ck_spark.queries import register
 
@@ -176,16 +176,25 @@ def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
            quantile_cont(value, 0.5) AS median_value,
            quantile_cont(value, 0.9) AS p90_value,
            COUNT(*) AS n
-    FROM events GROUP BY event_type
+    FROM events
+    -- observation set = FINITE values (--nonfinite contract; see
+    -- functions.numeric.finite): DuckDB's quantile_cont counts NaN as
+    -- the largest observation while Spark's percentile excludes it,
+    -- and ±Inf poisons interpolation on both — n counts the same
+    -- filtered observations so the denominators stay comparable.
+    WHERE isfinite(value)
+    GROUP BY event_type
     """,
 )
 def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles — Spark `percentile` and DuckDB
     `quantile_cont` share the linear-interpolation definition (verified
     bit-identical). At 100 TB switch to `approx_percentile` (KLL/GK
-    sketch) — kept exact here so the oracle can check it."""
+    sketch) — kept exact here so the oracle can check it. Observations
+    are the finite values (functions.numeric.finite, --nonfinite)."""
     return (
         tbl(spark, sf_dir, "events")
+        .where(finite("value"))
         .groupBy("event_type")
         .agg(
             F.percentile("value", 0.5).alias("median_value"),

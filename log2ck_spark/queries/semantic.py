@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from log2ck_spark.functions.vectors import as_double
+from log2ck_spark.functions.vectors import as_double, finite_vec
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -113,14 +113,14 @@ def _scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NULL vectors can't quantize or cluster — the corpus is the
         # non-NULL rows, and k derives from THEIR count so the oracle
         # (whose e CTE carries the same filter) sizes identically
-        F.col("embedding").isNotNull()
+        finite_vec()
     ).select(
         "vec_id", as_double("embedding").alias("v")
     )
     z = e.select("vec_id", _quantize_expr("v").alias("z"))
     n = (
         tbl(spark, sf_dir, "embeddings")
-        .where(F.col("embedding").isNotNull())
+        .where(finite_vec())
         .count()
     )
     k = min(_K_MAX, max(1, n // _CELL_TARGET))
@@ -214,7 +214,7 @@ def _kmeans_oracle() -> str:
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(FLOOR(x * {float(_Q)!r}) AS BIGINT)
                                  + {_OFFSET}) AS z
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ),
     params AS (
       SELECT LEAST({_K_MAX}, GREATEST(1, COUNT(*) // {_CELL_TARGET})) AS k
@@ -298,7 +298,7 @@ def _semdedup_oracle() -> str:
 
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings WHERE embedding IS NOT NULL),
+               FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     params AS (
       SELECT LEAST({_K_MAX}, GREATEST(1, COUNT(*) // {_CELL_TARGET})) AS k
       FROM e
@@ -369,7 +369,7 @@ def _seed_scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings", fanout=True).where(
         # NULL vectors can't seed or join cells — corpus = non-NULL
         # rows; k derives from their count, mirrored by the oracle
-        F.col("embedding").isNotNull()
+        finite_vec()
     ).select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -379,7 +379,7 @@ def _seed_scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads the embedding column's definition levels and nothing else.
     n = (
         tbl(spark, sf_dir, "embeddings")
-        .where(F.col("embedding").isNotNull())
+        .where(finite_vec())
         .count()
     )
     k = min(_K_MAX, max(1, n // _CELL_TARGET))

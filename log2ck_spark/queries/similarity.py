@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from log2ck_spark.functions.vectors import as_double, cosine, plane_signatures
+from log2ck_spark.functions.vectors import (
+    as_double,
+    cosine,
+    finite_vec,
+    plane_signatures,
+)
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -32,7 +37,7 @@ TOP_K = 5
 @register(
     "similarity_topk",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos
@@ -56,7 +61,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings").where(
         # NULL vectors (failed embedding jobs) are skipped, not
         # crashed on — the corpus is the non-NULL rows (--sparse)
-        F.col("embedding").isNotNull()
+        finite_vec()
     ).select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -131,7 +136,7 @@ def _lsh_oracle() -> str:
         for t in range(_LSH_TABLES)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     sigs AS (
       {sig_selects}
     ),
@@ -172,7 +177,7 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes as inlined SQL literals (see _lsh_oracle), making this ANN
     path value-checked, not rows-only."""
     e = tbl(spark, sf_dir, "embeddings", fanout=True).where(
-        F.col("embedding").isNotNull()
+        finite_vec()
     ).select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -242,7 +247,7 @@ def _dedup_lsh_oracle() -> str:
         for t in range(_DEDUP_LSH_TABLES)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     sigs AS (
       {sig_selects}
     ),
@@ -310,7 +315,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     threshold = _DEDUP_LSH_TAU
     e = tbl(spark, sf_dir, "embeddings", fanout=True).where(
-        F.col("embedding").isNotNull()
+        finite_vec()
     ).select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -415,7 +420,7 @@ def _ivf_oracle() -> str:
     engine-order flip needs two distances within ~1e-12, and exact ties
     (duplicate vectors) break on list_id in both engines."""
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
     seeds AS (
       SELECT v AS c, CAST(ROW_NUMBER() OVER (
                ORDER BY {SEED_ORDER_SQL}
@@ -485,7 +490,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings").where(
         # NULL vectors (failed embedding jobs) are skipped, not
         # crashed on — the corpus is the non-NULL rows (--sparse)
-        F.col("embedding").isNotNull()
+        finite_vec()
     ).select(
         "vec_id", as_double("embedding").alias("v")
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from log2ck_spark.functions.numeric import md5_bucket
+from log2ck_spark.functions.numeric import finite, md5_bucket
 from log2ck_spark.functions.text import shingles, tokens
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
@@ -357,8 +357,11 @@ _QH_QS = (0.5, 0.95, 0.99)
       FROM events
       -- a quantile estimator ignores NULL observations (SQL
       -- percentile semantics); without this both engines grew a NULL
-      -- bin whose window placement ALSO diverged (--sparse gate)
-      WHERE value IS NOT NULL
+      -- bin whose window placement ALSO diverged (--sparse gate).
+      -- r10 --nonfinite extension: NaN/±Inf have no bin either —
+      -- DuckDB's CAST(floor(nan/w) AS BIGINT) raises outright — so
+      -- the observation set is the FINITE values on both engines.
+      WHERE isfinite(value)
       GROUP BY 1, 2
     ), cum AS (
       SELECT event_type, bin, c,
@@ -396,7 +399,7 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exact-rank-reproducible. Exact-percentile parity is covered
     separately by `percentile_agg`; this query's point is the
     fixed-memory estimate at 100 TB."""
-    ev = tbl(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    ev = tbl(spark, sf_dir, "events").where(finite("value"))
     from pyspark.sql import Window
 
     hist = (

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from log2ck_spark.functions.numeric import DECIMAL, oracle_round6
+from log2ck_spark.functions.numeric import DECIMAL, finite, oracle_round6
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -31,7 +31,11 @@ _WRAP = 100_000  # counter wraps at 1e5 cents → several resets per user
     WITH samples AS (
       SELECT user_id, event_id,
              (epoch_us(ts) // 1000000) AS ts_s,
-             CAST(floor(value * 100) AS BIGINT) AS v_int
+             -- non-finite gauge readings carry no increment, same as
+             -- NULL ones (--nonfinite contract): DuckDB's CAST(nan AS
+             -- BIGINT) raises outright, so guard before the floor
+             CAST(floor(CASE WHEN isfinite(value) THEN value END * 100)
+                  AS BIGINT) AS v_int
       FROM events
     ), counter AS (
       SELECT user_id, ts_s,
@@ -77,7 +81,11 @@ def rate_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.unix_timestamp("ts").alias("ts_s"),
-        F.floor(F.col("value") * 100).cast("bigint").alias("v_int"),
+        # non-finite readings → NULL increment, like NULL readings
+        # (--nonfinite contract; mirrors the oracle's isfinite CASE)
+        F.floor(F.when(finite("value"), F.col("value")) * 100)
+        .cast("bigint")
+        .alias("v_int"),
     )
     w_cum = (
         Window.partitionBy("user_id")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from log2ck_spark.functions.vectors import as_double, cosine, norm
+from log2ck_spark.functions.vectors import as_double, cosine, finite_vec, norm
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -29,6 +29,8 @@ from log2ck_spark.queries import register
     oracle="""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), n AS (
       SELECT vec_id, v,
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
@@ -56,9 +58,16 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The unit vector is emitted as an md5 digest of its fixed-point
     (DECIMAL(12,6)) rendering plus head/tail spot values — not a raw
     array column — because raw arrays are unhashable in the external
-    harness's canonicalizer (same policy as text_winnow_fingerprint)."""
-    e = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
+    harness's canonicalizer (same policy as text_winnow_fingerprint).
+
+    Corpus membership is finite_vec (non-NULL, all components finite,
+    --nonfinite contract): a NaN/Inf component would make norm and
+    every unit component NaN — an ingest normalizer drops the vector,
+    it doesn't emit a poisoned one."""
+    e = (
+        tbl(spark, sf_dir, "embeddings")
+        .where(finite_vec())
+        .select("vec_id", as_double("embedding").alias("v"))
     )
     bound = e.withColumn("nrm", norm(F.col("v")))
     unit_str = F.transform(
@@ -85,6 +94,8 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), b AS (
       SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e
     ), q AS (
@@ -113,9 +124,15 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Codes are emitted as an md5 digest of the comma-joined integer
     sequence plus an integer checksum — not a raw array column — so
     the external harness's canonicalizer can hash every output column
-    (same policy as embedding_normalize)."""
-    e = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double("embedding").alias("v")
+    (same policy as embedding_normalize).
+
+    Corpus membership is finite_vec (--nonfinite contract, same as
+    embedding_normalize): min-max scaling over a NaN/Inf component
+    poisons lo/hi and every code."""
+    e = (
+        tbl(spark, sf_dir, "embeddings")
+        .where(finite_vec())
+        .select("vec_id", as_double("embedding").alias("v"))
     )
     b = e.withColumn("lo_r", F.array_min("v")).withColumn("hi_r", F.array_max("v"))
     # Constant vectors have hi == lo: the scale divides by zero and
@@ -205,7 +222,7 @@ _KNN_K = 5
     oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), scored AS (
       SELECT q.vec_id AS query_id, c.label,
              ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos,
@@ -245,7 +262,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings").where(
         # NULL vectors (failed embedding jobs) can neither query nor
         # vote — the corpus is the non-NULL rows (--sparse gate)
-        F.col("embedding").isNotNull()
+        finite_vec()
     ).select(
         "vec_id", "label", as_double("embedding").alias("v")
     )

@@ -65,6 +65,22 @@ paths that assume a non-null string or array.
 present and NULL: ratio arithmetic over zero lengths (ANSI division
 by zero), tokenizers of '', zero-shingle docs, and empty-string
 group keys next to NULL ones.
+
+`--nonfinite` is the same gate on the NaN/±Infinity measure fixture
+(~13% of events.value, two lineitem stripes, one orders stripe,
+NaN/inf COMPONENTS inside embedding vectors) — where DuckDB's direct
+TRY_CAST(nan AS DECIMAL) and STDDEV-over-inf RAISE while Spark
+NULL-skips / returns NaN, quantile interpolation meets NaN-sorts-last,
+ANSI bucket casts of floor(inf/w) die, and every Arrow vector kernel
+sees non-finite norms.
+
+`--dupes` is the same gate on the duplicate-heavy corpus fixture
+(40% of documents ONE text + a near-dup satellite + a token-permuted
+class, 40%/14% duplicate embedding vectors, 25% of events collapsed
+onto one constant non-key row) — the web-crawl shape where the dedup/
+cluster/sketch family does its real work; duplicate classes sized
+under BUCKET_CAP so capped pair expansion stays exactly the full
+expansion and all-pairs oracles remain comparable.
 """
 
 from __future__ import annotations
@@ -85,6 +101,7 @@ def main() -> int:
     if argv[:1] in (
         ["--hostile"], ["--ties"], ["--unicode"], ["--badjson"],
         ["--bignum"], ["--timewarp"], ["--sparse"], ["--blank"],
+        ["--nonfinite"], ["--dupes"],
     ):
         from tests import oracle_harness as oh
 
@@ -97,6 +114,8 @@ def main() -> int:
             "--timewarp": oh.build_timewarp_fixture,
             "--sparse": oh.build_sparse_fixture,
             "--blank": oh.build_blank_fixture,
+            "--nonfinite": oh.build_nonfinite_fixture,
+            "--dupes": oh.build_dupes_fixture,
         }[argv[0]]
         try:
             sf_dir, rest = build(), argv[1:]

@@ -382,6 +382,147 @@ _BLANK_REWRITES = {
 }
 
 
+# --------------------------------------------------------------------------
+# Dupes fixture: the TENTH hostile dimension — a DUPLICATE-HEAVY
+# corpus. The clean fixtures have zero exact-duplicate documents and
+# --ties caps its shared-text class at 25%; real web-crawl corpora are
+# the opposite (boilerplate pages, mirrored sites, retried ingestion),
+# and duplicate mass is exactly where the dedup/cluster/sketch family
+# does its real work. Classes injected (all deterministic by key, all
+# under BUCKET_CAP=1024 so capped pair expansion remains EXACTLY the
+# full i<j expansion and the all-pairs oracles stay comparable —
+# above-cap behavior is pinned separately in tests/test_dedup_scale.py):
+#   * documents: 40% collapse onto ONE text (a 200-copy class at
+#     sf0.001 — every MinHash band, simhash chunk, and winnow
+#     fingerprint of the class lands in one bucket), plus a 4%
+#     NEAR-duplicate satellite (the same text + a 4-token coda;
+#     5-shingle Jaccard ≈ 0.9, so LSH must merge the two classes)
+#     and a 4% token-PERMUTED class (reversed word order: same token
+#     SET — dedup_fingerprint collapses it — but near-zero shingle
+#     Jaccard, so near-dup queries must NOT merge it).
+#   * embeddings: 40% share one exact vector + 14% share a second —
+#     IVF cells and LSH buckets with huge duplicate mass, kmeans with
+#     degenerate point multiplicity, cosine top-k saturated with 1.0
+#     scores (tie-broken by id per the established contract).
+#   * events: 25% collapse EVERY non-key column onto one constant row
+#     (same ts, user, type, value, props; distinct event_id) — the
+#     full-row-duplicate class that stresses DISTINCT, HLL sketches
+#     near-tiny true cardinality, one giant group in every groupBy,
+#     and 250-deep ties in every running window.
+# n_chars is recomputed from the rewritten text so the corpus
+# invariant n_chars == length(text) holds.
+# --------------------------------------------------------------------------
+
+_DUPES_TEXT = (
+    "breaking update mirrored boilerplate page content syndicated"
+    " across many hosts with identical navigation header footer and"
+    " legal disclaimer text repeated verbatim on every crawl snapshot"
+    " of the original article body published once then copied forever"
+)
+
+_DUPES_REWRITES = {
+    "documents": (
+        f"SELECT doc_id, text, lang, source, length(text) AS n_chars"
+        f" FROM (SELECT doc_id,"
+        f" CASE WHEN doc_id % 5 IN (0, 1) THEN '{_DUPES_TEXT}'"
+        f" WHEN doc_id % 25 = 2 THEN"
+        f"   '{_DUPES_TEXT}' || ' crawler appended tracking suffix'"
+        f" WHEN doc_id % 25 = 9 THEN"
+        f"   array_to_string(list_reverse(string_split('{_DUPES_TEXT}', ' ')), ' ')"
+        f" ELSE text END AS text, lang, source FROM {{t}})"
+    ),
+    "embeddings": (
+        "SELECT vec_id,"
+        " CASE WHEN vec_id % 5 IN (1, 3) THEN"
+        "   (SELECT embedding FROM {t} ORDER BY vec_id LIMIT 1)"
+        " WHEN vec_id % 7 = 4 THEN"
+        "   (SELECT embedding FROM {t} ORDER BY vec_id LIMIT 1 OFFSET 1)"
+        " ELSE embedding END AS embedding, label FROM {t}"
+    ),
+    "events": (
+        "SELECT event_id,"
+        " CASE WHEN event_id % 4 = 1"
+        "   THEN (SELECT min(ts) FROM {t}) ELSE ts END AS ts,"
+        " CASE WHEN event_id % 4 = 1 THEN 1 ELSE user_id END AS user_id,"
+        " CASE WHEN event_id % 4 = 1"
+        "   THEN (SELECT min(event_type) FROM {t})"
+        "   ELSE event_type END AS event_type,"
+        " CASE WHEN event_id % 4 = 1 THEN 42.0 ELSE value END AS value,"
+        " CASE WHEN event_id % 4 = 1 THEN '{{\"k\": 7}}' ELSE props END"
+        "   AS props FROM {t}"
+    ),
+}
+
+
+# --------------------------------------------------------------------------
+# Non-finite fixture: the NINTH hostile dimension — NaN and ±Infinity
+# in every double MEASURE column. JSON logs can't carry non-finite
+# floats, but parquet/protobuf/CSV pipelines ship them constantly
+# (0/0 in an upstream rate calc → NaN, counter overflow → inf, a
+# crashed embedding job → NaN components). The engine asymmetries
+# probed (r10 session probes, pinned in tests/test_hostile_parity.py):
+#   * the exact-aggregate chain: Spark try_cast(nan/inf → decimal) is
+#     NULL; DuckDB's DIRECT TRY_CAST(nan AS DECIMAL) RAISES (a DuckDB
+#     TRY_CAST hole) while the contract's VARCHAR route
+#     TRY_CAST(CAST(x AS VARCHAR) AS DECIMAL) is NULL — so dsum/davg
+#     NULL-skip identically, but any oracle that shortcuts the VARCHAR
+#     hop dies on the first NaN.
+#   * STDDEV_SAMP over a group containing inf: Spark → NaN, DuckDB →
+#     "Out of Range Error" (a hard raise) — decimal-exact moment
+#     queries must skip non-finite on BOTH sides.
+#   * exact percentiles: both sort NaN last, but interpolation between
+#     a finite value and NaN differs from rank-picking — quantile
+#     oracles must exclude NaN explicitly.
+#   * bucket arithmetic: floor(inf/w) :: int raises under ANSI Spark
+#     AND plain-CAST DuckDB; histogram queries need a finite filter or
+#     try_cast on both engines.
+#   * Arrow kernels: np.stack over a NaN-component vector is fine but
+#     every norm/cosine goes NaN — vector queries extend the
+#     NULL-embedding skip contract (--sparse) to non-finite vectors.
+# Injection is deterministic by primary key, ~13% of events and two
+# lineitem stripes + one orders stripe (the TPC-H suite must survive,
+# not be quarantined); embeddings get NaN/inf COMPONENTS, not NULL
+# vectors, so the skip has to look at the values. -0.0 is deliberately
+# NOT injected: both engines group/min/max it as 0.0 but render the
+# sign bit differently through repr(), which the canonical comparator
+# would flag without any semantic divergence (documented in PARITY.md
+# instead).
+# --------------------------------------------------------------------------
+
+_NONFINITE_REWRITES = {
+    "events": (
+        "SELECT event_id, ts, user_id, event_type,"
+        " CASE event_id % 23"
+        "   WHEN 3 THEN 'nan'::DOUBLE"
+        "   WHEN 7 THEN 'inf'::DOUBLE"
+        "   WHEN 11 THEN '-inf'::DOUBLE"
+        "   ELSE value END AS value, props FROM {t}"
+    ),
+    "lineitem": (
+        "SELECT * REPLACE("
+        " CASE l_orderkey % 13 WHEN 2 THEN 'nan'::DOUBLE"
+        "   WHEN 6 THEN 'inf'::DOUBLE"
+        "   ELSE l_extendedprice END AS l_extendedprice,"
+        " CASE l_orderkey % 17 WHEN 5 THEN '-inf'::DOUBLE"
+        "   ELSE l_discount END AS l_discount) FROM {t}"
+    ),
+    "orders": (
+        "SELECT * REPLACE(CASE o_orderkey % 11 WHEN 4 THEN 'nan'::DOUBLE"
+        " ELSE o_totalprice END AS o_totalprice) FROM {t}"
+    ),
+    "embeddings": (
+        "SELECT vec_id,"
+        " CASE WHEN vec_id % 10 = 4 THEN"
+        "   list_transform(embedding, (x, i) ->"
+        "     CASE WHEN i = 1 THEN 'nan'::FLOAT ELSE x END)"
+        " WHEN vec_id % 10 = 7 THEN"
+        "   list_transform(embedding, (x, i) ->"
+        "     CASE WHEN i = 3 THEN 'inf'::FLOAT ELSE x END)"
+        " ELSE embedding END AS embedding, label FROM {t}"
+    ),
+}
+
+
 def _build_fixture(tag: str, rewrites: dict, src: str) -> str:
     """Materialize a rewritten fixture through the repo's own staging
     machinery (scratch_dir keys on the SOURCE content fingerprint +
@@ -456,6 +597,16 @@ def build_sparse_fixture(src: str = "/root/testdata/sf0.001") -> str:
 def build_blank_fixture(src: str = "/root/testdata/sf0.001") -> str:
     """The empty/whitespace-string fixture (see _BLANK_REWRITES)."""
     return _build_fixture("hostile_blank", _BLANK_REWRITES, src)
+
+
+def build_nonfinite_fixture(src: str = "/root/testdata/sf0.001") -> str:
+    """The NaN/±Infinity measure fixture (see _NONFINITE_REWRITES)."""
+    return _build_fixture("hostile_nonfinite", _NONFINITE_REWRITES, src)
+
+
+def build_dupes_fixture(src: str = "/root/testdata/sf0.001") -> str:
+    """The duplicate-heavy corpus fixture (see _DUPES_REWRITES)."""
+    return _build_fixture("hostile_dupes", _DUPES_REWRITES, src)
 
 
 def canonical(df_pandas):

@@ -584,3 +584,172 @@ def test_blank_gate_detects_seeded_blank_values(blank_dir):
         "   WHERE event_type = '  ')"
     ).fetchone()
     assert all(n > 0 for n in counts), f"fixture lost its blanks: {counts}"
+
+
+# --------------------------------------------------------------------------
+# Non-finite (NaN/±Inf measure) sentinels — the ninth hostile
+# dimension. First full run found 14 live defects in five classes:
+# six oracles CRASHED on DuckDB's CAST(nan AS BIGINT/INT) (histogram
+# and bucket arithmetic in sketch_quantile_hist/drift_psi/
+# rate_counter, vector digests in embedding_normalize/quantize, and
+# the accesslog renderer) — and DuckDB's DIRECT TRY_CAST(nan AS
+# DECIMAL) raises too, a TRY_CAST hole the exact-aggregate chain
+# only dodges via its VARCHAR hop; the int64 fixed-point k-means
+# OVERFLOWED Spark-side under ANSI; the five cosine-kernel queries
+# diverged on NaN similarity ordering; exact percentiles diverged
+# (DuckDB quantile_cont counts NaN as the LARGEST observation, Spark
+# percentile excludes it); and the EWMA recurrence walked NaN into
+# every downstream z. Contracts now: vectors must be finite_vec
+# (non-NULL + all components finite) on both engines; order
+# statistics/bins/counters define observations as FINITE values
+# (functions.numeric.finite ≡ SQL isfinite); the accesslog corpus
+# excludes non-finite values at render time (Spark floor SATURATES
+# nan→0 into silently parseable digits — the worst failure mode).
+# The full-registry replay is `python scripts/driver_replica.py
+# --nonfinite`.
+# --------------------------------------------------------------------------
+
+NONFINITE_SENTINELS = (
+    "anomaly_ewma",
+    "dedup_embedding",
+    "drift_psi",
+    "embedding_kmeans",
+    "embedding_normalize",
+    "embedding_quantize",
+    "knn_classify",
+    "parse_accesslog",
+    "percentile_agg",
+    "rate_counter",
+    "similarity_ivf",
+    "similarity_lsh",
+    "similarity_topk",
+    "sketch_quantile_hist",
+)
+
+
+@pytest.fixture(scope="module")
+def nonfinite_dir():
+    from tests.oracle_harness import build_nonfinite_fixture
+
+    return build_nonfinite_fixture()
+
+
+@pytest.mark.parametrize("name", NONFINITE_SENTINELS)
+def test_query_matches_oracle_on_nonfinite_measures(spark, nonfinite_dir, name):
+    problems = compare(
+        QUERIES[name](spark, nonfinite_dir),
+        run_oracle(ORACLES[name], nonfinite_dir),
+    )
+    assert problems == [], (name, problems)
+
+
+def test_nonfinite_gate_detects_seeded_nonfinite_values(nonfinite_dir):
+    """Prove the gate is not vacuous: the fixture must carry NaN and
+    ±Inf measures and NaN/Inf embedding COMPONENTS — and DuckDB must
+    still raise on both the direct TRY_CAST(nan AS DECIMAL) (the
+    TRY_CAST hole the exact-aggregate VARCHAR hop dodges) and
+    CAST(nan AS BIGINT) (the crash every isfinite guard exists to
+    avoid). If either raise ever stops, those guards may be
+    simplifiable; retire this canary deliberately."""
+    import duckdb as _duckdb
+
+    import pytest as _pytest
+
+    counts = _duckdb.sql(
+        "SELECT"
+        f" (SELECT count(*) FROM read_parquet('{nonfinite_dir}/events.parquet')"
+        "   WHERE isnan(value)),"
+        f" (SELECT count(*) FROM read_parquet('{nonfinite_dir}/events.parquet')"
+        "   WHERE value = 'inf'::DOUBLE OR value = '-inf'::DOUBLE),"
+        f" (SELECT count(*) FROM read_parquet('{nonfinite_dir}/embeddings.parquet')"
+        "   WHERE len(list_filter(embedding, x -> NOT isfinite(x))) > 0)"
+    ).fetchone()
+    assert all(n > 0 for n in counts), f"fixture lost its non-finites: {counts}"
+    with _pytest.raises(_duckdb.Error):
+        _duckdb.sql("SELECT TRY_CAST('nan'::DOUBLE AS DECIMAL(18,6))").fetchall()
+    with _pytest.raises(_duckdb.Error):
+        _duckdb.sql("SELECT CAST('nan'::DOUBLE AS BIGINT)").fetchall()
+
+
+# --------------------------------------------------------------------------
+# Duplicate-heavy corpus (dupes) sentinels — the tenth hostile
+# dimension: 40% of documents collapsed onto ONE text plus a
+# near-duplicate satellite class (5-shingle Jaccard ≈ 0.9 — LSH must
+# merge it) and a token-PERMUTED class (same token set, near-zero
+# shingle Jaccard — near-dup queries must NOT merge it), 40%/14%
+# duplicate embedding vectors, 25% of events collapsed onto one
+# constant non-key row. First full run: PASS 169/169 — no divergence;
+# the r8 ties tie-break contracts and the r10 BUCKET_CAP design
+# already covered the duplicate-mass semantics. These sentinels keep
+# the most duplicate-exposed names pinned against regression, and the
+# canary keeps the fixture honest (classes present, and sized UNDER
+# BUCKET_CAP so capped pair expansion remains exactly the full i<j
+# expansion and the all-pairs oracles stay comparable — above-cap
+# behavior is pinned in tests/test_dedup_scale.py). The full-registry
+# replay is `python scripts/driver_replica.py --dupes`.
+# --------------------------------------------------------------------------
+
+DUPES_SENTINELS = (
+    "dedup_exact",          # 200-copy class, min-id survivor
+    "dedup_fingerprint",    # permuted class MUST collapse here
+    "dedup_minhash_lsh",    # every band of the class in one bucket
+    "dedup_simhash",        # every chunk of the class in one bucket
+    "dedup_ngram_jaccard",  # PPJoin prefixes with ubiquitous shingles
+    "dedup_clusters",       # one giant connected component
+    "similarity_topk",      # top-k saturated with cos = 1.0 ties
+    "embedding_kmeans",     # 40% point-mass degeneracy in training
+    "approx_distinct",      # HLL near-tiny true cardinality
+    "stream_dedup",         # 25% full-row-duplicate events
+)
+
+
+@pytest.fixture(scope="module")
+def dupes_dir():
+    from tests.oracle_harness import build_dupes_fixture
+
+    return build_dupes_fixture()
+
+
+@pytest.mark.parametrize("name", DUPES_SENTINELS)
+def test_query_matches_oracle_on_duplicate_heavy_corpus(spark, dupes_dir, name):
+    problems = compare(
+        QUERIES[name](spark, dupes_dir),
+        run_oracle(ORACLES[name], dupes_dir),
+    )
+    assert problems == [], (name, problems)
+
+
+def test_dupes_gate_fixture_classes_present_and_under_cap(dupes_dir):
+    """Prove the gate is not vacuous AND not self-inconsistent: the
+    dominant text class, the near-dup satellite, the permuted class,
+    the duplicate embedding classes, and the constant event row must
+    all exist — and the LARGEST duplicate class must stay under
+    BUCKET_CAP, because at/under the cap the capped pair expansion is
+    exactly the full i<j expansion (all-pairs oracles comparable);
+    growing the fixture past the cap would silently turn every
+    pair-emitting dedup oracle row red."""
+    import duckdb as _duckdb
+
+    from log2ck_spark.queries.dedup import BUCKET_CAP
+
+    top_text, near, emb_top, const_events = _duckdb.sql(
+        "SELECT"
+        f" (SELECT max(c) FROM (SELECT count(*) AS c FROM"
+        f"   read_parquet('{dupes_dir}/documents.parquet') GROUP BY text)),"
+        f" (SELECT count(*) FROM read_parquet('{dupes_dir}/documents.parquet')"
+        "   WHERE text LIKE '%crawler appended tracking suffix'),"
+        f" (SELECT max(c) FROM (SELECT count(*) AS c FROM"
+        f"   read_parquet('{dupes_dir}/embeddings.parquet')"
+        "    GROUP BY embedding::VARCHAR)),"
+        f" (SELECT max(c) FROM (SELECT count(*) AS c FROM"
+        f"   read_parquet('{dupes_dir}/events.parquet')"
+        "    GROUP BY ts, user_id, event_type, value, props))"
+    ).fetchone()
+    assert top_text >= 100, f"dominant text class shrank: {top_text}"
+    assert near > 0, "near-dup satellite class missing"
+    assert emb_top >= 100, f"dominant embedding class shrank: {emb_top}"
+    assert const_events >= 100, f"constant event class shrank: {const_events}"
+    assert top_text < BUCKET_CAP and emb_top < BUCKET_CAP, (
+        f"duplicate class exceeds BUCKET_CAP={BUCKET_CAP}: "
+        f"{top_text}, {emb_top} — pair-emitting oracles would diverge"
+    )
