@@ -323,7 +323,16 @@ def test_similarity_lsh_query_side_filter_reaches_scan(spark, sf_dir):
 
     plan = _plan(spark, "similarity_lsh", sf_dir)
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    # two spellings: the Catalyst DataFilters expression OR the
+    # source-level PushedFilters entry. Spark truncates the printed
+    # DataFilters list, and the r10 finite_vec exists-lambda inflates
+    # it past the truncation point — the PushedFilters spelling is the
+    # durable one (and the stronger claim: the predicate reached the
+    # SOURCE, not just a Filter node).
     filtered = [
-        s for s in scans if re.search(rf"vec_id#\d+L < {N_QUERIES}\b", s)
+        s
+        for s in scans
+        if re.search(rf"vec_id#\d+L < {N_QUERIES}\b", s)
+        or f"LessThan(vec_id,{N_QUERIES})" in s
     ]
     assert len(filtered) >= 1, plan[:3000]
