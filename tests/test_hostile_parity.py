@@ -312,6 +312,36 @@ def test_decimal_string_json_k_corner_is_still_out_of_contract(spark):
     assert spark_k != duck_k
 
 
+def test_negative_zero_group_key_corner_is_still_out_of_contract(spark):
+    """PARITY.md corner 3 (r10, documented with the --nonfinite gate):
+    -0.0 as a GROUP BY key. Both engines agree -0.0 and +0.0 are ONE
+    group (the semantics), but the rendered REPRESENTATIVE's sign bit
+    is unstable: DuckDB surfaces the first-seen zero (order-dependent)
+    and Spark's surfaced sign varies with the aggregate's physical
+    path (observed +0.0 from one session/plan and -0.0 from another in
+    the same build — the SPARK-32110 key normalization is not a
+    rendering guarantee). repr(-0.0) != repr(0.0), so the canonical
+    value comparison would flag pure noise. The contract is that no
+    generator or hostile fixture injects -0.0; this pin asserts the
+    STABLE facts only — semantic one-group agreement, and that the
+    two renderings really do differ at the comparison layer."""
+    import duckdb as _duckdb
+
+    spark_groups = spark.sql(
+        "SELECT v FROM VALUES (double('-0.0')), (double('0.0')) t(v)"
+        " GROUP BY v"
+    ).collect()
+    duck_groups = _duckdb.sql(
+        "SELECT v FROM (VALUES (-0.0::DOUBLE), (0.0::DOUBLE)) t(v)"
+        " GROUP BY v"
+    ).fetchall()
+    assert len(spark_groups) == 1  # one group on both engines:
+    assert len(duck_groups) == 1  # the SEMANTICS agree
+    # the comparison layer, however, distinguishes the two renderings
+    # — this inequality is WHY the fixture must not inject -0.0
+    assert repr(-0.0) != repr(0.0)
+
+
 # --------------------------------------------------------------------------
 # Extreme-magnitude (bignum) sentinels — the r10 decimal→TRY_CAST
 # migration's end-to-end gate. First full run found 12 live
