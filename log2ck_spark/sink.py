@@ -318,6 +318,7 @@ def http_insert_in_batches(
     user: "str | None" = None,
     password: "str | None" = None,
     params: "dict[str, str] | None" = None,
+    columns: "list[tuple[str, str]] | None" = None,
 ) -> int:
     """Batched INSERT over ClickHouse's public HTTP interface: POST
     `INSERT INTO <table> FORMAT JSONEachRow` with newline-delimited
@@ -328,14 +329,34 @@ def http_insert_in_batches(
     optional client lib. A non-200 raises, failing the Spark task —
     at-least-once via engine task retry + the batch replay note on
     `foreach_batch_writer` (idempotence comes from a Replacing/
-    deduplicating target table, the standard CK recipe)."""
+    deduplicating target table, the standard CK recipe).
+
+    With `columns` (ordered (name, ck_type) pairs) the insert switches
+    to `FORMAT RowBinary` — the native column binary encodings over
+    the same endpoint (formats.rows_to_row_binary): no JSON text
+    encode, no server-side parse, non-finite floats carried natively,
+    binary columns without base64. The INSERT names the columns in
+    the declared order so the server never guesses the layout."""
     import urllib.parse as _up
     import urllib.request as _ur
 
-    qs = {"query": f"INSERT INTO {table} FORMAT JSONEachRow"}
+    from log2ck_spark.formats import rows_to_row_binary
+
+    if columns is not None:
+        col_list = ", ".join(name for name, _t in columns)
+        query = f"INSERT INTO {table} ({col_list}) FORMAT RowBinary"
+        body_rows = rows_to_row_binary(rows, columns)
+        sep, tail = b"", b""
+        content_type = "application/octet-stream"
+    else:
+        query = f"INSERT INTO {table} FORMAT JSONEachRow"
+        body_rows = rows_to_json_each_row(rows)
+        sep, tail = b"\n", b"\n"
+        content_type = "application/x-ndjson"
+    qs = {"query": query}
     qs.update(params or {})  # database=..., CK settings, etc.
     endpoint = url.rstrip("/") + "/?" + _up.urlencode(qs)
-    headers = {"Content-Type": "application/x-ndjson"}
+    headers = {"Content-Type": content_type}
     # CK's HTTP auth headers (public interface contract); absent ->
     # the server's default user, same as the reference's bare DSN.
     if user is not None:
@@ -346,7 +367,7 @@ def http_insert_in_batches(
     def _flush(buf: list[bytes]) -> None:
         req = _ur.Request(
             endpoint,
-            data=b"\n".join(buf) + b"\n",
+            data=sep.join(buf) + tail,
             headers=headers,
             method="POST",
         )
@@ -360,7 +381,7 @@ def http_insert_in_batches(
 
     buf: list[bytes] = []
     n = 0
-    for line in rows_to_json_each_row(rows):
+    for line in body_rows:
         buf.append(line)
         if len(buf) >= batch_size:
             _flush(buf)
@@ -390,18 +411,65 @@ def clickhouse_http_writer(
     """ClickHouse sink over the HTTP interface (kind="clickhouse_http").
     Zero optional dependencies; inserts run per-partition on executors
     (one HTTP connection each, never per row), mirroring the
-    clickhouse_connect writer's shape."""
+    clickhouse_connect writer's shape.
+
+    `format: "row_binary"` switches the wire encoding from
+    JSONEachRow to FORMAT RowBinary (log2ck_spark/formats.py — the
+    native column binary encodings, the efficiency of the reference's
+    native-TCP inserts over the deployable HTTP endpoint). Column
+    types come from the `columns` option ("name CkType" strings, the
+    DESCRIBE TABLE text) or, when omitted, are inferred from the
+    batch's Spark schema per micro-batch (nullable fields →
+    Nullable(T), timestamps → DateTime64(6)). An explicit `columns`
+    list is validated HERE — writer creation — so an unsupported type
+    fails at config time, not in the first batch's tasks."""
     opts: dict[str, Any] = dict(sink.options)
     table = str(_require_opt(opts, "table", "clickhouse_http"))
     url = str(_require_opt(opts, "url", "clickhouse_http"))
     batch_size = int(opts.pop("batch_size", CK_INSERT_BATCH))
     user = opts.pop("user", None)
     password = opts.pop("password", None)
+    fmt = str(opts.pop("format", "json_each_row")).lower()
+    if fmt not in ("json_each_row", "row_binary"):
+        raise ValueError(
+            f"clickhouse_http sink: unknown format {fmt!r} "
+            f"(expected 'json_each_row' or 'row_binary')"
+        )
+    declared: "list[tuple[str, str]] | None" = None
+    if (raw_cols := opts.pop("columns", None)) is not None:
+        if fmt != "row_binary":
+            raise ValueError(
+                "clickhouse_http sink: 'columns' only applies to "
+                "format='row_binary'"
+            )
+        declared = []
+        for entry in raw_cols:
+            if isinstance(entry, str):
+                name, _, ck_type = entry.strip().partition(" ")
+            else:
+                name, ck_type = entry
+            if not name or not ck_type.strip():
+                raise ValueError(
+                    f"clickhouse_http sink: malformed column {entry!r} "
+                    f"(expected 'name CkType')"
+                )
+            declared.append((name, ck_type.strip()))
+        from log2ck_spark.formats import codec_for
+
+        for _n, t in declared:  # config-time type validation
+            codec_for(t)
     # everything else (database, CK settings like async_insert) rides
     # the query string — nothing is silently dropped
     params = {k: str(v) for k, v in opts.items()}
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if fmt == "row_binary":
+            from log2ck_spark.formats import ck_columns_for_schema
+
+            columns = declared or ck_columns_for_schema(batch_df.schema)
+        else:
+            columns = None
+
         def _insert_partition(rows):
             http_insert_in_batches(
                 url,
@@ -411,6 +479,7 @@ def clickhouse_http_writer(
                 user=user,
                 password=password,
                 params=params,
+                columns=columns,
             )
 
         batch_df.rdd.foreachPartition(_insert_partition)

@@ -1,0 +1,364 @@
+"""ClickHouse RowBinary encoder (log2ck_spark/formats.py) — golden
+byte vectors against the published format spec, config-time
+validation, and the executor-side HTTP wire path end-to-end.
+
+The expected bytes below are spelled with struct.pack directly in the
+assertions — an independent rendering of the same public spec, so an
+encoder bug can't hide behind its own helper."""
+
+from __future__ import annotations
+
+import datetime as dt
+import struct
+
+import pytest
+
+from log2ck_spark.formats import (
+    _varint,
+    ck_columns_for_schema,
+    codec_for,
+    rows_to_row_binary,
+)
+
+
+def _enc(ck_type: str, value) -> bytes:
+    out = bytearray()
+    codec_for(ck_type).encode(value, out)
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Golden vectors
+# --------------------------------------------------------------------------
+
+
+def test_varint_leb128():
+    assert _varint(0) == b"\x00"
+    assert _varint(127) == b"\x7f"
+    assert _varint(128) == b"\x80\x01"
+    assert _varint(300) == b"\xac\x02"
+
+
+def test_fixed_width_integers():
+    assert _enc("UInt8", 5) == b"\x05"
+    assert _enc("Int8", -1) == b"\xff"
+    assert _enc("UInt16", 258) == struct.pack("<H", 258)
+    assert _enc("Int32", -7) == struct.pack("<i", -7)
+    assert _enc("Int64", -2) == struct.pack("<q", -2)
+    assert _enc("UInt64", 2**63) == struct.pack("<Q", 2**63)
+
+
+def test_integer_out_of_range_raises():
+    with pytest.raises(ValueError, match="out of range"):
+        _enc("UInt8", 256)
+    with pytest.raises(ValueError, match="out of range"):
+        _enc("Int32", 2**31)
+
+
+def test_floats_including_nonfinite():
+    assert _enc("Float64", 1.5) == struct.pack("<d", 1.5)
+    assert _enc("Float32", 1.5) == struct.pack("<f", 1.5)
+    # RowBinary carries non-finite floats NATIVELY — the JSONEachRow
+    # path must degrade them to null; this is a fidelity upgrade
+    assert _enc("Float64", float("nan")) == struct.pack("<d", float("nan"))
+    assert _enc("Float64", float("inf")) == struct.pack("<d", float("inf"))
+
+
+def test_string_text_and_raw_bytes():
+    assert _enc("String", "abc") == b"\x03abc"
+    assert _enc("String", "héllo") == (
+        _varint(len("héllo".encode())) + "héllo".encode()
+    )
+    # bytes pass through untouched — no base64, unlike JSONEachRow
+    assert _enc("String", b"\x00\xff\x80") == b"\x03\x00\xff\x80"
+    long = "x" * 300
+    assert _enc("String", long) == b"\xac\x02" + long.encode()
+
+
+def test_bool_and_nullable():
+    assert _enc("Bool", True) == b"\x01"
+    assert _enc("Bool", False) == b"\x00"
+    assert _enc("Nullable(Int32)", None) == b"\x01"
+    assert _enc("Nullable(Int32)", 7) == b"\x00" + struct.pack("<i", 7)
+    assert _enc("Nullable(String)", "a") == b"\x00\x01a"
+
+
+def test_null_in_non_nullable_raises():
+    with pytest.raises(ValueError, match="non-Nullable"):
+        _enc("Int64", None)
+    with pytest.raises(ValueError, match="non-Nullable"):
+        _enc("String", None)
+
+
+def test_dates():
+    assert _enc("Date", dt.date(1970, 1, 2)) == struct.pack("<H", 1)
+    assert _enc("Date", dt.date(2024, 2, 29)) == struct.pack(
+        "<H", (dt.date(2024, 2, 29) - dt.date(1970, 1, 1)).days
+    )
+    # Date32 is SIGNED — pre-1970 representable
+    assert _enc("Date32", dt.date(1969, 12, 31)) == struct.pack("<i", -1)
+    # Date (UInt16) is not: 1969 and >2149 both raise loudly
+    with pytest.raises(ValueError, match="Date"):
+        _enc("Date", dt.date(1969, 12, 31))
+    with pytest.raises(ValueError, match="Date"):
+        _enc("Date", dt.date(2200, 1, 1))
+    # a datetime value in a Date column truncates to its date
+    assert _enc("Date", dt.datetime(1970, 1, 3, 23, 59)) == struct.pack(
+        "<H", 2
+    )
+
+
+def test_datetimes_exact_integer_ticks():
+    assert _enc("DateTime", dt.datetime(1970, 1, 1, 0, 1, 40)) == struct.pack(
+        "<I", 100
+    )
+    # DateTime64(6): microsecond ticks, exact integer arithmetic
+    v = dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    epoch_us = int(
+        v.replace(tzinfo=dt.timezone.utc).timestamp()
+    ) * 10**6 + v.microsecond
+    assert _enc("DateTime64(6)", v) == struct.pack("<q", epoch_us)
+    # millisecond precision floors the microseconds
+    assert _enc("DateTime64(3)", v) == struct.pack("<q", epoch_us // 1000)
+    # nanosecond precision zero-pads
+    assert _enc("DateTime64(9)", v) == struct.pack("<q", epoch_us * 1000)
+    # pre-1970 instants: DateTime (UInt32) raises with guidance,
+    # DateTime64 (Int64) encodes the negative tick count
+    pre = dt.datetime(1969, 12, 31, 23, 59, 59)
+    with pytest.raises(ValueError, match="DateTime64"):
+        _enc("DateTime", pre)
+    assert _enc("DateTime64(6)", pre) == struct.pack("<q", -1_000_000)
+    # tz-aware input normalizes to its UTC instant
+    aware = dt.datetime(
+        1970, 1, 1, 1, 0, 0, tzinfo=dt.timezone(dt.timedelta(hours=1))
+    )
+    assert _enc("DateTime", aware) == struct.pack("<I", 0)
+
+
+def test_decimal_int64_scaled():
+    assert _enc("Decimal(10,2)", "12.34") == struct.pack("<q", 1234)
+    assert _enc("Decimal(18,6)", 1.5) == struct.pack("<q", 1_500_000)
+    with pytest.raises(ValueError, match="P <= 18"):
+        codec_for("Decimal(38,6)")
+
+
+def test_arrays_including_nested_nullable():
+    assert _enc("Array(UInt8)", [1, 2, 3]) == b"\x03\x01\x02\x03"
+    assert _enc("Array(String)", ["a", "bc"]) == b"\x02\x01a\x02bc"
+    assert _enc("Array(Nullable(UInt8))", [1, None]) == (
+        b"\x02\x00\x01\x01"
+    )
+    assert _enc("Array(UInt8)", []) == b"\x00"
+
+
+def test_unsupported_type_raises_at_parse_time():
+    with pytest.raises(ValueError, match="unsupported"):
+        codec_for("Map(String, String)")
+    with pytest.raises(ValueError, match="unsupported"):
+        codec_for("Enum8('a' = 1)")
+
+
+# --------------------------------------------------------------------------
+# Row-level encoding and schema inference
+# --------------------------------------------------------------------------
+
+
+def test_rows_to_row_binary_row_layout_and_order():
+    cols = [("k", "UInt8"), ("s", "String"), ("v", "Nullable(Float64)")]
+    rows = [
+        {"k": 1, "s": "a", "v": 1.5},
+        {"k": 2, "s": "b", "v": None},
+    ]
+    got = list(rows_to_row_binary(rows, cols))
+    assert got[0] == b"\x01" + b"\x01a" + b"\x00" + struct.pack("<d", 1.5)
+    assert got[1] == b"\x02" + b"\x01b" + b"\x01"
+    # dicts are addressed BY NAME (declared column order wins over
+    # dict insertion order)
+    shuffled = [{"v": 1.5, "s": "a", "k": 1}]
+    assert next(iter(rows_to_row_binary(shuffled, cols))) == got[0]
+
+
+def test_ck_columns_for_schema_inference(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, dt.datetime(2024, 1, 1), dt.date(2024, 1, 1), [0.5])],
+        "id long, msg string, v double, ts timestamp, d date,"
+        " emb array<double>",
+    )
+    cols = dict(ck_columns_for_schema(df.schema))
+    assert cols["id"] == "Nullable(Int64)"
+    assert cols["msg"] == "Nullable(String)"
+    assert cols["v"] == "Nullable(Float64)"
+    assert cols["ts"] == "Nullable(DateTime64(6))"
+    assert cols["d"] == "Nullable(Date32)"
+    assert cols["emb"] == "Nullable(Array(Nullable(Float64)))"
+
+
+# --------------------------------------------------------------------------
+# Writer config validation and the live wire path
+# --------------------------------------------------------------------------
+
+
+def test_row_binary_writer_validates_config_at_creation():
+    from log2ck_spark.config import SinkConfig
+    from log2ck_spark.sink import writer_for
+
+    with pytest.raises(ValueError, match="unknown format"):
+        writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={"url": "http://x", "table": "t", "format": "csv"},
+            )
+        )
+    with pytest.raises(ValueError, match="only applies"):
+        writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={
+                    "url": "http://x",
+                    "table": "t",
+                    "columns": ["a Int64"],
+                },
+            )
+        )
+    with pytest.raises(ValueError, match="unsupported"):
+        writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={
+                    "url": "http://x",
+                    "table": "t",
+                    "format": "row_binary",
+                    "columns": ["a Map(String, String)"],
+                },
+            )
+        )
+    with pytest.raises(ValueError, match="malformed column"):
+        writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={
+                    "url": "http://x",
+                    "table": "t",
+                    "format": "row_binary",
+                    "columns": ["justaname"],
+                },
+            )
+        )
+
+
+def test_row_binary_http_sink_end_to_end(spark):
+    """writer_for(format='row_binary') with EXPLICIT columns drives a
+    batch through executor-side POSTs: the query names the columns and
+    FORMAT RowBinary, and the concatenated body decodes back to the
+    exact rows under the declared layout."""
+    from urllib.parse import parse_qs, urlparse
+
+    from log2ck_spark.config import SinkConfig
+    from log2ck_spark.sink import writer_for
+    from tests.test_clickhouse_sink import _RecordingCKServer
+
+    srv = _RecordingCKServer()
+    try:
+        df = spark.createDataFrame(
+            [
+                (1, "a", 1.5, dt.datetime(2024, 1, 1, 10, 0, 0)),
+                (2, "b", None, dt.datetime(2024, 1, 2, 11, 30, 5)),
+                (3, "c", 2.5, dt.datetime(2024, 1, 3, 23, 59, 59)),
+            ],
+            "event_id long, msg string, v double, created_at timestamp",
+        ).coalesce(1)
+        writer = writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={
+                    "url": srv.url,
+                    "table": "logs",
+                    "format": "row_binary",
+                    "columns": [
+                        "event_id Int64",
+                        "msg String",
+                        "v Nullable(Float64)",
+                        "created_at DateTime64(6)",
+                    ],
+                },
+            )
+        )
+        writer(df, 0)
+        assert len(srv.requests) == 1
+        path, body = srv.requests[0]
+        q = parse_qs(urlparse(path).query)["query"][0]
+        assert q == (
+            "INSERT INTO logs (event_id, msg, v, created_at)"
+            " FORMAT RowBinary"
+        )
+        # decode the body with an independent mini-reader
+        off = 0
+
+        def take(n):
+            nonlocal off
+            chunk = body[off:off + n]
+            off += n
+            return chunk
+
+        decoded = []
+        while off < len(body):
+            eid = struct.unpack("<q", take(8))[0]
+            slen = body[off]
+            off += 1  # all test strings are < 128 bytes: 1-byte varint
+            msg = take(slen).decode()
+            if body[off] == 1:
+                off += 1
+                v = None
+            else:
+                off += 1
+                v = struct.unpack("<d", take(8))[0]
+            ticks = struct.unpack("<q", take(8))[0]
+            ts = dt.datetime(1970, 1, 1) + dt.timedelta(
+                microseconds=ticks
+            )
+            decoded.append((eid, msg, v, ts))
+        assert sorted(decoded) == [
+            (1, "a", 1.5, dt.datetime(2024, 1, 1, 10, 0, 0)),
+            (2, "b", None, dt.datetime(2024, 1, 2, 11, 30, 5)),
+            (3, "c", 2.5, dt.datetime(2024, 1, 3, 23, 59, 59)),
+        ]
+    finally:
+        srv.close()
+
+
+def test_row_binary_inferred_schema_end_to_end(spark):
+    """With NO columns option the writer infers Nullable(...) column
+    types from the Spark schema per batch — every value then carries
+    the one-byte null flag."""
+    from urllib.parse import parse_qs, urlparse
+
+    from log2ck_spark.config import SinkConfig
+    from log2ck_spark.sink import writer_for
+    from tests.test_clickhouse_sink import _RecordingCKServer
+
+    srv = _RecordingCKServer()
+    try:
+        df = spark.createDataFrame(
+            [(7, "x"), (8, None)], "k long, s string"
+        ).coalesce(1)
+        writer = writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={
+                    "url": srv.url,
+                    "table": "t",
+                    "format": "row_binary",
+                },
+            )
+        )
+        writer(df, 0)
+        path, body = srv.requests[0]
+        q = parse_qs(urlparse(path).query)["query"][0]
+        assert q == "INSERT INTO t (k, s) FORMAT RowBinary"
+        expect = (
+            b"\x00" + struct.pack("<q", 7) + b"\x00\x01x"
+            + b"\x00" + struct.pack("<q", 8) + b"\x01"
+        )
+        assert body == expect
+    finally:
+        srv.close()
