@@ -199,25 +199,49 @@ class _DateTimeCodec(_Codec):
 
 
 class _DecimalCodec(_Codec):
-    """Decimal(P<=18, S) as Int64 of value·10^S (exact)."""
+    """Decimal(P,S) as the scaled integer value·10^S — in the width
+    ClickHouse's RowBinary uses for that precision tier: Decimal32
+    (P 1..9) is an Int32, Decimal64 (P 10..18) an Int64. Getting the
+    width wrong doesn't fail one value — it misaligns every byte of
+    the row stream after it."""
 
     def __init__(self, precision: int, scale: int):
-        if precision > 18:
+        if not 1 <= precision <= 18:
             raise ValueError(
-                f"Decimal({precision},{scale}): only P <= 18 (Int64 "
-                f"storage) is supported by this encoder"
+                f"Decimal({precision},{scale}): only 1 <= P <= 18 "
+                f"(Decimal32/Decimal64 storage) is supported by this "
+                f"encoder"
             )
         self.precision, self.scale = precision, scale
+        self.fmt = "<i" if precision <= 9 else "<q"
+        # a P-digit decimal's scaled integer is bounded by 10^P
+        self.bound = 10 ** precision
 
     def encode(self, v, out: bytearray) -> None:
         if v is None:
             raise self._null_rejected(
                 f"Decimal({self.precision},{self.scale})"
             )
-        q = _decimal.Decimal(v).scaleb(self.scale).to_integral_exact(
-            rounding=_decimal.ROUND_HALF_UP
-        )
-        out += struct.pack("<q", int(q))
+        try:
+            q = int(
+                _decimal.Decimal(v).scaleb(self.scale).to_integral_exact(
+                    rounding=_decimal.ROUND_HALF_UP
+                )
+            )
+        except (_decimal.InvalidOperation, ValueError, TypeError) as e:
+            raise ValueError(
+                f"value {v!r} is not encodable as "
+                f"Decimal({self.precision},{self.scale})"
+            ) from e
+        # enforce the DECLARED precision, not just the storage width:
+        # ClickHouse does not re-validate Decimal ranges on binary
+        # input, so an overflow here would land as corrupt data
+        if not -self.bound < q < self.bound:
+            raise ValueError(
+                f"value {v!r} exceeds Decimal({self.precision},"
+                f"{self.scale}) precision"
+            )
+        out += struct.pack(self.fmt, q)
 
 
 class _NullableCodec(_Codec):
@@ -265,7 +289,15 @@ def codec_for(ck_type: str) -> _Codec:
         return _DateTimeCodec(None)
     m = re.fullmatch(r"DateTime64\((\d+)\)", t)
     if m:
-        return _DateTimeCodec(int(m.group(1)))
+        p = int(m.group(1))
+        if p > 9:
+            # ClickHouse caps DateTime64 precision at 9; past that the
+            # tick count also overflows Int64 for modern instants —
+            # reject at CONFIG time, not in the first batch's tasks
+            raise ValueError(
+                f"DateTime64({p}): ClickHouse precision is 0..9"
+            )
+        return _DateTimeCodec(p)
     m = re.fullmatch(r"Decimal\((\d+),\s*(\d+)\)", t)
     if m:
         return _DecimalCodec(int(m.group(1)), int(m.group(2)))
@@ -337,11 +369,22 @@ def rows_to_row_binary(
         d = row.asDict() if hasattr(row, "asDict") else None
         out = bytearray()
         for i, (name, codec) in enumerate(codecs):
-            if d is not None:
-                v = d.get(name)
-            elif isinstance(row, dict):
-                v = row.get(name)
-            else:
-                v = row[i]
+            # named access must FAIL on a missing name: under a
+            # Nullable column a silent .get() default would insert
+            # NULL for every row of a typo'd/drifted column name —
+            # silent data loss, against this module's contract
+            try:
+                if d is not None:
+                    v = d[name]
+                elif isinstance(row, dict):
+                    v = row[name]
+                else:
+                    v = row[i]
+            except (KeyError, IndexError) as e:
+                raise ValueError(
+                    f"declared RowBinary column {name!r} is missing "
+                    f"from the row (fields: "
+                    f"{sorted(d) if d is not None else row!r})"
+                ) from e
             codec.encode(v, out)
         yield bytes(out)

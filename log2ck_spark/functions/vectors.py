@@ -32,16 +32,26 @@ def finite_vec(vec: Column | str = "embedding") -> Column:
     (`ORACLE_FINITE_VEC` is the DuckDB twin). F.exists is a codegen'd
     higher-order predicate — one pass over the array, no UDF."""
     c = F.col(vec) if isinstance(vec, str) else vec
+    # x.isNull() must be an EXPLICIT disjunct: without it a NULL
+    # component makes Spark's exists() return NULL (three-valued
+    # logic) — dropping the row — while DuckDB's list_filter would
+    # SKIP the NULL element and keep it (review finding, r10). A NULL
+    # component is an unusable vector on both engines.
     return c.isNotNull() & ~F.exists(
-        c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+        c,
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
     )
 
 
-# DuckDB twin of finite_vec: NULL-skip + every-component-finite.
-# (isfinite(nan) and isfinite(±inf) are both false in DuckDB.)
+# DuckDB twin of finite_vec, interpolated into every vector oracle
+# (never hand-copied — a drifted copy silently redefines one query's
+# corpus): NULL-vector skip + every-component-present-and-finite.
+# (isfinite(nan) and isfinite(±inf) are both false in DuckDB; the
+# x IS NULL disjunct matches NULL components, which list_filter's
+# predicate would otherwise exclude from the filtered list.)
 ORACLE_FINITE_VEC = (
-    "embedding IS NOT NULL"
-    " AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0"
+    "embedding IS NOT NULL AND len(list_filter(embedding,"
+    " x -> x IS NULL OR NOT isfinite(x))) = 0"
 )
 
 

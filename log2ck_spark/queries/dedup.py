@@ -32,7 +32,12 @@ from log2ck_spark.functions.text import (
     simhash_from_votes,
     tokens,
 )
-from log2ck_spark.functions.vectors import as_double, cosine, finite_vec
+from log2ck_spark.functions.vectors import (
+    ORACLE_FINITE_VEC,
+    as_double,
+    cosine,
+    finite_vec,
+)
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -457,11 +462,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      WHERE embedding IS NOT NULL
-        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      WHERE {ORACLE_FINITE_VEC}
     )
     SELECT DISTINCT
            LEAST(a.vec_id, b.vec_id) AS vec_a,

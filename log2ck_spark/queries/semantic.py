@@ -20,7 +20,11 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from log2ck_spark.functions.vectors import as_double, finite_vec
+from log2ck_spark.functions.vectors import (
+    ORACLE_FINITE_VEC,
+    as_double,
+    finite_vec,
+)
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -214,7 +218,7 @@ def _kmeans_oracle() -> str:
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(FLOOR(x * {float(_Q)!r}) AS BIGINT)
                                  + {_OFFSET}) AS z
-      FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      FROM embeddings WHERE {ORACLE_FINITE_VEC}
     ),
     params AS (
       SELECT LEAST({_K_MAX}, GREATEST(1, COUNT(*) // {_CELL_TARGET})) AS k
@@ -298,7 +302,7 @@ def _semdedup_oracle() -> str:
 
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+               FROM embeddings WHERE {ORACLE_FINITE_VEC}),
     params AS (
       SELECT LEAST({_K_MAX}, GREATEST(1, COUNT(*) // {_CELL_TARGET})) AS k
       FROM e
@@ -373,10 +377,13 @@ def _seed_scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", as_double("embedding").alias("v")
     )
-    # count the RAW scan (with only the null filter), not `e`:
-    # counting after the cast+fanout would cast every embedding and
-    # shuffle the corpus just to count rows; the bare filtered scan
-    # reads the embedding column's definition levels and nothing else.
+    # count the RAW scan (with only the membership filter), not `e`:
+    # counting after the cast+fanout would add the cast and the fanout
+    # repartition to a job that only needs a row count. Since the r10
+    # finite_vec contract the filter must decode each embedding's
+    # component values (the exists() scan) — no longer a
+    # definition-levels-only read — but it is still one column, one
+    # pass, no shuffle.
     n = (
         tbl(spark, sf_dir, "embeddings")
         .where(finite_vec())

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from log2ck_spark.functions.vectors import (
+    ORACLE_FINITE_VEC,
     as_double,
     cosine,
     finite_vec,
@@ -37,7 +38,7 @@ TOP_K = 5
 @register(
     "similarity_topk",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE {ORACLE_FINITE_VEC}),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos
@@ -136,7 +137,7 @@ def _lsh_oracle() -> str:
         for t in range(_LSH_TABLES)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE {ORACLE_FINITE_VEC}),
     sigs AS (
       {sig_selects}
     ),
@@ -247,7 +248,7 @@ def _dedup_lsh_oracle() -> str:
         for t in range(_DEDUP_LSH_TABLES)
     )
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE {ORACLE_FINITE_VEC}),
     sigs AS (
       {sig_selects}
     ),
@@ -420,7 +421,7 @@ def _ivf_oracle() -> str:
     engine-order flip needs two distances within ~1e-12, and exact ties
     (duplicate vectors) break on list_id in both engines."""
     return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE {ORACLE_FINITE_VEC}),
     seeds AS (
       SELECT v AS c, CAST(ROW_NUMBER() OVER (
                ORDER BY {SEED_ORDER_SQL}

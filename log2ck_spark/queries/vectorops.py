@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from log2ck_spark.functions.vectors import as_double, cosine, finite_vec, norm
+from log2ck_spark.functions.vectors import (
+    ORACLE_FINITE_VEC,
+    as_double,
+    cosine,
+    finite_vec,
+    norm,
+)
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -26,11 +32,10 @@ from log2ck_spark.queries import register
 
 @register(
     "embedding_normalize",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      WHERE embedding IS NOT NULL
-        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      WHERE {ORACLE_FINITE_VEC}
     ), n AS (
       SELECT vec_id, v,
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
@@ -91,11 +96,10 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_quantize",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-      WHERE embedding IS NOT NULL
-        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      WHERE {ORACLE_FINITE_VEC}
     ), b AS (
       SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e
     ), q AS (
@@ -222,7 +226,7 @@ _KNN_K = 5
     oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-      FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+      FROM embeddings WHERE {ORACLE_FINITE_VEC}
     ), scored AS (
       SELECT q.vec_id AS query_id, c.label,
              ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos,

@@ -135,11 +135,33 @@ def test_datetimes_exact_integer_ticks():
     assert _enc("DateTime", aware) == struct.pack("<I", 0)
 
 
-def test_decimal_int64_scaled():
+def test_decimal_width_follows_precision_tier():
+    # Decimal64 tier (P 10..18): Int64 storage
     assert _enc("Decimal(10,2)", "12.34") == struct.pack("<q", 1234)
     assert _enc("Decimal(18,6)", 1.5) == struct.pack("<q", 1_500_000)
-    with pytest.raises(ValueError, match="P <= 18"):
+    # Decimal32 tier (P 1..9): Int32 storage — 4 bytes, not 8; the
+    # wrong width would misalign every later column in the row stream
+    assert _enc("Decimal(9,2)", "12.34") == struct.pack("<i", 1234)
+    assert _enc("Decimal(4,0)", 7) == struct.pack("<i", 7)
+    with pytest.raises(ValueError, match="1 <= P <= 18"):
         codec_for("Decimal(38,6)")
+
+
+def test_decimal_enforces_declared_precision_and_rejects_nan():
+    # 13 significant digits exceed Decimal(12,2) even though the
+    # scaled integer fits Int64 — CK does not re-validate binary
+    # input, so this must raise here, not land as corrupt data
+    with pytest.raises(ValueError, match="exceeds Decimal"):
+        _enc("Decimal(12,2)", "99999999999.99")
+    with pytest.raises(ValueError, match="not encodable"):
+        _enc("Decimal(10,2)", float("nan"))
+    with pytest.raises(ValueError, match="not encodable"):
+        _enc("Decimal(10,2)", "oops")
+
+
+def test_datetime64_precision_capped_at_config_time():
+    with pytest.raises(ValueError, match="precision is 0..9"):
+        codec_for("DateTime64(12)")
 
 
 def test_arrays_including_nested_nullable():
@@ -176,6 +198,11 @@ def test_rows_to_row_binary_row_layout_and_order():
     # dict insertion order)
     shuffled = [{"v": 1.5, "s": "a", "k": 1}]
     assert next(iter(rows_to_row_binary(shuffled, cols))) == got[0]
+    # a declared name MISSING from the row raises — under a Nullable
+    # column a silent default would insert NULL for every row of a
+    # typo'd column (silent data loss)
+    with pytest.raises(ValueError, match="missing"):
+        list(rows_to_row_binary([{"k": 1, "s": "a"}], cols))
 
 
 def test_ck_columns_for_schema_inference(spark):

@@ -60,3 +60,40 @@ def test_corpus_dim_skips_leading_null_embedding(spark):
     # All-degenerate corpus: fallback, never an exception.
     assert _corpus_dim(df.filter(F.col("vec_id") < 2)) == _TESTDATA_DIM
     assert _corpus_dim(df.limit(0)) == _TESTDATA_DIM
+
+
+def test_finite_vec_null_component_parity_with_oracle(spark, tmp_path):
+    """A vector with a NULL COMPONENT (not a NULL vector) must be
+    excluded by finite_vec on BOTH engines. r10 review finding: the
+    original Spark predicate's exists() returned NULL for such a row
+    (three-valued logic — dropped) while the oracle's list_filter
+    SKIPPED the NULL element (kept) — a silent corpus-definition
+    divergence in the very predicate pair documented as identical.
+    Both sides now spell the NULL-component disjunct explicitly."""
+    import duckdb
+
+    from log2ck_spark.functions.vectors import ORACLE_FINITE_VEC, finite_vec
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0, 3.0], 0),
+            (1, [1.0, None, 3.0], 0),     # NULL component
+            (2, None, 0),                 # NULL vector
+            (3, [float("nan"), 1.0, 1.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    df.write.parquet(path)
+    spark_kept = sorted(
+        r.vec_id
+        for r in spark.read.parquet(path).where(finite_vec()).collect()
+    )
+    duck_kept = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT vec_id FROM read_parquet('{path}/*.parquet')"
+            f" WHERE {ORACLE_FINITE_VEC}"
+        ).fetchall()
+    )
+    assert spark_kept == duck_kept == [0]
