@@ -585,11 +585,26 @@ def agg_map_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: parse + explode are scan-stage expressions; one partial-
     combined agg on (group, key) — cardinality = groups × live keys,
-    not rows."""
+    not rows.
+
+    Parse as map<string,STRING> and try_cast each value — not
+    map<string,int>: a metric bag with ONE non-integer value (a label
+    string, a nested object) would null the WHOLE map under the int
+    parse, silently dropping the row's valid counters while the
+    oracle's per-key extraction keeps them (found by the r10 --jumbo
+    gate via a 50 KB string pad key riding next to k). Per-entry
+    try_cast keeps the valid counters and drops only the non-numeric
+    entries — exactly the oracle's TRY_CAST(... AS INTEGER) IS NOT
+    NULL semantics."""
     ev = tbl(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,int>")
+    m = F.from_json("props", "map<string,string>")
     return (
-        ev.select("event_type", F.explode(m).alias("key", "val"))
+        ev.select("event_type", F.explode(m).alias("key", "val_s"))
+        .select(
+            "event_type",
+            "key",
+            F.col("val_s").try_cast("int").alias("val"),
+        )
         .filter(F.col("val").isNotNull())
         .groupBy("event_type", "key")
         .agg(

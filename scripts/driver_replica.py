@@ -81,6 +81,13 @@ onto one constant non-key row) — the web-crawl shape where the dedup/
 cluster/sketch family does its real work; duplicate classes sized
 under BUCKET_CAP so capped pair expansion stays exactly the full
 expansion and all-pairs oracles remain comparable.
+
+`--jumbo` is the same gate on the outlier-sized fixture (a ~180 KB
+doc of 20k distinct words, a single unbroken ~99 KB token, 'spam' ×
+30,000, and a 50 KB props value rendered into a 50 KB monolog line)
+— where tokenizer/shingle arrays hit 20k elements, regexes walk
+100 KB values, repetition ratios max out, and the parse grammars
+must extract from mega-lines identically on both engines.
 """
 
 from __future__ import annotations
@@ -101,7 +108,7 @@ def main() -> int:
     if argv[:1] in (
         ["--hostile"], ["--ties"], ["--unicode"], ["--badjson"],
         ["--bignum"], ["--timewarp"], ["--sparse"], ["--blank"],
-        ["--nonfinite"], ["--dupes"],
+        ["--nonfinite"], ["--dupes"], ["--jumbo"],
     ):
         from tests import oracle_harness as oh
 
@@ -116,6 +123,7 @@ def main() -> int:
             "--blank": oh.build_blank_fixture,
             "--nonfinite": oh.build_nonfinite_fixture,
             "--dupes": oh.build_dupes_fixture,
+            "--jumbo": oh.build_jumbo_fixture,
         }[argv[0]]
         try:
             sf_dir, rest = build(), argv[1:]

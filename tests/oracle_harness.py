@@ -455,6 +455,54 @@ _DUPES_REWRITES = {
 
 
 # --------------------------------------------------------------------------
+# Jumbo fixture: the ELEVENTH hostile dimension — OUTLIER-SIZED
+# documents and log lines. Web crawls routinely carry single documents
+# 1000× the median (concatenated boilerplate, minified JS, base64
+# blobs), and a log pipeline meets multi-hundred-KB lines (stack
+# traces, embedded payloads). The fixtures' docs are all ~100-500
+# chars, so every text kernel's behavior at outlier size — tokenizer
+# and shingle arrays with 20k elements, regex over 100 KB unbroken
+# tokens (backtracking risk differs per engine), repetition stats at
+# extreme ratios, winnowing windows over huge grams, BPE-ish token
+# regex on megastrings, JSON extraction from 50 KB props rendered
+# into 50 KB monolog lines — is untested. Classes injected
+# (deterministic, one doc each so the all-pairs oracles stay
+# tractable):
+#   * doc_id 7: ~180 KB of 20,000 DISTINCT pseudo-random words (md5 of
+#     the position) — huge token AND shingle sets, near-zero overlap
+#     with everything.
+#   * doc_id 13: ONE unbroken ~99 KB token (no spaces) — the tokenizer
+#     yields a single giant token, the shingle guard (n >= w) hits at
+#     scale, char-level kernels walk 99 KB in one value.
+#   * doc_id 21: 'spam ' × 30,000 — 150 KB, 30k tokens, ONE distinct
+#     token/shingle: maximal repetition ratios, fingerprint collapse.
+#   * events: one 50 KB props value (event_id % 211 = 9) that the
+#     monolog renderer embeds into a ~50 KB log line — the parse
+#     grammars must extract from mega-lines identically.
+# n_chars is recomputed so the corpus invariant holds.
+# --------------------------------------------------------------------------
+
+_JUMBO_REWRITES = {
+    "documents": (
+        "SELECT doc_id, text, lang, source, length(text) AS n_chars"
+        " FROM (SELECT doc_id,"
+        " CASE WHEN doc_id = 7 THEN"
+        "   array_to_string([substr(md5((doc_id * 100000 + i)::VARCHAR),"
+        "     1, 8) for i in range(1, 20001)], ' ')"
+        " WHEN doc_id = 13 THEN repeat('megatoken', 11000)"
+        " WHEN doc_id = 21 THEN rtrim(repeat('spam ', 30000))"
+        " ELSE text END AS text, lang, source FROM {t})"
+    ),
+    "events": (
+        "SELECT event_id, ts, user_id, event_type, value,"
+        " CASE WHEN event_id % 211 = 9 THEN"
+        "   '{{\"k\": 7, \"pad\": \"' || repeat('x', 50000) || '\"}}'"
+        " ELSE props END AS props FROM {t}"
+    ),
+}
+
+
+# --------------------------------------------------------------------------
 # Non-finite fixture: the NINTH hostile dimension — NaN and ±Infinity
 # in every double MEASURE column. JSON logs can't carry non-finite
 # floats, but parquet/protobuf/CSV pipelines ship them constantly
@@ -607,6 +655,11 @@ def build_nonfinite_fixture(src: str = "/root/testdata/sf0.001") -> str:
 def build_dupes_fixture(src: str = "/root/testdata/sf0.001") -> str:
     """The duplicate-heavy corpus fixture (see _DUPES_REWRITES)."""
     return _build_fixture("hostile_dupes", _DUPES_REWRITES, src)
+
+
+def build_jumbo_fixture(src: str = "/root/testdata/sf0.001") -> str:
+    """The outlier-sized documents/lines fixture (see _JUMBO_REWRITES)."""
+    return _build_fixture("hostile_jumbo", _JUMBO_REWRITES, src)
 
 
 def canonical(df_pandas):

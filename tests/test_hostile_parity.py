@@ -783,3 +783,77 @@ def test_dupes_gate_fixture_classes_present_and_under_cap(dupes_dir):
         f"duplicate class exceeds BUCKET_CAP={BUCKET_CAP}: "
         f"{top_text}, {emb_top} — pair-emitting oracles would diverge"
     )
+
+
+# --------------------------------------------------------------------------
+# Outlier-size (jumbo) sentinels — the eleventh hostile dimension:
+# a ~180 KB doc of 20k distinct words, a single unbroken ~99 KB
+# token, 'spam' × 30,000, and a 50 KB props value the monolog
+# renderer turns into a 50 KB log line. First full run: 168/169 —
+# ONE live defect, and not a size bug at all: agg_map_sum parsed
+# props as map<string,int>, so a metric bag with one non-integer
+# value (the 50 KB pad string riding next to k) NULLED THE WHOLE MAP
+# on Spark — silently dropping the row's valid counters — while the
+# oracle's per-key extraction kept them. The parse is now
+# map<string,string> + per-entry try_cast (drop the entry, not the
+# bag). Everything else held at outlier size: tokenizer/shingle
+# kernels on 20k-element arrays, regex over 100 KB values, the parse
+# grammars on mega-lines, repetition ratios at the extreme. The
+# full-registry replay is `python scripts/driver_replica.py --jumbo`.
+# --------------------------------------------------------------------------
+
+JUMBO_SENTINELS = (
+    "agg_map_sum",            # the red one: mixed-type metric bag
+    "json_extract",           # 50 KB props through get_json_object
+    "parse_monolog",          # 50 KB rendered log line
+    "text_token_count",       # 30k-token and 1-token outlier docs
+    "text_repetition_stats",  # maximal repetition ratios
+    "token_count_bpe",        # BPE-ish regex over a 99 KB token
+    "text_lang_id",           # trigram heuristics on megastrings
+    "dedup_ngram_jaccard",    # 20k-element shingle arrays, PPJoin
+    "text_winnow_fingerprint",  # positional grams over 30k tokens
+)
+
+
+@pytest.fixture(scope="module")
+def jumbo_dir():
+    from tests.oracle_harness import build_jumbo_fixture
+
+    return build_jumbo_fixture()
+
+
+@pytest.mark.parametrize("name", JUMBO_SENTINELS)
+def test_query_matches_oracle_on_outlier_sizes(spark, jumbo_dir, name):
+    problems = compare(
+        QUERIES[name](spark, jumbo_dir),
+        run_oracle(ORACLES[name], jumbo_dir),
+    )
+    assert problems == [], (name, problems)
+
+
+def test_jumbo_gate_fixture_outliers_present(jumbo_dir):
+    """Prove the gate is not vacuous: the three outlier documents and
+    the mega-props events must exist at their designed sizes, and the
+    mixed-type metric bag (int k + string pad) that found the
+    agg_map_sum defect must still be mixed-type."""
+    import duckdb as _duckdb
+
+    big, one_tok, spam, mega = _duckdb.sql(
+        "SELECT"
+        f" (SELECT length(text) FROM read_parquet('{jumbo_dir}/documents.parquet')"
+        "   WHERE doc_id = 7),"
+        f" (SELECT length(text) - length(replace(text, ' ', ''))"
+        f"   FROM read_parquet('{jumbo_dir}/documents.parquet')"
+        "   WHERE doc_id = 13),"
+        f" (SELECT len(list_distinct(string_split(text, ' ')))"
+        f"   FROM read_parquet('{jumbo_dir}/documents.parquet')"
+        "   WHERE doc_id = 21),"
+        f" (SELECT count(*) FROM read_parquet('{jumbo_dir}/events.parquet')"
+        "   WHERE length(props) > 50000"
+        "     AND json_extract_string(props::JSON, 'k') = '7'"
+        "     AND length(json_extract_string(props::JSON, 'pad')) = 50000)"
+    ).fetchone()
+    assert big > 150_000, f"doc 7 shrank: {big}"
+    assert one_tok == 0, f"doc 13 gained spaces: {one_tok}"
+    assert spam == 1, f"doc 21 should have ONE distinct token: {spam}"
+    assert mega > 0, "mega-props mixed-type rows missing"
