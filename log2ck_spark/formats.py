@@ -273,6 +273,15 @@ def codec_for(ck_type: str) -> _Codec:
     ValueError on anything unsupported — at writer creation, by
     contract."""
     t = ck_type.strip()
+    # LowCardinality is a STORAGE property — over an HTTP RowBinary
+    # insert the wire encoding is the plain inner type (the server
+    # dictionary-encodes on write). The reference's own DDL declares
+    # every log string column LowCardinality(String)
+    # (/root/reference/readme.md:111-116), so a user pasting their
+    # DESCRIBE TABLE text must not hit "unsupported type" here.
+    m = re.fullmatch(r"LowCardinality\((.+)\)", t)
+    if m:
+        return codec_for(m.group(1))
     if t in _INT_SPECS:
         return _IntCodec(t)
     if t in ("Float32", "Float64"):
@@ -285,9 +294,13 @@ def codec_for(ck_type: str) -> _Codec:
         return _DateCodec(wide=False)
     if t == "Date32":
         return _DateCodec(wide=True)
-    if t == "DateTime":
+    # DateTime['TZ'] / DateTime64(p[, 'TZ']): the binary wire value is
+    # epoch-based, so a declared column timezone changes nothing here
+    # (it only governs how the SERVER renders/parses text formats) —
+    # accept and ignore it rather than reject the DESCRIBE TABLE text.
+    if t == "DateTime" or re.fullmatch(r"DateTime\('[^']+'\)", t):
         return _DateTimeCodec(None)
-    m = re.fullmatch(r"DateTime64\((\d+)\)", t)
+    m = re.fullmatch(r"DateTime64\((\d+)(?:,\s*'[^']+')?\)", t)
     if m:
         p = int(m.group(1))
         if p > 9:

@@ -444,3 +444,21 @@ def test_tail_to_clickhouse_rowbinary_stream_end_to_end(spark, tmp_path):
     finally:
         stop_all(spark)
         srv.close()
+
+
+def test_lowcardinality_and_timezone_type_spellings():
+    """The reference's own DDL (readme.md:111-116) declares
+    LowCardinality(String) and DateTime columns — the DESCRIBE TABLE
+    text a user would paste into the 'columns' option. LowCardinality
+    is storage-side (wire encoding = inner type); a declared column
+    timezone changes nothing about epoch-based binary values."""
+    assert _enc("LowCardinality(String)", "app") == b"\x03app"
+    assert _enc("Nullable(LowCardinality(String))", None) == b"\x01"
+    assert _enc("LowCardinality(Nullable(String))", "x") == b"\x00\x01x"
+    t = dt.datetime(1970, 1, 1, 0, 1, 40)
+    assert _enc("DateTime('UTC')", t) == _enc("DateTime", t)
+    assert _enc("DateTime64(6, 'Asia/Shanghai')", t) == _enc(
+        "DateTime64(6)", t
+    )
+    with pytest.raises(ValueError, match="precision is 0..9"):
+        codec_for("DateTime64(12, 'UTC')")
