@@ -594,8 +594,13 @@ def agg_map_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's per-key extraction keeps them (found by the r10 --jumbo
     gate via a 50 KB string pad key riding next to k). Per-entry
     try_cast keeps the valid counters and drops only the non-numeric
-    entries — exactly the oracle's TRY_CAST(... AS INTEGER) IS NOT
-    NULL semantics."""
+    entries, matching the oracle's TRY_CAST(... AS INTEGER) IS NOT
+    NULL filter on the counter domain (JSON INTEGER values). Known
+    engine asymmetry on NON-integral numerics — Spark's
+    try_cast('7.5' as int) is NULL where DuckDB's TRY_CAST rounds to
+    8 — is PARITY.md's documented decimal-string corner (pinned by
+    test_decimal_string_json_k_corner); sumMap-style counters are
+    integers by contract."""
     ev = tbl(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,string>")
     return (
