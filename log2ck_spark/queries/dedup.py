@@ -63,6 +63,25 @@ JACCARD_THRESHOLD = 0.7  # fixture near-dups cluster at >=0.9; noise <0.3
 # bound and the connectivity guarantee on a synthetic dup-class bomb.
 BUCKET_CAP = 1024
 
+# Hard bound on per-DOCUMENT shingle-set size (r10, the --jumbo
+# gate's scale follow-through). MinHash cost is |shingles| × 128
+# hashes in the ONE task holding the row, and the row itself carries
+# 8·|shingles| bytes through every downstream join: a 1 GB crawl
+# outlier (~10⁸ tokens) is a ~10¹⁰-hash straggler task and an ~800 MB
+# shuffle row — the per-document twin of the per-bucket bomb above.
+# The cap keeps the FIRST 2¹⁸ distinct shingles in document order
+# (array_distinct preserves first occurrence, so the slice is a
+# deterministic prefix-of-document cap — no sampling, no seed).
+# Same contract as BUCKET_CAP: at or under the cap the shingle set is
+# EXACTLY unchanged (the --jumbo outlier tops out at 20k shingles,
+# ~7% of the cap, so every oracle row is bit-identical), and the
+# documented production posture is that docs past ~250k distinct
+# shingles should be length-filtered upstream (text_gopher_rules /
+# curate_pipeline) before entering near-dup — the cap is the
+# engine-side guarantee that one pathological page cannot straggle
+# the stage either way. tests/test_dedup_scale.py pins both halves.
+SHINGLE_CAP = 1 << 18
+
 _ORACLE_SHINGLE_PAIRS = """
     WITH tok AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -92,7 +111,15 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tbl(spark, sf_dir, "documents", fanout=True)
         .select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", hashed_shingles("toks", w=5).alias("sh"))
+        .select(
+            "doc_id",
+            # SHINGLE_CAP: deterministic prefix cap on the distinct-
+            # shingle set (see the constant's docstring) — a no-op for
+            # every doc under 2^18 distinct shingles
+            F.slice(
+                hashed_shingles("toks", w=5), 1, SHINGLE_CAP
+            ).alias("sh"),
+        )
     )
 
 

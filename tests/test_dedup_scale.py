@@ -80,3 +80,38 @@ def test_candidate_pairs_bomb_completes_bounded(spark):
         F.explode(F.array("doc_a", "doc_b")).alias("x")
     ).distinct().count()
     assert n_docs == d
+
+
+def test_shingle_cap_noop_under_cap_and_bounds_over_cap(spark):
+    """SHINGLE_CAP (r10, the --jumbo follow-through): docs at or under
+    2^18 distinct shingles keep their EXACT shingle set (fixture-scale
+    oracle rows unchanged — the --jumbo outlier is ~20k, 7% of the
+    cap), while a pathological outlier's set is cut to a
+    deterministic first-occurrence prefix, bounding both the MinHash
+    hash count and the shuffle row for the one task holding it."""
+    from pyspark.sql import functions as F
+
+    from log2ck_spark.functions.text import hashed_shingles, tokens
+    from log2ck_spark.queries.dedup import SHINGLE_CAP
+
+    # under-cap doc: capped spelling == uncapped spelling exactly
+    words = " ".join(f"w{i}" for i in range(5000))
+    df = spark.createDataFrame([(words,)], "text string").select(
+        tokens("text").alias("toks")
+    )
+    uncapped = df.select(hashed_shingles("toks", w=5).alias("sh"))
+    capped = df.select(
+        F.slice(hashed_shingles("toks", w=5), 1, SHINGLE_CAP).alias("sh")
+    )
+    assert uncapped.collect()[0]["sh"] == capped.collect()[0]["sh"]
+
+    # over-cap synthetic: a 300k-element array slices to exactly the
+    # cap, preserving the prefix (deterministic, no sampling)
+    big = spark.range(1).select(
+        F.sequence(F.lit(1), F.lit(300_000)).alias("sh")
+    )
+    out = big.select(F.slice("sh", 1, SHINGLE_CAP).alias("sh")).collect()[0][
+        "sh"
+    ]
+    assert len(out) == SHINGLE_CAP
+    assert out[:5] == [1, 2, 3, 4, 5]
