@@ -462,3 +462,87 @@ def test_lowcardinality_and_timezone_type_spellings():
     )
     with pytest.raises(ValueError, match="precision is 0..9"):
         codec_for("DateTime64(12, 'UTC')")
+
+
+def test_reference_log_table_ddl_encodes_verbatim(spark):
+    """The reference's published ClickHouse log-table DDL
+    (/root/reference/readme.md:109-123: repo/name/host/logger/level
+    LowCardinality(String), created_at DateTime, message/context/extra
+    String) pasted VERBATIM as the sink's column layout must encode a
+    parsed monolog row end-to-end — the exact switch-over path a
+    log2ck user takes: keep their table, point this engine's
+    row_binary sink at it."""
+    from urllib.parse import parse_qs, urlparse
+
+    from log2ck_spark.config import SinkConfig
+    from log2ck_spark.sink import writer_for
+    from tests.test_clickhouse_sink import _RecordingCKServer
+
+    ddl_columns = [
+        "repo LowCardinality(String)",
+        "name LowCardinality(String)",
+        "host LowCardinality(String)",
+        "created_at DateTime",
+        "logger LowCardinality(String)",
+        "level LowCardinality(String)",
+        "message String",
+        "context String",
+        "extra String",
+    ]
+    srv = _RecordingCKServer()
+    try:
+        df = spark.createDataFrame(
+            [
+                (
+                    "demo-repo",
+                    "app-log",
+                    "host-1",
+                    dt.datetime(2024, 1, 1, 10, 0, 0),
+                    "app",
+                    "ERROR",
+                    "boom",
+                    '{"k": 7}',
+                    "[]",
+                )
+            ],
+            "repo string, name string, host string,"
+            " created_at timestamp, logger string, level string,"
+            " message string, context string, extra string",
+        ).coalesce(1)
+        writer = writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={
+                    "url": srv.url,
+                    "table": "repo",
+                    "format": "row_binary",
+                    "columns": ddl_columns,
+                },
+            )
+        )
+        writer(df, 0)
+        path, body = srv.requests[0]
+        q = parse_qs(urlparse(path).query)["query"][0]
+        assert q == (
+            "INSERT INTO repo (repo, name, host, created_at, logger,"
+            " level, message, context, extra) FORMAT RowBinary"
+        )
+        epoch = int(
+            dt.datetime(2024, 1, 1, 10, 0, 0)
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+        )
+        expect = (
+            b"\x09demo-repo"
+            + b"\x07app-log"
+            + b"\x06host-1"
+            + struct.pack("<I", epoch)
+            + b"\x03app"
+            + b"\x05ERROR"
+            + b"\x04boom"
+            + b"\x08" + b'{"k": 7}'
+            + b"\x02[]"
+        )
+        assert body == expect
+    finally:
+        srv.close()
