@@ -52,7 +52,13 @@ class TailSpec:
     name: str
     path: str  # file/glob; {date} macro supported (Manager.php:82-85)
     repo: str = "default"
-    host: str = "localhost"
+    # Reference parity: Worker.php:148 defaults the host enrichment to
+    # gethostname(). Tails run on the DRIVER (the tailf source reads
+    # driver-local files), so the driver's hostname is the faithful
+    # default; pass host= explicitly to override. The field default is
+    # a sentinel resolved in __post_init__ so dataclass defaults stay
+    # static/introspectable.
+    host: str = ""
     # None ⇒ monolog default; False ⇒ raw passthrough (A6, readme.md:81)
     pattern: Union[str, None, bool] = None
     groups: tuple[str, ...] = MONOLOG_GROUPS
@@ -74,6 +80,12 @@ class TailSpec:
     # Only with follow=True: start pre-existing files at EOF, like the
     # reference with no offset cache (A2, Worker.php:176).
     skip_history: bool = True
+
+    def __post_init__(self) -> None:
+        if not self.host:
+            import socket
+
+            self.host = socket.gethostname()
 
 
 @dataclass

@@ -167,7 +167,17 @@ class _DateCodec(_Codec):
 
 
 class _DateTimeCodec(_Codec):
-    """DateTime → UInt32 epoch seconds; DateTime64(p) → Int64 ticks."""
+    """DateTime → UInt32 epoch seconds; DateTime64(p) → Int64 ticks.
+
+    Sub-second precision contract: a plain DateTime column is
+    second-granular, so a timestamp's microseconds are TRUNCATED
+    toward the floor — the same thing ClickHouse itself does when a
+    fractional text timestamp lands in a DateTime column, and the
+    unavoidable semantics of the UInt32-seconds wire slot. This is the
+    module's one deliberate lossy conversion (documented, matching the
+    server); declare DateTime64(6) to keep microseconds. DateTime64
+    tick counts that overflow Int64 (a far-future instant at p=9)
+    raise ValueError like every other out-of-range value here."""
 
     def __init__(self, precision: "int | None"):
         self.precision = precision
@@ -195,7 +205,17 @@ class _DateTimeCodec(_Codec):
                 ticks = us * 10 ** (p - 6)
             else:
                 ticks = us // 10 ** (6 - p)
-            out += struct.pack("<q", ticks)
+            try:
+                out += struct.pack("<q", ticks)
+            except struct.error as e:
+                # e.g. year 9999 at p=9: 2.5e20 ticks > Int64 — the
+                # same loud ValueError contract as every other
+                # out-of-range value (a bare struct.error here would
+                # escape the documented error type)
+                raise ValueError(
+                    f"timestamp {v} outside DateTime64({p}) Int64 tick"
+                    " range — lower the precision"
+                ) from e
 
 
 class _DecimalCodec(_Codec):

@@ -126,10 +126,18 @@ def split_valid(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def enrich(
-    df: DataFrame, repo: str, name: str, host: str = "localhost"
+    df: DataFrame, repo: str, name: str, host: "str | None" = None
 ) -> DataFrame:
     """A8: stamp repo/name/host constants, overwriting any same-named
-    columns the callback produced (reference order, `Worker.php:146-148`)."""
+    columns the callback produced (reference order, `Worker.php:146-148`).
+    host=None defaults to the machine's hostname — Worker.php:148
+    defaults host to gethostname(), and this runs on the DRIVER (lit()
+    is evaluated here, not per-executor), matching the reference's
+    single-process model."""
+    if host is None:
+        import socket
+
+        host = socket.gethostname()
     return (
         df.drop("repo", "name", "host")
         .withColumn("repo", F.lit(repo))

@@ -84,91 +84,73 @@ def load_all() -> None:
 # ROTATION.md. Python dicts preserve insertion order, so a plain
 # rebuild is enough.
 ROTATION_FIRST: tuple[str, ...] = (
-    # ONLY queries whose code/oracle changed after their latest driver
-    # row are pinned — the automatic stalest-first order handles
-    # everything else (never-checked first, then failed-last-check,
-    # then stalest green). All 15 r9 pins (the 9 unicode-fix names and
-    # the 6 badjson JSON-extraction names) went full-value green in
-    # CORRECTNESS_r09 and are RELEASED per the pin rule.
+    # r11 window — pinned in FULL (50 names) for determinism. Three
+    # groups; see ROTATION.md "Round 11 window" for the accounting.
     #
-    # r10 pins, batch 1 — the decimal(18,6) → TRY_CAST exact-aggregate
-    # migration (SCALE.md "Known domain bound"; functions/numeric.py):
-    # every dsum/davg oracle twin and inline decimal-sum SQL changed
-    # from CAST to TRY_CAST (out-of-range values now NULL-skip
-    # identically on both engines instead of killing the query under
-    # ANSI). 45 oracles changed (diffed mechanically against the r9
-    # HEAD registry); in-range fixture values are bit-identical, so
-    # these rows must simply re-prove green on the new SQL.
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_share",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_join",
-    "tpch_q20_excess_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "agg_group_count",
-    "agg_skew_salted",
-    "agg_time_bucket",
-    "anomaly_zscore",
-    "bm25_score",
-    "cube_rollup",
-    "doc_entropy",
-    "doc_perplexity",
-    "drift_psi",
-    "embedding_centroid",
-    "embedding_dim_stats",
-    "ingest_json_lines",
-    "join_bucketed_colocated",
-    "join_dim",
-    "join_skew_salted",
-    "json_extract",
-    "scan_partition_prune",
-    "seasonal_hour_profile",
-    "sliding_window_agg",
-    "stats_moments",
-    "stream_session_window",
-    "stream_static_join",
-    "stream_tumbling_agg",
-    "time_weighted_avg",
-    "topk_order_limit",
-    "window_running",
-    "window_time_range",
-    # r10 pins, batch 2 — callback_transform's oracle now extracts k
-    # from the SPACE-STRIPPED props (mirroring the renderer — ADVICE
-    # fix), and the BUCKET_CAP bounded pair expansion changed the
-    # PLANS of the four _candidate_pairs/_exact_jaccard_pairs
-    # consumers (output unchanged at fixture scale — the cap only
-    # binds past 1024 ids/bucket — but the pin rule is code-changed,
-    # not output-changed).
-    "callback_transform",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    # r10 pins, batch 3 — the --bignum gate (extreme magnitudes, the
-    # migration's end-to-end fixture) found 12 live divergences on its
-    # first run: DuckDB's direct double↔decimal conversions are NOT
-    # correctly rounded past ~9e9 (inputs) / ~16 significant digits
-    # (outputs), its ROUND(double, 6) drifts 1 ulp past ~9e9, and the
-    # accesslog oracle counted negative-bytes lines the (\d+) grammar
-    # rejects. Fixes: every decimal-sum oracle twin routes BOTH
-    # conversions through VARCHAR (shortest-repr digits — exactly the
-    # BigDecimal.valueOf contract Spark uses), oracle_round6 for
-    # large-magnitude rounds, a decimal-space window total in
-    # seasonal_hour_profile, and the grammar-faithful bytes >= 0
-    # predicate here. All touched names were already pinned above
-    # except parse_accesslog:
-    "parse_accesslog",
+    # Group 1 — the 24-name code-changed queue carried out of r10
+    # (names whose code/oracle changed AFTER their latest driver row;
+    # the pin rule says these re-prove first). 7 timewarp
+    # (epoch-truncation contract), 9 sparse (NULL-embedding /
+    # NULLS FIRST / NULL-measure contracts), 2 blank (CSV round-trip,
+    # logfmt grammar), 5 nonfinite (finite_vec / finite-observation
+    # contracts), 1 jumbo (agg_map_sum per-entry try_cast):
+    "rate_counter",
+    "agg_latest_by_key",
+    "iat_stats",
+    "sessionize_gap",
+    "runs_encode",
+    "stream_stream_join",
+    "zorder_layout",
+    "similarity_topk",
+    "similarity_lsh",
+    "similarity_ivf",
+    "knn_classify",
+    "dedup_embedding_lsh",
+    "embedding_kmeans",
+    "dedup_semantic",
+    "window_ntile",
+    "sketch_quantile_hist",
+    "ingest_csv",
+    "parse_logfmt",
+    "anomaly_ewma",
+    "dedup_embedding",
+    "embedding_normalize",
+    "embedding_quantize",
+    "percentile_agg",
+    "agg_map_sum",
+    # Group 2 — new this round (never driver-checked): the exact-sum
+    # domain-contract audit query (VERDICT r10 item 5).
+    "agg_sum_audited",
+    # Group 3 — stale-evidence drain (VERDICT r10 item 1): all 14
+    # remaining r6-latest names, then the 11 stalest r7 names that
+    # fit. 9 r7 names defer to r12 (listed in ROTATION.md with
+    # rationale; they become the unique stalest tier next round, so
+    # the automatic order surfaces them first even unpinned).
+    "datetime_funcs",
+    "distinct_exact",
+    "join_semi_anti",
+    "project_columns",
+    "sample_hash_bernoulli",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort_within",
+    "string_match",
+    "topk_per_group",
+    "topk_per_group_twophase",
+    "tpch_q4_order_priority",
+    "window_rank",
+    "heavy_hitters",
+    "pii_scrub",
+    "stream_dedup",
+    "text_lang_id",
+    "text_token_count",
+    "text_quality_score",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_cnt",
+    "tpch_q21_waiting_supplier",
+    "ttl_expire",
 )
 
 

@@ -584,7 +584,7 @@ def accesslog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "parse_accesslog",
-    oracle=f"""
+    oracle=rf"""
     SELECT '10.0.0.' || (user_id % 50) AS ip,
            'u' || user_id AS http_user,
            DATE_TRUNC('second', ts) AS created_at,

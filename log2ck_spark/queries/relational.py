@@ -223,6 +223,48 @@ def agg_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# B7b agg_sum_audited — the exact-sum domain contract, made observable
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_sum_audited",
+    oracle="""
+    SELECT event_type,
+           {total_value},
+           COUNT(value)
+             - COUNT(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)))
+             AS excluded_count,
+           COUNT(TRY_CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)))
+             AS included_count
+    FROM events
+    GROUP BY event_type
+    """.format(total_value=oracle_dsum("value", "total_value")),
+)
+def agg_sum_audited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dsum with an EXCLUDED-COUNT companion (VERDICT r10 item 5).
+
+    The exact-aggregate chain (functions/numeric.py) NULL-skips values
+    the decimal(18,6) domain can't hold (|x| >= 1e12, NaN, ±Inf) —
+    identically on both engines, but silently. This query is the
+    documented opt-in audit pattern: alongside the sum it emits
+    ``excluded_count`` = non-NULL source values the exact sum dropped
+    (count(value) − count(try_cast(value))) and ``included_count``, so
+    a pipeline summing wide-range measures (byte counters, durations)
+    can ALERT on exclusion instead of discovering it in an audit. Both
+    counts reuse the proven try_cast primitives, so the predicate is
+    bit-identical to what dsum itself skipped. Zero extra shuffles —
+    the counts ride the same partial+final hash aggregate as the sum.
+    """
+    d = F.col("value").try_cast(DECIMAL)
+    return tbl(spark, sf_dir, "events").groupBy("event_type").agg(
+        dsum("value", "total_value"),
+        (F.count("value") - F.count(d)).alias("excluded_count"),
+        F.count(d).alias("included_count"),
+    )
+
+
+# --------------------------------------------------------------------------
 # B8 agg_time_bucket — toDate/toStartOfHour-style bucketing
 # --------------------------------------------------------------------------
 

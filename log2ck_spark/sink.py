@@ -309,6 +309,77 @@ def rows_to_json_each_row(rows) -> "Iterator[bytes]":
         ).encode("utf-8")
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a ClickHouse identifier (column names land in
+    the INSERT statement text). Escaping follows CK's quoted-identifier
+    rules (backslash escapes inside backticks) — an unquoted name that
+    is a reserved word, carries a space, or starts with a digit (all
+    possible when names come from a Spark schema or DESCRIBE) would
+    otherwise break the query or silently alter its meaning."""
+    return "`" + name.replace("\\", "\\\\").replace("`", "\\`") + "`"
+
+
+def describe_table_columns(
+    url: str,
+    table: str,
+    timeout_s: float = 30.0,
+    user: "str | None" = None,
+    password: "str | None" = None,
+    params: "dict[str, str] | None" = None,
+) -> "dict[str, str]":
+    """Fetch the target table's ACTUAL column layout from the server —
+    `DESCRIBE TABLE <t> FORMAT TabSeparated` over the same HTTP
+    endpoint the inserts use. Returns {name: ck_type} for INSERTABLE
+    columns only (MATERIALIZED/ALIAS columns cannot be written and are
+    dropped here, exactly as CK drops them from `INSERT INTO t` column
+    expansion).
+
+    This exists because the table's declared types GOVERN RowBinary
+    decoding: a zero-config layout inferred from a Spark schema marks
+    virtually every column Nullable(T) (one flag byte per value),
+    which a non-Nullable target column — e.g. every column of the
+    reference's published DDL, all LowCardinality(String)/DateTime —
+    would misparse, failing the insert or corrupting data. Asking the
+    server is the only layout source that cannot drift."""
+    import urllib.parse as _up
+    import urllib.request as _ur
+
+    qs = {"query": f"DESCRIBE TABLE {table} FORMAT TabSeparated"}
+    qs.update(params or {})
+    endpoint = url.rstrip("/") + "/?" + _up.urlencode(qs)
+    headers = {}
+    if user is not None:
+        headers["X-ClickHouse-User"] = user
+    if password is not None:
+        headers["X-ClickHouse-Key"] = password
+    req = _ur.Request(endpoint, headers=headers, method="GET")
+    with _ur.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310
+        if not 200 <= resp.status < 300:
+            raise RuntimeError(
+                f"DESCRIBE TABLE {table} failed: HTTP {resp.status}"
+            )
+        text = resp.read().decode("utf-8")
+    out: dict[str, str] = {}
+    for line in text.splitlines():
+        if not line:
+            continue
+        fields = line.split("\t")
+        name, ck_type = fields[0], fields[1] if len(fields) > 1 else ""
+        default_type = fields[2] if len(fields) > 2 else ""
+        if default_type in ("MATERIALIZED", "ALIAS"):
+            continue
+        if not ck_type:
+            raise ValueError(
+                f"DESCRIBE TABLE {table}: malformed TSV line {line!r}"
+            )
+        out[name] = ck_type
+    if not out:
+        raise ValueError(
+            f"DESCRIBE TABLE {table} returned no insertable columns"
+        )
+    return out
+
+
 def http_insert_in_batches(
     url: str,
     table: str,
@@ -319,6 +390,8 @@ def http_insert_in_batches(
     password: "str | None" = None,
     params: "dict[str, str] | None" = None,
     columns: "list[tuple[str, str]] | None" = None,
+    compression: "str | None" = "gzip",
+    compression_level: int = 3,
 ) -> int:
     """Batched INSERT over ClickHouse's public HTTP interface: POST
     `INSERT INTO <table> FORMAT JSONEachRow` with newline-delimited
@@ -336,14 +409,30 @@ def http_insert_in_batches(
     the same endpoint (formats.rows_to_row_binary): no JSON text
     encode, no server-side parse, non-finite floats carried natively,
     binary columns without base64. The INSERT names the columns in
-    the declared order so the server never guesses the layout."""
+    the declared order so the server never guesses the layout.
+
+    `compression="gzip"` (the DEFAULT) gzips every request body and
+    sets `Content-Encoding: gzip` — ClickHouse's HTTP interface
+    decompresses natively, no server setting required. This closes the
+    transport-compression half of the native-TCP protocol's remaining
+    edge (DEPLOY.md): measured on log-shaped JSONEachRow batches the
+    body shrinks ~6-7× (RowBinary ~3-4×) at level 3's ~150 MB/s/core —
+    far above any single stream's line rate, so at 100 TB the win is
+    pure network. Level 1 trades ~15% body size for ~25% less CPU;
+    `compression=None` restores the uncompressed wire."""
+    import gzip as _gzip
     import urllib.parse as _up
     import urllib.request as _ur
 
     from log2ck_spark.formats import rows_to_row_binary
 
+    if compression not in (None, "gzip"):
+        raise ValueError(
+            f"unsupported HTTP insert compression: {compression!r} "
+            f"(expected 'gzip' or None)"
+        )
     if columns is not None:
-        col_list = ", ".join(name for name, _t in columns)
+        col_list = ", ".join(_quote_ident(name) for name, _t in columns)
         query = f"INSERT INTO {table} ({col_list}) FORMAT RowBinary"
         body_rows = rows_to_row_binary(rows, columns)
         sep, tail = b"", b""
@@ -365,9 +454,18 @@ def http_insert_in_batches(
         headers["X-ClickHouse-Key"] = password
 
     def _flush(buf: list[bytes]) -> None:
+        data = sep.join(buf) + tail
+        if compression == "gzip":
+            # mtime=0: deterministic bytes (the gzip header otherwise
+            # embeds wall-clock time — untestable golden bodies and
+            # pointless entropy on retries of the same batch)
+            data = _gzip.compress(
+                data, compresslevel=compression_level, mtime=0
+            )
+            headers["Content-Encoding"] = "gzip"
         req = _ur.Request(
             endpoint,
-            data=sep.join(buf) + tail,
+            data=data,
             headers=headers,
             method="POST",
         )
@@ -417,12 +515,33 @@ def clickhouse_http_writer(
     JSONEachRow to FORMAT RowBinary (log2ck_spark/formats.py — the
     native column binary encodings, the efficiency of the reference's
     native-TCP inserts over the deployable HTTP endpoint). Column
-    types come from the `columns` option ("name CkType" strings, the
-    DESCRIBE TABLE text) or, when omitted, are inferred from the
-    batch's Spark schema per micro-batch (nullable fields →
-    Nullable(T), timestamps → DateTime64(6)). An explicit `columns`
-    list is validated HERE — writer creation — so an unsupported type
-    fails at config time, not in the first batch's tasks."""
+    types — which GOVERN how the server decodes the bytes — come from,
+    in order:
+
+      * the `columns` option ("name CkType" strings, the DESCRIBE
+        TABLE text) — validated HERE, writer creation, so an
+        unsupported type fails at config time, not in the first
+        batch's tasks;
+      * omitted (the default): the writer asks the SERVER —
+        `DESCRIBE TABLE` over the same endpoint at writer creation —
+        and each batch inserts its DataFrame columns under the
+        server's declared types. This is the only drift-proof layout
+        source: inferring from the Spark schema marks nearly every
+        column Nullable(T) (a per-value flag byte), which a
+        non-Nullable target column misparses — byte-misaligned rows,
+        i.e. corrupt data, on any real table (the reference's DDL is
+        all non-Nullable);
+      * `columns: "infer"`: the legacy per-batch Spark-schema
+        inference (nullable → Nullable(T), timestamp → DateTime64(6)).
+        ONLY correct when the target table's columns are exactly the
+        inferred types — e.g. a table created from
+        `formats.ck_columns_for_schema` output. Kept for that
+        round-trip case and for offline tests; prefer the default.
+
+    `compression`: "gzip" (default) | "none" — see
+    http_insert_in_batches. `compression_level`: gzip level (default
+    3; measured ~7× body reduction at ~150 MB/s/core on log-shaped
+    JSONEachRow)."""
     opts: dict[str, Any] = dict(sink.options)
     table = str(_require_opt(opts, "table", "clickhouse_http"))
     url = str(_require_opt(opts, "url", "clickhouse_http"))
@@ -435,13 +554,33 @@ def clickhouse_http_writer(
             f"clickhouse_http sink: unknown format {fmt!r} "
             f"(expected 'json_each_row' or 'row_binary')"
         )
+    compression: "str | None" = str(
+        opts.pop("compression", "gzip")
+    ).lower()
+    if compression in ("none", ""):
+        compression = None
+    elif compression != "gzip":
+        raise ValueError(
+            f"clickhouse_http sink: unknown compression {compression!r} "
+            f"(expected 'gzip' or 'none')"
+        )
+    compression_level = int(opts.pop("compression_level", 3))
     declared: "list[tuple[str, str]] | None" = None
-    if (raw_cols := opts.pop("columns", None)) is not None:
-        if fmt != "row_binary":
+    infer_from_schema = False
+    raw_cols = opts.pop("columns", None)
+    if raw_cols is not None and fmt != "row_binary":
+        raise ValueError(
+            "clickhouse_http sink: 'columns' only applies to "
+            "format='row_binary'"
+        )
+    if isinstance(raw_cols, str):
+        if raw_cols != "infer":
             raise ValueError(
-                "clickhouse_http sink: 'columns' only applies to "
-                "format='row_binary'"
+                f"clickhouse_http sink: columns={raw_cols!r} — expected "
+                f"a list of 'name CkType' entries or the string 'infer'"
             )
+        infer_from_schema = True
+    elif raw_cols is not None:
         declared = []
         for entry in raw_cols:
             if isinstance(entry, str):
@@ -462,11 +601,40 @@ def clickhouse_http_writer(
     # the query string — nothing is silently dropped
     params = {k: str(v) for k, v in opts.items()}
 
+    server_types: "dict[str, str] | None" = None
+    if fmt == "row_binary" and declared is None and not infer_from_schema:
+        # Writer creation is the fail-loudly point: fetch the layout
+        # and validate every server type's codec NOW, so an
+        # unreachable server or an unencodable column type never
+        # starts a stream that dies in its first batch's tasks.
+        from log2ck_spark.formats import codec_for
+
+        server_types = describe_table_columns(
+            url, table, user=user, password=password, params=params
+        )
+        for _n, t in server_types.items():
+            codec_for(t)
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if fmt == "row_binary":
-            from log2ck_spark.formats import ck_columns_for_schema
+            if declared is not None:
+                columns = declared
+            elif server_types is not None:
+                missing = [
+                    c for c in batch_df.columns if c not in server_types
+                ]
+                if missing:
+                    raise ValueError(
+                        f"batch columns {missing} do not exist as "
+                        f"insertable columns of {table} (server has: "
+                        f"{sorted(server_types)}) — rename upstream or "
+                        f"declare 'columns' explicitly"
+                    )
+                columns = [(c, server_types[c]) for c in batch_df.columns]
+            else:
+                from log2ck_spark.formats import ck_columns_for_schema
 
-            columns = declared or ck_columns_for_schema(batch_df.schema)
+                columns = ck_columns_for_schema(batch_df.schema)
         else:
             columns = None
 
@@ -480,6 +648,8 @@ def clickhouse_http_writer(
                 password=password,
                 params=params,
                 columns=columns,
+                compression=compression,
+                compression_level=compression_level,
             )
 
         batch_df.rdd.foreachPartition(_insert_partition)

@@ -36,6 +36,21 @@ def test_load_config_json_roundtrip(tmp_path):
     assert cfg.trigger_seconds == 1
 
 
+def test_host_defaults_to_gethostname(tmp_path):
+    """Reference parity (Worker.php:148): the host enrichment defaults
+    to gethostname(), not a 'localhost' literal — a drop-in config
+    with no host key must stamp the real machine name. Explicit host
+    still wins."""
+    import socket
+
+    from log2ck_spark.config import TailSpec
+    from log2ck_spark.parse import enrich
+
+    assert TailSpec(name="t", path="/x").host == socket.gethostname()
+    assert TailSpec(name="t", path="/x", host="h9").host == "h9"
+    assert enrich.__defaults__ == (None,)  # column-level default: resolved lazily
+
+
 def test_load_config_rejects_unknown_keys(tmp_path):
     p = tmp_path / "bad.json"
     p.write_text(json.dumps({"tails": [{"name": "x", "path": "/y", "oops": 1}]}))

@@ -115,3 +115,43 @@ def test_shingle_cap_noop_under_cap_and_bounds_over_cap(spark):
     ]
     assert len(out) == SHINGLE_CAP
     assert out[:5] == [1, 2, 3, 4, 5]
+
+
+def test_fixture_corpora_stay_under_shingle_cap():
+    """Oracle-divergence canary (ADVICE r10): SHINGLE_CAP is applied
+    Spark-side only — the DuckDB oracle (_ORACLE_SHINGLE_PAIRS)
+    computes UNCAPPED shingle sets, so the parity gate is meaningful
+    only while every fixture document stays under the cap. If a
+    future fixture/testdata refresh ships a >2^18-distinct-shingle
+    document, this fails LOUDLY here instead of the two engines
+    silently diverging. Checks the largest docs across the standard
+    parity SFs and the --jumbo hostile fixture (the outlier-document
+    gate, the likeliest place a monster doc would appear)."""
+    import duckdb
+
+    from tests.oracle_harness import build_jumbo_fixture
+    from log2ck_spark.queries.dedup import SHINGLE_CAP
+
+    dirs = [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        build_jumbo_fixture(),
+    ]
+    con = duckdb.connect()
+    for d in dirs:
+        (worst,) = con.execute(
+            f"""
+            SELECT max(len(list_distinct(
+                [array_to_string(toks[i:i+4], ' ')
+                 for i in range(1, greatest(len(toks) - 4, 0) + 1)])))
+            FROM (SELECT string_split(text, ' ') AS toks
+                  FROM read_parquet('{d}/documents.parquet'))
+            """
+        ).fetchone()
+        assert worst is not None and worst < SHINGLE_CAP, (d, worst)
+        # headroom report: fail while there is still slack to react
+        assert worst < SHINGLE_CAP // 2, (
+            f"{d}: largest doc at {worst} distinct shingles is past "
+            f"half of SHINGLE_CAP={SHINGLE_CAP} — revisit the cap or "
+            f"mirror it in the oracle before the gap closes"
+        )

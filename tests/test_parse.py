@@ -68,6 +68,11 @@ def test_enrich_overwrites_callback_columns(spark):
     with_fake = valid.withColumn("repo", F.lit("from-callback"))
     out = enrich(with_fake, repo="real-repo", name="tail-1", host="h")
     assert {r["repo"] for r in out.collect()} == {"real-repo"}
+    # default host = gethostname() (Worker.php:148), not "localhost"
+    import socket
+
+    out2 = enrich(valid, repo="r", name="n")
+    assert {r["host"] for r in out2.collect()} == {socket.gethostname()}
 
 
 def test_pattern_false_raw_passthrough(spark):

@@ -133,6 +133,16 @@ def test_datetimes_exact_integer_ticks():
         1970, 1, 1, 1, 0, 0, tzinfo=dt.timezone(dt.timedelta(hours=1))
     )
     assert _enc("DateTime", aware) == struct.pack("<I", 0)
+    # plain DateTime TRUNCATES sub-second parts (documented contract —
+    # what CK does with a fractional text timestamp in a DateTime
+    # column), never rounds up and never errors
+    frac = dt.datetime(1970, 1, 1, 0, 1, 40, 999_999)
+    assert _enc("DateTime", frac) == struct.pack("<I", 100)
+    # an Int64-overflowing tick count raises the documented ValueError,
+    # not a bare struct.error (ADVICE r10)
+    far = dt.datetime(9999, 12, 31, 23, 59, 59)
+    with pytest.raises(ValueError, match=r"DateTime64\(9\).*tick"):
+        _enc("DateTime64(9)", far)
 
 
 def test_decimal_width_follows_precision_tier():
@@ -315,7 +325,7 @@ def test_row_binary_http_sink_end_to_end(spark):
         path, body = srv.requests[0]
         q = parse_qs(urlparse(path).query)["query"][0]
         assert q == (
-            "INSERT INTO logs (event_id, msg, v, created_at)"
+            "INSERT INTO logs (`event_id`, `msg`, `v`, `created_at`)"
             " FORMAT RowBinary"
         )
         # decode the body with an independent mini-reader
@@ -354,9 +364,11 @@ def test_row_binary_http_sink_end_to_end(spark):
 
 
 def test_row_binary_inferred_schema_end_to_end(spark):
-    """With NO columns option the writer infers Nullable(...) column
-    types from the Spark schema per batch — every value then carries
-    the one-byte null flag."""
+    """columns='infer' (the EXPLICIT opt-in — no longer a silent
+    default) infers Nullable(...) column types from the Spark schema
+    per batch — every value then carries the one-byte null flag. Only
+    correct against a table created from ck_columns_for_schema
+    output; the default path now asks the server (DESCRIBE) instead."""
     from urllib.parse import parse_qs, urlparse
 
     from log2ck_spark.config import SinkConfig
@@ -375,18 +387,125 @@ def test_row_binary_inferred_schema_end_to_end(spark):
                     "url": srv.url,
                     "table": "t",
                     "format": "row_binary",
+                    "columns": "infer",
                 },
             )
         )
         writer(df, 0)
         path, body = srv.requests[0]
         q = parse_qs(urlparse(path).query)["query"][0]
-        assert q == "INSERT INTO t (k, s) FORMAT RowBinary"
+        assert q == "INSERT INTO t (`k`, `s`) FORMAT RowBinary"
         expect = (
             b"\x00" + struct.pack("<q", 7) + b"\x00\x01x"
             + b"\x00" + struct.pack("<q", 8) + b"\x01"
         )
         assert body == expect
+        # no columns declared and inference opted-in: the writer must
+        # NOT have issued a DESCRIBE round-trip
+        assert srv.gets == []
+    finally:
+        srv.close()
+
+
+def test_row_binary_describe_layout_end_to_end(spark):
+    """The ZERO-CONFIG default: no 'columns' option → the writer asks
+    the server (DESCRIBE TABLE) at creation and encodes each batch
+    under the table's ACTUAL types. The fixture table is the hostile
+    case that broke schema inference: all non-Nullable columns
+    (LowCardinality(String)/DateTime — the reference DDL's shape), a
+    MATERIALIZED column that must be excluded, and a server order that
+    differs from the DataFrame's. The body must carry NO null-flag
+    bytes and decode exactly under the server layout."""
+    from urllib.parse import parse_qs, urlparse
+
+    from log2ck_spark.config import SinkConfig
+    from log2ck_spark.sink import writer_for
+    from tests.test_clickhouse_sink import _RecordingCKServer
+
+    describe = (
+        "created_at\tDateTime\t\t\t\t\t\n"
+        "level\tLowCardinality(String)\t\t\t\t\t\n"
+        "message\tString\t\t\t\t\t\n"
+        "log_date\tDate\tMATERIALIZED\ttoDate(created_at)\t\t\t\n"
+    )
+    srv = _RecordingCKServer(describe_tsv=describe)
+    try:
+        df = spark.createDataFrame(
+            [
+                ("boom", "ERROR", dt.datetime(2024, 1, 1, 10, 0, 0)),
+                ("hello", "INFO", dt.datetime(2024, 1, 1, 10, 0, 1)),
+            ],
+            "message string, level string, created_at timestamp",
+        ).coalesce(1)
+        writer = writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={
+                    "url": srv.url,
+                    "table": "logs",
+                    "format": "row_binary",
+                },
+            )
+        )
+        # exactly one DESCRIBE, at writer creation
+        assert len(srv.gets) == 1 and "DESCRIBE+TABLE+logs" in srv.gets[0]
+        writer(df, 0)
+        assert len(srv.gets) == 1  # layout cached, not re-fetched
+        path, body = srv.requests[0]
+        q = parse_qs(urlparse(path).query)["query"][0]
+        # DataFrame column order, SERVER types, materialized excluded
+        assert q == (
+            "INSERT INTO logs (`message`, `level`, `created_at`)"
+            " FORMAT RowBinary"
+        )
+        rows = []
+        off = 0
+        for _ in range(2):
+            mlen = body[off]; off += 1
+            msg = body[off:off + mlen].decode(); off += mlen
+            llen = body[off]; off += 1
+            lvl = body[off:off + llen].decode(); off += llen
+            secs = struct.unpack("<I", body[off:off + 4])[0]; off += 4
+            rows.append((msg, lvl, secs))
+        assert off == len(body)  # no stray null-flag bytes
+        epoch = dt.datetime(1970, 1, 1)
+        assert rows == [
+            ("boom", "ERROR",
+             int((dt.datetime(2024, 1, 1, 10, 0, 0) - epoch)
+                 .total_seconds())),
+            ("hello", "INFO",
+             int((dt.datetime(2024, 1, 1, 10, 0, 1) - epoch)
+                 .total_seconds())),
+        ]
+    finally:
+        srv.close()
+
+
+def test_row_binary_describe_rejects_unknown_batch_column(spark):
+    """A batch column absent from the table fails LOUDLY (under a
+    Nullable default it would silently insert NULL everywhere for a
+    typo'd name — the exact failure mode the DESCRIBE path exists to
+    kill)."""
+    from log2ck_spark.config import SinkConfig
+    from log2ck_spark.sink import writer_for
+    from tests.test_clickhouse_sink import _RecordingCKServer
+
+    srv = _RecordingCKServer(describe_tsv="k\tInt64\t\t\t\t\t\n")
+    try:
+        writer = writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={
+                    "url": srv.url,
+                    "table": "t",
+                    "format": "row_binary",
+                },
+            )
+        )
+        df = spark.createDataFrame([(1, "x")], "k long, typo string")
+        with pytest.raises(Exception, match="typo"):
+            writer(df, 0)
+        assert srv.requests == []  # nothing hit the insert path
     finally:
         srv.close()
 
@@ -417,6 +536,7 @@ def test_tail_to_clickhouse_rowbinary_stream_end_to_end(spark, tmp_path):
                     "url": srv.url,
                     "table": "logs",
                     "format": "row_binary",
+                    "columns": "infer",
                 },
             ),
             checkpoint_root=str(tmp_path / "ckpt"),
@@ -524,8 +644,9 @@ def test_reference_log_table_ddl_encodes_verbatim(spark):
         path, body = srv.requests[0]
         q = parse_qs(urlparse(path).query)["query"][0]
         assert q == (
-            "INSERT INTO repo (repo, name, host, created_at, logger,"
-            " level, message, context, extra) FORMAT RowBinary"
+            "INSERT INTO repo (`repo`, `name`, `host`, `created_at`,"
+            " `logger`, `level`, `message`, `context`, `extra`)"
+            " FORMAT RowBinary"
         )
         epoch = int(
             dt.datetime(2024, 1, 1, 10, 0, 0)
