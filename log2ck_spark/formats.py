@@ -26,6 +26,13 @@ public spec:
   * Decimal(P,S), P <= 18 — Int64 of value * 10^S
   * Nullable(T) — one flag byte (0 = value follows, 1 = NULL)
   * Array(T) — LEB128 element count + encoded elements
+  * FixedString(N) — exactly N raw bytes (shorter input zero-padded,
+    longer rejected); UUID — two little-endian UInt64 halves;
+    IPv4 — UInt32; IPv6 — 16 network-order bytes
+  * Enum8/Enum16 — the mapped member value as Int8/Int16 (member
+    names and values validated client-side; the server doesn't)
+  * Map(K, V) — LEB128 entry count + interleaved key/value encodings;
+    Tuple(...) / Tuple(name T, ...) — concatenated elements
 
 Out-of-range values (a pre-1970 DateTime, a Date past 2149, an int
 too wide for its declared width) raise ValueError — failing the Spark
@@ -264,6 +271,171 @@ class _DecimalCodec(_Codec):
         out += struct.pack(self.fmt, q)
 
 
+class _FixedStringCodec(_Codec):
+    """FixedString(N): exactly N raw bytes, no length prefix. Shorter
+    input is zero-padded (what the server itself does for text-format
+    inserts); LONGER input raises — the server would reject it, and a
+    silent truncation would be data corruption."""
+
+    def __init__(self, n: int):
+        if n <= 0:
+            raise ValueError(f"FixedString({n}): N must be positive")
+        self.n = n
+
+    def encode(self, v, out: bytearray) -> None:
+        if v is None:
+            raise self._null_rejected(f"FixedString({self.n})")
+        b = v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+        if len(b) > self.n:
+            raise ValueError(
+                f"value of {len(b)} bytes exceeds FixedString({self.n})"
+            )
+        out += bytes(b)
+        out += b"\x00" * (self.n - len(b))
+
+
+class _UUIDCodec(_Codec):
+    """UUID: 16 bytes on the wire as TWO little-endian UInt64 halves
+    (most-significant half first) — ClickHouse's documented UUID
+    binary layout, NOT the RFC 4122 big-endian byte string. Getting
+    this wrong doesn't fail the insert; it lands byte-swapped UUIDs."""
+
+    def encode(self, v, out: bytearray) -> None:
+        import uuid as _uuid
+
+        if v is None:
+            raise self._null_rejected("UUID")
+        try:
+            u = v if isinstance(v, _uuid.UUID) else _uuid.UUID(str(v))
+        except (ValueError, AttributeError, TypeError) as e:
+            raise ValueError(f"value {v!r} is not a UUID") from e
+        hi = int.from_bytes(u.bytes[:8], "big")
+        lo = int.from_bytes(u.bytes[8:], "big")
+        out += struct.pack("<QQ", hi, lo)
+
+
+class _EnumCodec(_Codec):
+    """Enum8/Enum16: the mapped integer in Int8/Int16 width. Accepts
+    the member NAME (the natural Spark-side string) or a raw member
+    value; anything outside the declared members raises — the server
+    does not re-validate binary enum input, so an unchecked value
+    would land as corrupt data."""
+
+    def __init__(self, wide: bool, members: "dict[str, int]"):
+        self.wide = wide
+        self.members = members
+        self.values = set(members.values())
+        self.fmt = "<h" if wide else "<b"
+        self.name = "Enum16" if wide else "Enum8"
+
+    def encode(self, v, out: bytearray) -> None:
+        if v is None:
+            raise self._null_rejected(self.name)
+        if isinstance(v, bool):
+            raise ValueError(f"value {v!r} is not a member of {self.name}")
+        if isinstance(v, int):
+            if v not in self.values:
+                raise ValueError(
+                    f"{v} is not a declared {self.name} value "
+                    f"(declared: {sorted(self.values)})"
+                )
+            n = v
+        else:
+            try:
+                n = self.members[str(v)]
+            except KeyError:
+                raise ValueError(
+                    f"{v!r} is not a declared {self.name} member "
+                    f"(declared: {sorted(self.members)})"
+                ) from None
+        out += struct.pack(self.fmt, n)
+
+
+class _IPv4Codec(_Codec):
+    """IPv4: UInt32 of the address, little-endian on the wire (the
+    address's numeric value packed like any other UInt32)."""
+
+    def encode(self, v, out: bytearray) -> None:
+        import ipaddress as _ip
+
+        if v is None:
+            raise self._null_rejected("IPv4")
+        try:
+            addr = _ip.IPv4Address(v)
+        except (ValueError, TypeError) as e:
+            raise ValueError(f"value {v!r} is not an IPv4 address") from e
+        out += struct.pack("<I", int(addr))
+
+
+class _IPv6Codec(_Codec):
+    """IPv6: the 16 address bytes in network order (big-endian), as
+    the server stores them. An IPv4 value is accepted via its
+    ::ffff:a.b.c.d mapped form — same as CK's IPv4→IPv6 cast."""
+
+    def encode(self, v, out: bytearray) -> None:
+        import ipaddress as _ip
+
+        if v is None:
+            raise self._null_rejected("IPv6")
+        try:
+            addr = _ip.ip_address(v)
+        except (ValueError, TypeError) as e:
+            raise ValueError(f"value {v!r} is not an IP address") from e
+        if isinstance(addr, _ip.IPv4Address):
+            addr = _ip.IPv6Address(f"::ffff:{addr}")
+        out += addr.packed
+
+
+class _MapCodec(_Codec):
+    """Map(K, V): LEB128 entry count, then each entry's key and value
+    encoded consecutively — the published Map wire layout."""
+
+    def __init__(self, key: _Codec, value: _Codec, ck_type: str):
+        self.key, self.value, self.ck_type = key, value, ck_type
+
+    def encode(self, v, out: bytearray) -> None:
+        if v is None:
+            raise self._null_rejected(self.ck_type)
+        items = v.items() if isinstance(v, dict) else v
+        pairs = list(items)
+        out += _varint(len(pairs))
+        for k, x in pairs:
+            self.key.encode(k, out)
+            self.value.encode(x, out)
+
+
+class _TupleCodec(_Codec):
+    """Tuple(T1, ..., Tn) / named Tuple(a T1, ...): the element
+    encodings concatenated, no count prefix (arity is part of the
+    type). Values may be Row/tuple/list (positional) or dict (named
+    tuples only)."""
+
+    def __init__(self, fields: "list[tuple[str | None, _Codec]]",
+                 ck_type: str):
+        self.fields, self.ck_type = fields, ck_type
+
+    def encode(self, v, out: bytearray) -> None:
+        if v is None:
+            raise self._null_rejected(self.ck_type)
+        if hasattr(v, "asDict"):
+            v = tuple(v)
+        if isinstance(v, dict):
+            try:
+                v = tuple(v[name] for name, _c in self.fields)
+            except KeyError as e:
+                raise ValueError(
+                    f"tuple value {sorted(v)} is missing field {e} "
+                    f"declared by {self.ck_type}"
+                ) from None
+        if len(v) != len(self.fields):
+            raise ValueError(
+                f"tuple value of arity {len(v)} does not match "
+                f"{self.ck_type}"
+            )
+        for x, (_name, codec) in zip(v, self.fields):
+            codec.encode(x, out)
+
+
 class _NullableCodec(_Codec):
     def __init__(self, inner: _Codec):
         self.inner = inner
@@ -286,6 +458,61 @@ class _ArrayCodec(_Codec):
         out += _varint(len(v))
         for x in v:
             self.inner.encode(x, out)
+
+
+def _split_top(s: str) -> "list[str]":
+    """Split a type-argument list on TOP-LEVEL commas only —
+    parentheses nest (Map(String, Array(Int64))) and single-quoted
+    literals may contain commas and backslash-escaped quotes
+    (Enum8('a,b' = 1))."""
+    parts, depth, quote, cur, i = [], 0, False, [], 0
+    while i < len(s):
+        c = s[i]
+        if quote:
+            cur.append(c)
+            if c == "\\" and i + 1 < len(s):
+                cur.append(s[i + 1])
+                i += 1
+            elif c == "'":
+                quote = False
+        elif c == "'":
+            quote = True
+            cur.append(c)
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail or not parts:
+        parts.append(tail)
+    return parts
+
+
+def _parse_enum_members(body: str, ck_type: str) -> "dict[str, int]":
+    """'a' = 1, 'b' = 2 → {'a': 1, 'b': 2}; backslash escapes inside
+    the quoted names are unescaped (CK quotes enum member names as
+    string literals)."""
+    members: dict[str, int] = {}
+    for entry in _split_top(body):
+        m = re.fullmatch(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", entry)
+        if not m:
+            raise ValueError(
+                f"unsupported ClickHouse type for RowBinary encoding: "
+                f"{ck_type!r} (bad enum member {entry!r})"
+            )
+        name = re.sub(r"\\(.)", r"\1", m.group(1))
+        members[name] = int(m.group(2))
+    if not members:
+        raise ValueError(f"{ck_type!r}: enum declares no members")
+    return members
 
 
 def codec_for(ck_type: str) -> _Codec:
@@ -340,6 +567,60 @@ def codec_for(ck_type: str) -> _Codec:
     m = re.fullmatch(r"Array\((.+)\)", t)
     if m:
         return _ArrayCodec(codec_for(m.group(1)))
+    m = re.fullmatch(r"FixedString\((\d+)\)", t)
+    if m:
+        return _FixedStringCodec(int(m.group(1)))
+    if t == "UUID":
+        return _UUIDCodec()
+    if t == "IPv4":
+        return _IPv4Codec()
+    if t == "IPv6":
+        return _IPv6Codec()
+    m = re.fullmatch(r"Enum(8|16)\((.+)\)", t)
+    if m:
+        wide = m.group(1) == "16"
+        members = _parse_enum_members(m.group(2), ck_type)
+        bound = 2 ** (15 if wide else 7)
+        for name, n in members.items():
+            if not -bound <= n < bound:
+                raise ValueError(
+                    f"{ck_type!r}: member {name!r} = {n} outside "
+                    f"{'Int16' if wide else 'Int8'} range"
+                )
+        return _EnumCodec(wide, members)
+    m = re.fullmatch(r"Map\((.+)\)", t)
+    if m:
+        args = _split_top(m.group(1))
+        if len(args) != 2:
+            raise ValueError(
+                f"unsupported ClickHouse type for RowBinary encoding: "
+                f"{ck_type!r} (Map takes exactly two type arguments)"
+            )
+        return _MapCodec(codec_for(args[0]), codec_for(args[1]), t)
+    m = re.fullmatch(r"Tuple\((.+)\)", t)
+    if m:
+        fields: "list[tuple[str | None, _Codec]]" = []
+        for arg in _split_top(m.group(1)):
+            # named form: `ident Type` or ident Type (the DESCRIBE
+            # text for named tuples); bare form: just the type
+            nm = re.fullmatch(r"(`(?:[^`\\]|\\.)+`|\w+)\s+(.+)", arg)
+            if nm:
+                raw_name, inner = nm.group(1), nm.group(2)
+                try:
+                    codec = codec_for(inner)
+                except ValueError:
+                    # `Nullable(Int64)` etc. parse as name+type too —
+                    # fall back to treating the whole arg as a type
+                    fields.append((None, codec_for(arg)))
+                    continue
+                name = (
+                    re.sub(r"\\(.)", r"\1", raw_name[1:-1])
+                    if raw_name.startswith("`") else raw_name
+                )
+                fields.append((name, codec))
+            else:
+                fields.append((None, codec_for(arg)))
+        return _TupleCodec(fields, t)
     raise ValueError(
         f"unsupported ClickHouse type for RowBinary encoding: {ck_type!r}"
     )
@@ -378,6 +659,18 @@ def ck_columns_for_schema(schema) -> "list[tuple[str, str]]":
         elif isinstance(dt, T.ArrayType):
             # array ELEMENTS keep their own nullability flag
             base = f"Array({_ck(dt.elementType, dt.containsNull)})"
+        elif isinstance(dt, T.MapType):
+            # CK Map keys cannot be Nullable; values keep their flag
+            base = (
+                f"Map({_ck(dt.keyType, False)}, "
+                f"{_ck(dt.valueType, dt.valueContainsNull)})"
+            )
+        elif isinstance(dt, T.StructType):
+            inner = ", ".join(
+                f"{f.name} {_ck(f.dataType, f.nullable)}"
+                for f in dt.fields
+            )
+            base = f"Tuple({inner})"
         else:
             raise ValueError(
                 f"no RowBinary mapping for Spark type {dt.simpleString()}"

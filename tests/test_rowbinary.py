@@ -184,10 +184,16 @@ def test_arrays_including_nested_nullable():
 
 
 def test_unsupported_type_raises_at_parse_time():
+    # Map/Enum gained codecs in r11; these remain genuinely
+    # unsupported and must fail at writer creation, not mid-batch
     with pytest.raises(ValueError, match="unsupported"):
-        codec_for("Map(String, String)")
+        codec_for("AggregateFunction(sum, Int64)")
     with pytest.raises(ValueError, match="unsupported"):
-        codec_for("Enum8('a' = 1)")
+        codec_for("Int128")
+    with pytest.raises(ValueError, match="unsupported"):
+        codec_for("JSON")
+    with pytest.raises(ValueError, match="two type arguments"):
+        codec_for("Map(String)")
 
 
 # --------------------------------------------------------------------------
@@ -265,7 +271,7 @@ def test_row_binary_writer_validates_config_at_creation():
                     "url": "http://x",
                     "table": "t",
                     "format": "row_binary",
-                    "columns": ["a Map(String, String)"],
+                    "columns": ["a AggregateFunction(sum, Int64)"],
                 },
             )
         )
@@ -663,6 +669,148 @@ def test_reference_log_table_ddl_encodes_verbatim(spark):
             + b"\x04boom"
             + b"\x08" + b'{"k": 7}'
             + b"\x02[]"
+        )
+        assert body == expect
+    finally:
+        srv.close()
+
+
+def test_fixed_string_pad_and_reject():
+    assert _enc("FixedString(4)", "ab") == b"ab\x00\x00"
+    assert _enc("FixedString(3)", b"\x01\x02\x03") == b"\x01\x02\x03"
+    with pytest.raises(ValueError, match="exceeds FixedString"):
+        _enc("FixedString(2)", "abc")
+    # multibyte counts BYTES, not codepoints
+    assert _enc("FixedString(4)", "é") == b"\xc3\xa9\x00\x00"
+    with pytest.raises(ValueError, match="positive"):
+        codec_for("FixedString(0)")
+    assert _enc("Nullable(FixedString(2))", None) == b"\x01"
+
+
+def test_uuid_little_endian_halves():
+    """CK's UUID wire layout is two LE UInt64 halves, NOT the RFC 4122
+    big-endian byte string — a byte-swap bug lands valid-looking but
+    WRONG UUIDs, so pin the exact bytes."""
+    import uuid
+
+    u = uuid.UUID("00112233-4455-6677-8899-aabbccddeeff")
+    got = _enc("UUID", u)
+    assert got == bytes.fromhex("7766554433221100ffeeddccbbaa9988")
+    assert _enc("UUID", str(u)) == got  # string form accepted
+    with pytest.raises(ValueError, match="not a UUID"):
+        _enc("UUID", "not-a-uuid")
+
+
+def test_enum_member_mapping_and_validation():
+    t = "Enum8('a' = 1, 'b' = 2)"
+    assert _enc(t, "a") == b"\x01"
+    assert _enc(t, "b") == b"\x02"
+    assert _enc(t, 2) == b"\x02"  # raw declared value accepted
+    with pytest.raises(ValueError, match="not a declared"):
+        _enc(t, "c")
+    with pytest.raises(ValueError, match="not a declared"):
+        _enc(t, 3)
+    # Enum16 width + negative values + escaped quote in a member name
+    t16 = r"Enum16('x' = -300, 'it\'s' = 7)"
+    assert _enc(t16, "x") == struct.pack("<h", -300)
+    assert _enc(t16, "it's") == struct.pack("<h", 7)
+    # member value outside the storage width fails at PARSE time
+    with pytest.raises(ValueError, match="outside Int8"):
+        codec_for("Enum8('big' = 200)")
+
+
+def test_ip_address_encodings():
+    # IPv4: UInt32, little-endian of the numeric address
+    assert _enc("IPv4", "1.2.3.4") == struct.pack("<I", 0x01020304)
+    # IPv6: 16 network-order bytes
+    assert _enc("IPv6", "2001:db8::1") == bytes.fromhex(
+        "20010db8000000000000000000000001"
+    )
+    # IPv4 into an IPv6 column rides the ::ffff: mapped form
+    assert _enc("IPv6", "1.2.3.4") == bytes.fromhex(
+        "00000000000000000000ffff01020304"
+    )
+    with pytest.raises(ValueError, match="IPv4"):
+        _enc("IPv4", "2001:db8::1")
+
+
+def test_map_and_tuple_encodings():
+    m = _enc("Map(String, Int64)", {"a": 1, "bb": 2})
+    assert m == b"\x02" + b"\x01a" + struct.pack("<q", 1) + b"\x02bb" + struct.pack("<q", 2)
+    assert _enc("Map(String, Int64)", {}) == b"\x00"
+    # nested value types parse through the top-level comma splitter
+    nested = _enc("Map(String, Array(Int64))", {"k": [1]})
+    assert nested == b"\x01\x01k\x01" + struct.pack("<q", 1)
+    # bare tuple: concatenated elements, no count prefix
+    t = _enc("Tuple(Int64, String)", (7, "x"))
+    assert t == struct.pack("<q", 7) + b"\x01x"
+    # named tuple (the DESCRIBE text form) accepts dicts AND positionals
+    named = "Tuple(a Int64, b Nullable(String))"
+    assert _enc(named, {"b": None, "a": 7}) == struct.pack("<q", 7) + b"\x01"
+    assert _enc(named, (7, "y")) == struct.pack("<q", 7) + b"\x00\x01y"
+    with pytest.raises(ValueError, match="arity"):
+        _enc("Tuple(Int64, String)", (1,))
+    with pytest.raises(ValueError, match="missing field"):
+        _enc(named, {"a": 1})
+    # Spark Row values (tuple subclass) encode positionally
+    from pyspark.sql import Row
+
+    assert _enc(named, Row(a=7, b="y")) == struct.pack("<q", 7) + b"\x00\x01y"
+
+
+def test_map_and_struct_schema_inference(spark):
+    from log2ck_spark.formats import ck_columns_for_schema
+
+    df = spark.createDataFrame(
+        [({"k": 1}, (1, "x"))],
+        "props map<string,bigint>, geo struct<lat:bigint,city:string>",
+    )
+    cols = dict(ck_columns_for_schema(df.schema))
+    # map keys are never Nullable (CK constraint); values keep theirs
+    assert cols["props"] == "Nullable(Map(String, Nullable(Int64)))"
+    assert cols["geo"] == (
+        "Nullable(Tuple(lat Nullable(Int64), city Nullable(String)))"
+    )
+    # and the inferred text round-trips through the parser
+    for t in cols.values():
+        codec_for(t)
+
+
+def test_map_struct_columns_end_to_end(spark):
+    """Executor-side reality check for the r11 codecs: Spark MapType
+    arrives as dict and StructType as Row inside the writer — drive a
+    real batch through the inferred layout and decode the wire."""
+    from log2ck_spark.config import SinkConfig
+    from log2ck_spark.sink import writer_for
+    from tests.test_clickhouse_sink import _RecordingCKServer
+
+    srv = _RecordingCKServer()
+    try:
+        df = spark.createDataFrame(
+            [({"k": 7}, (1, "x"))],
+            "props map<string,bigint>, geo struct<lat:bigint,city:string>",
+        ).coalesce(1)
+        writer = writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={
+                    "url": srv.url,
+                    "table": "t",
+                    "format": "row_binary",
+                    "columns": "infer",
+                },
+            )
+        )
+        writer(df, 0)
+        (_p, body), = srv.requests
+        expect = (
+            b"\x00"                      # props not null
+            + b"\x01"                    # 1 map entry
+            + b"\x01k"                   # key "k"
+            + b"\x00" + struct.pack("<q", 7)   # Nullable(Int64) value
+            + b"\x00"                    # geo not null
+            + b"\x00" + struct.pack("<q", 1)   # lat
+            + b"\x00\x01x"               # city
         )
         assert body == expect
     finally:
