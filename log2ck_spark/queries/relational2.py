@@ -117,11 +117,21 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            {revenue}
     FROM orders GROUP BY ROLLUP(y, m)
+    HAVING COUNT(*) > 0
     """.format(revenue=oracle_dsum("o_totalprice", "revenue")),
 )
 def cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rollup(year, month): per-month, per-year and grand-total rows in
-    one pass (Expand + single aggregation — not three scans)."""
+    one pass (Expand + single aggregation — not three scans).
+
+    Empty-input contract (--empty gate, r11): Spark's ROLLUP —
+    DataFrame .rollup() AND SQL GROUP BY ROLLUP, probed on 4.1 — emits
+    NO rows over empty input, while ANSI/DuckDB emit the grand-total
+    grouping set's single n=0 row. The engine contract here is
+    Spark's: ROLLUP reports OBSERVED groups only. The oracle mirrors
+    it with HAVING COUNT(*) > 0 — a no-op on any non-empty input
+    (every rollup/subtotal/grand-total group over existing rows has
+    n >= 1), exact on the empty one."""
     return (
         tbl(spark, sf_dir, "orders")
         .rollup(

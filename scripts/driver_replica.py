@@ -82,6 +82,12 @@ cluster/sketch family does its real work; duplicate classes sized
 under BUCKET_CAP so capped pair expansion stays exactly the full
 expansion and all-pairs oracles remain comparable.
 
+`--empty` is the same gate on the ZERO-ROW fixture (every table
+present with its full schema and no rows — the day-one deployment
+state) — where driver-side parameter derivation (.first() on an
+empty corpus) crashes and degenerate global aggregates can emit
+one row on one engine and none on the other.
+
 `--jumbo` is the same gate on the outlier-sized fixture (a ~180 KB
 doc of 20k distinct words, a single unbroken ~99 KB token, 'spam' ×
 30,000, and a 50 KB props value rendered into a 50 KB monolog line)
@@ -108,7 +114,7 @@ def main() -> int:
     if argv[:1] in (
         ["--hostile"], ["--ties"], ["--unicode"], ["--badjson"],
         ["--bignum"], ["--timewarp"], ["--sparse"], ["--blank"],
-        ["--nonfinite"], ["--dupes"], ["--jumbo"],
+        ["--nonfinite"], ["--dupes"], ["--jumbo"], ["--empty"],
     ):
         from tests import oracle_harness as oh
 
@@ -124,6 +130,7 @@ def main() -> int:
             "--nonfinite": oh.build_nonfinite_fixture,
             "--dupes": oh.build_dupes_fixture,
             "--jumbo": oh.build_jumbo_fixture,
+            "--empty": oh.build_empty_fixture,
         }[argv[0]]
         try:
             sf_dir, rest = build(), argv[1:]

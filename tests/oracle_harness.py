@@ -482,6 +482,16 @@ _DUPES_REWRITES = {
 # n_chars is recomputed so the corpus invariant holds.
 # --------------------------------------------------------------------------
 
+# --empty: every table present with its full schema and ZERO rows —
+# the day-one deployment / fully-filtered-partition state. The class
+# of defect this targets is driver-side parameter derivation
+# (.first()/.collect()[0] on an empty corpus → crash or a poisoned
+# constant) and any query/oracle pair that disagrees on whether a
+# degenerate aggregate yields one row or none. tests/test_degenerate.py
+# proves every query RUNS on thin data; this gate proves the VALUES
+# still match the oracle at zero rows.
+_EMPTY_REWRITES = {t: "SELECT * FROM {t} LIMIT 0" for t in TABLES}
+
 _JUMBO_REWRITES = {
     "documents": (
         "SELECT doc_id, text, lang, source, length(text) AS n_chars"
@@ -660,6 +670,11 @@ def build_dupes_fixture(src: str = "/root/testdata/sf0.001") -> str:
 def build_jumbo_fixture(src: str = "/root/testdata/sf0.001") -> str:
     """The outlier-sized documents/lines fixture (see _JUMBO_REWRITES)."""
     return _build_fixture("hostile_jumbo", _JUMBO_REWRITES, src)
+
+
+def build_empty_fixture(src: str = "/root/testdata/sf0.001") -> str:
+    """The zero-row fixture (see _EMPTY_REWRITES)."""
+    return _build_fixture("hostile_empty", _EMPTY_REWRITES, src)
 
 
 def canonical(df_pandas):

