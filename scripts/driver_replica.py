@@ -88,6 +88,11 @@ state) — where driver-side parameter derivation (.first() on an
 empty corpus) crashes and degenerate global aggregates can emit
 one row on one engine and none on the other.
 
+`--single` is the same gate on the ONE-ROW-PER-TABLE fixture
+(lowest primary key kept) — where n=1 sample statistics
+(stddev_samp NULL-vs-NaN), one-observation percentile/histogram
+interpolation, and single-point window/EWMA kernels diverge.
+
 `--jumbo` is the same gate on the outlier-sized fixture (a ~180 KB
 doc of 20k distinct words, a single unbroken ~99 KB token, 'spam' ×
 30,000, and a 50 KB props value rendered into a 50 KB monolog line)
@@ -115,6 +120,7 @@ def main() -> int:
         ["--hostile"], ["--ties"], ["--unicode"], ["--badjson"],
         ["--bignum"], ["--timewarp"], ["--sparse"], ["--blank"],
         ["--nonfinite"], ["--dupes"], ["--jumbo"], ["--empty"],
+        ["--single"],
     ):
         from tests import oracle_harness as oh
 
@@ -131,6 +137,7 @@ def main() -> int:
             "--dupes": oh.build_dupes_fixture,
             "--jumbo": oh.build_jumbo_fixture,
             "--empty": oh.build_empty_fixture,
+            "--single": oh.build_single_fixture,
         }[argv[0]]
         try:
             sf_dir, rest = build(), argv[1:]

@@ -482,6 +482,25 @@ _DUPES_REWRITES = {
 # n_chars is recomputed so the corpus invariant holds.
 # --------------------------------------------------------------------------
 
+# --single: every table cut to exactly ONE deterministic row (lowest
+# primary key) — the harshest populated corpus. The target class is
+# n=1 sample statistics (stddev_samp/var_samp are NULL-vs-NaN
+# battlegrounds cross-engine), percentile/histogram interpolation
+# over one observation, EWMA/rate/window kernels on a single point,
+# and joins whose other side lost its matching row. --empty covers
+# n=0; sf0.001 covers "plenty"; n=1 is the boundary in between.
+_SINGLE_KEYS = {
+    "region": "r_regionkey", "nation": "n_nationkey",
+    "customer": "c_custkey", "supplier": "s_suppkey",
+    "part": "p_partkey", "orders": "o_orderkey",
+    "lineitem": "l_orderkey, l_linenumber", "events": "event_id",
+    "documents": "doc_id", "embeddings": "vec_id",
+}
+_SINGLE_REWRITES = {
+    t: f"SELECT * FROM {{t}} ORDER BY {k} LIMIT 1"
+    for t, k in _SINGLE_KEYS.items()
+}
+
 # --empty: every table present with its full schema and ZERO rows —
 # the day-one deployment / fully-filtered-partition state. The class
 # of defect this targets is driver-side parameter derivation
@@ -675,6 +694,11 @@ def build_jumbo_fixture(src: str = "/root/testdata/sf0.001") -> str:
 def build_empty_fixture(src: str = "/root/testdata/sf0.001") -> str:
     """The zero-row fixture (see _EMPTY_REWRITES)."""
     return _build_fixture("hostile_empty", _EMPTY_REWRITES, src)
+
+
+def build_single_fixture(src: str = "/root/testdata/sf0.001") -> str:
+    """The one-row-per-table fixture (see _SINGLE_REWRITES)."""
+    return _build_fixture("hostile_single", _SINGLE_REWRITES, src)
 
 
 def canonical(df_pandas):

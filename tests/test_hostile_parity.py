@@ -919,3 +919,56 @@ def test_empty_gate_fixture_is_truly_empty(empty_dir):
             f"DESCRIBE SELECT * FROM read_parquet('{empty_dir}/{t}.parquet')"
         ).fetchall()
         assert len(cols) >= 2, (t, cols)
+
+
+# --------------------------------------------------------------------------
+# --single gate (r11): exactly one row per table — the n=1 boundary
+# --------------------------------------------------------------------------
+# Full-registry result on first run: PASS 170/170 — no divergence.
+# The n=1 corners this gate hunts (stddev_samp NULL-vs-NaN, one-
+# observation percentile/histogram interpolation, single-point
+# EWMA/rate/lag kernels, joins whose matching row was cut) are all
+# already normalized by the engine contracts pinned in earlier
+# rounds; the gate stays as a regression tripwire for future
+# statistics. Sentinels: representatives of each n=1 corner class.
+
+SINGLE_SENTINELS = (
+    "stats_moments",        # sample variance/stddev/skew at n=1
+    "percentile_agg",       # order statistics over one value
+    "anomaly_zscore",       # zscore needs a stddev: n=1 group
+    "anomaly_ewma",         # EWMA over a single point
+    "rate_counter",         # lag/reset detection with no predecessor
+    "sketch_quantile_hist", # histogram bins from one observation
+    "window_ntile",         # ntile over a 1-row partition
+    "cube_rollup",          # rollup with exactly one observed group
+    "join_dim",             # dim row cut from under the fact row
+)
+
+
+@pytest.fixture(scope="module")
+def single_dir():
+    from tests.oracle_harness import build_single_fixture
+
+    return build_single_fixture()
+
+
+@pytest.mark.parametrize("name", SINGLE_SENTINELS)
+def test_query_matches_oracle_on_one_row_tables(spark, single_dir, name):
+    problems = compare(
+        QUERIES[name](spark, single_dir),
+        run_oracle(ORACLES[name], single_dir),
+    )
+    assert problems == [], (name, problems)
+
+
+def test_single_gate_fixture_has_exactly_one_row_per_table(single_dir):
+    import duckdb as _duckdb
+
+    from log2ck_spark.io import TABLES
+
+    con = _duckdb.connect()
+    for t in TABLES:
+        n, = con.execute(
+            f"SELECT count(*) FROM read_parquet('{single_dir}/{t}.parquet')"
+        ).fetchone()
+        assert n == 1, (t, n)
