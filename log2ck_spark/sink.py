@@ -392,6 +392,9 @@ def http_insert_in_batches(
     columns: "list[tuple[str, str]] | None" = None,
     compression: "str | None" = "gzip",
     compression_level: int = 3,
+    max_body_bytes: int = 64 * 1024 * 1024,
+    retries: int = 2,
+    retry_backoff_s: float = 1.0,
 ) -> int:
     """Batched INSERT over ClickHouse's public HTTP interface: POST
     `INSERT INTO <table> FORMAT JSONEachRow` with newline-delimited
@@ -419,8 +422,29 @@ def http_insert_in_batches(
     body shrinks ~6-7× (RowBinary ~3-4×) at level 3's ~150 MB/s/core —
     far above any single stream's line rate, so at 100 TB the win is
     pure network. Level 1 trades ~15% body size for ~25% less CPU;
-    `compression=None` restores the uncompressed wire."""
+    `compression=None` restores the uncompressed wire.
+
+    `max_body_bytes` flushes early when the BUFFERED (pre-compression)
+    bytes exceed the bound — `batch_size` alone counts rows, so a
+    jumbo-row stream (50 KB log lines × 10k rows = 500 MB) would
+    otherwise build request bodies toward ClickHouse's HTTP size
+    limit and hold them in executor memory. Whichever trigger fires
+    first flushes; a single over-sized row still ships (alone).
+
+    `retries`/`retry_backoff_s`: each flush retries TRANSIENT
+    failures in place — connection errors and 429/5xx statuses (the
+    async-insert-queue-full / restarting-replica class) — with
+    exponential backoff, before raising. 4xx other than 429 raises
+    immediately (a malformed INSERT does not heal by waiting).
+    In-place retry narrows the blast radius: without it one 503 fails
+    the Spark task and re-runs the WHOLE partition, re-sending every
+    previously-committed batch (a much wider at-least-once duplicate
+    window than re-POSTing one idempotent body). Replays send
+    byte-identical requests (deterministic gzip), so a deduplicating
+    target table absorbs them."""
     import gzip as _gzip
+    import time as _time
+    import urllib.error as _ue
     import urllib.parse as _up
     import urllib.request as _ur
 
@@ -453,16 +477,7 @@ def http_insert_in_batches(
     if password is not None:
         headers["X-ClickHouse-Key"] = password
 
-    def _flush(buf: list[bytes]) -> None:
-        data = sep.join(buf) + tail
-        if compression == "gzip":
-            # mtime=0: deterministic bytes (the gzip header otherwise
-            # embeds wall-clock time — untestable golden bodies and
-            # pointless entropy on retries of the same batch)
-            data = _gzip.compress(
-                data, compresslevel=compression_level, mtime=0
-            )
-            headers["Content-Encoding"] = "gzip"
+    def _post_once(data: bytes) -> None:
         req = _ur.Request(
             endpoint,
             data=data,
@@ -477,14 +492,44 @@ def http_insert_in_batches(
                     f"ClickHouse HTTP insert failed: {resp.status}"
                 )
 
+    def _flush(buf: list[bytes]) -> None:
+        data = sep.join(buf) + tail
+        if compression == "gzip":
+            # mtime=0: deterministic bytes (the gzip header otherwise
+            # embeds wall-clock time — untestable golden bodies and
+            # pointless entropy on retries of the same batch)
+            data = _gzip.compress(
+                data, compresslevel=compression_level, mtime=0
+            )
+            headers["Content-Encoding"] = "gzip"
+        attempt = 0
+        while True:
+            try:
+                _post_once(data)
+                return
+            except _ue.HTTPError as e:
+                # 429/5xx are the transient class; other 4xx will not
+                # heal by waiting — surface immediately
+                if not (e.code == 429 or e.code >= 500):
+                    raise
+                last = e
+            except (_ue.URLError, ConnectionError, TimeoutError) as e:
+                last = e  # connection-level: transient by definition
+            if attempt >= retries:
+                raise last
+            _time.sleep(retry_backoff_s * (2 ** attempt))
+            attempt += 1
+
     buf: list[bytes] = []
+    buf_bytes = 0
     n = 0
     for line in body_rows:
         buf.append(line)
-        if len(buf) >= batch_size:
+        buf_bytes += len(line) + len(sep)
+        if len(buf) >= batch_size or buf_bytes >= max_body_bytes:
             _flush(buf)
             n += len(buf)
-            buf = []
+            buf, buf_bytes = [], 0
     if buf:
         _flush(buf)
         n += len(buf)
@@ -541,7 +586,10 @@ def clickhouse_http_writer(
     `compression`: "gzip" (default) | "none" — see
     http_insert_in_batches. `compression_level`: gzip level (default
     3; measured ~7× body reduction at ~150 MB/s/core on log-shaped
-    JSONEachRow)."""
+    JSONEachRow). `max_body_bytes` (default 64 MiB, pre-compression),
+    `retries` (default 2) and `retry_backoff_s` (default 1.0) tune the
+    byte-bounded flush and the transient-failure (429/5xx/connection)
+    in-place retry — both documented on http_insert_in_batches."""
     opts: dict[str, Any] = dict(sink.options)
     table = str(_require_opt(opts, "table", "clickhouse_http"))
     url = str(_require_opt(opts, "url", "clickhouse_http"))
@@ -565,6 +613,9 @@ def clickhouse_http_writer(
             f"(expected 'gzip' or 'none')"
         )
     compression_level = int(opts.pop("compression_level", 3))
+    max_body_bytes = int(opts.pop("max_body_bytes", 64 * 1024 * 1024))
+    retries = int(opts.pop("retries", 2))
+    retry_backoff_s = float(opts.pop("retry_backoff_s", 1.0))
     declared: "list[tuple[str, str]] | None" = None
     infer_from_schema = False
     raw_cols = opts.pop("columns", None)
@@ -650,6 +701,9 @@ def clickhouse_http_writer(
                 columns=columns,
                 compression=compression,
                 compression_level=compression_level,
+                max_body_bytes=max_body_bytes,
+                retries=retries,
+                retry_backoff_s=retry_backoff_s,
             )
 
         batch_df.rdd.foreachPartition(_insert_partition)

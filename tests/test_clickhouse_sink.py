@@ -243,7 +243,12 @@ class _RecordingCKServer:
     framing, per-batch flushes, executor-side connections) is
     exercised end-to-end, not mocked at the client-API layer."""
 
-    def __init__(self, describe_tsv: "str | None" = None):
+    def __init__(
+        self,
+        describe_tsv: "str | None" = None,
+        fail_first: int = 0,
+        fail_status: int = 503,
+    ):
         import gzip
         import http.server
         import threading
@@ -251,11 +256,22 @@ class _RecordingCKServer:
 
         server = self
         self.describe_tsv = describe_tsv
+        self.fail_remaining = fail_first
+        self.fail_status = fail_status
+        self.post_attempts = 0
 
         class H(http.server.BaseHTTPRequestHandler):
             def do_POST(self):  # noqa: N802
                 ln = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(ln)
+                server.post_attempts += 1
+                if server.fail_remaining > 0:
+                    # transient-failure injection: consume the body
+                    # (done above) and answer the configured error
+                    server.fail_remaining -= 1
+                    self.send_response(server.fail_status)
+                    self.end_headers()
+                    return
                 # Mirror ClickHouse's HTTP interface: a gzip
                 # Content-Encoding request body is decompressed
                 # server-side, unconditionally. Record BOTH the wire
@@ -726,3 +742,83 @@ def test_clickhouse_connect_live_insert_end_to_end(spark):
         assert admin.command(f"SELECT count() FROM {table}") == 257
     finally:
         admin.command(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_byte_bounded_flush_triggers_before_row_count():
+    """max_body_bytes: batch_size counts ROWS; a jumbo-row stream must
+    flush on BYTES before the body grows toward CK's HTTP limit (and
+    executor memory). 10 rows of ~1 KB with a 2.5 KB bound → multiple
+    small POSTs despite batch_size=10_000, and every row arrives."""
+    from log2ck_spark.sink import http_insert_in_batches
+
+    srv = _RecordingCKServer()
+    try:
+        rows = [{"k": i, "pad": "x" * 1000} for i in range(10)]
+        n = http_insert_in_batches(
+            srv.url, "t", rows, batch_size=10_000,
+            max_body_bytes=2500, compression=None,
+        )
+        assert n == 10
+        assert len(srv.requests) >= 4  # ~2-3 rows per flush, not 1 POST
+        got = [
+            __import__("json").loads(ln)
+            for _p, b in srv.requests
+            for ln in b.decode().splitlines()
+        ]
+        assert got == rows
+        # no request exceeded the bound by more than one row's slack
+        assert all(ln <= 2500 + 1100 for _p, ln, _e, _h in srv.wire)
+    finally:
+        srv.close()
+
+
+def test_transient_5xx_retries_in_place_and_succeeds():
+    """A 503 (async-insert queue full / restarting replica) must be
+    retried in place with backoff, not fail the task: two injected
+    failures, retries=2 → exactly 3 attempts, one recorded insert,
+    and the replayed bodies are byte-identical (deterministic gzip)."""
+    from log2ck_spark.sink import http_insert_in_batches
+
+    srv = _RecordingCKServer(fail_first=2)
+    try:
+        rows = [{"k": 1}]
+        n = http_insert_in_batches(
+            srv.url, "t", rows, retries=2, retry_backoff_s=0.0
+        )
+        assert n == 1
+        assert srv.post_attempts == 3
+        assert len(srv.requests) == 1  # only the success was recorded
+        assert srv.rows() == rows
+        # all three wire bodies identical: same length every attempt
+        sizes = {ln for _p, ln, _e, _h in srv.wire}
+        assert len(sizes) == 1
+    finally:
+        srv.close()
+
+
+def test_retries_exhausted_raises_and_4xx_is_not_retried():
+    import urllib.error
+
+    from log2ck_spark.sink import http_insert_in_batches
+
+    # exhausted: 3 failures > retries=1 → raises after 2 attempts
+    srv = _RecordingCKServer(fail_first=3)
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            http_insert_in_batches(
+                srv.url, "t", [{"k": 1}], retries=1, retry_backoff_s=0.0
+            )
+        assert srv.post_attempts == 2
+    finally:
+        srv.close()
+
+    # a 400 (malformed INSERT) does not heal by waiting: one attempt
+    srv2 = _RecordingCKServer(fail_first=1, fail_status=400)
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            http_insert_in_batches(
+                srv2.url, "t", [{"k": 1}], retries=5, retry_backoff_s=0.0
+            )
+        assert srv2.post_attempts == 1
+    finally:
+        srv2.close()
