@@ -667,6 +667,24 @@ def clickhouse_http_writer(
             codec_for(t)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        # The ingest pipeline appends `log_date` (sink.partition_col)
+        # for the PARQUET layout — toDate(created_at), the reference
+        # DDL's PARTITION BY, which that DDL MATERIALIZES server-side.
+        # A ClickHouse target therefore usually has no insertable
+        # column of that name, and shipping it would fail the insert
+        # (JSONEachRow: unknown field; RowBinary: unknown batch
+        # column). Drop the derived column here — UNLESS the user
+        # declared it explicitly or the server lists it insertable
+        # (then it's real data, not layout plumbing). Only the
+        # derived case is dropped: created_at must also be present.
+        pc = sink.partition_col
+        if pc in batch_df.columns and "created_at" in batch_df.columns:
+            declared_has = declared is not None and any(
+                n == pc for n, _t in declared
+            )
+            server_has = server_types is not None and pc in server_types
+            if not declared_has and not server_has:
+                batch_df = batch_df.drop(pc)
         if fmt == "row_binary":
             if declared is not None:
                 columns = declared
@@ -735,6 +753,13 @@ def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
     batch_size = int(opts.pop("batch_size", CK_INSERT_BATCH))
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:  # pragma: no cover
+        # Same derived-column rule as the HTTP writer: the parquet
+        # layout's log_date (materialized server-side in the reference
+        # DDL) must not reach the positional native insert.
+        pc = sink.partition_col
+        if pc in batch_df.columns and "created_at" in batch_df.columns:
+            batch_df = batch_df.drop(pc)
+
         def _insert_partition(rows):
             client = clickhouse_connect.get_client(**opts)
             try:

@@ -822,3 +822,77 @@ def test_retries_exhausted_raises_and_4xx_is_not_retried():
         assert srv2.post_attempts == 1
     finally:
         srv2.close()
+
+
+def test_derived_log_date_dropped_from_json_inserts(spark):
+    """The pipeline's log_date column exists for the PARQUET layout;
+    the reference DDL MATERIALIZES it server-side, so a JSONEachRow
+    body carrying the key would fail the insert on a real table
+    (unknown field). The writer drops the derived column — only when
+    created_at is present to derive it from."""
+    import datetime as dt
+
+    from log2ck_spark.sink import writer_for
+
+    srv = _RecordingCKServer()
+    try:
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 10, 0, 0), dt.date(2024, 1, 1), "m")],
+            "created_at timestamp, log_date date, message string",
+        ).coalesce(1)
+        writer = writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={"url": srv.url, "table": "logs"},
+            )
+        )
+        writer(df, 0)
+        (row,) = srv.rows()
+        assert "log_date" not in row
+        assert row["message"] == "m"
+
+        # without created_at the column is NOT derived plumbing — kept
+        df2 = spark.createDataFrame(
+            [(dt.date(2024, 1, 1), "m2")], "log_date date, message string"
+        ).coalesce(1)
+        writer(df2, 1)
+        assert "log_date" in srv.rows()[-1]
+    finally:
+        srv.close()
+
+
+def test_log_date_kept_when_server_declares_it_insertable(spark):
+    """If the target table REALLY has a plain (non-materialized)
+    log_date column, the DESCRIBE-derived layout keeps and encodes it
+    — the drop applies only to derived plumbing the table lacks."""
+    import datetime as dt
+    from urllib.parse import parse_qs, urlparse
+
+    from log2ck_spark.sink import writer_for
+
+    describe = (
+        "created_at\tDateTime\t\t\t\t\t\n"
+        "log_date\tDate\t\t\t\t\t\n"
+        "message\tString\t\t\t\t\t\n"
+    )
+    srv = _RecordingCKServer(describe_tsv=describe)
+    try:
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 10, 0, 0), dt.date(2024, 1, 1), "m")],
+            "created_at timestamp, log_date date, message string",
+        ).coalesce(1)
+        writer = writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={
+                    "url": srv.url, "table": "logs",
+                    "format": "row_binary",
+                },
+            )
+        )
+        writer(df, 0)
+        path, _body = srv.requests[0]
+        q = parse_qs(urlparse(path).query)["query"][0]
+        assert "`log_date`" in q
+    finally:
+        srv.close()

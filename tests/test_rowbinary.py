@@ -815,3 +815,103 @@ def test_map_struct_columns_end_to_end(spark):
         assert body == expect
     finally:
         srv.close()
+
+
+def test_tail_to_reference_ddl_describe_stream_end_to_end(spark, tmp_path):
+    """THE production topology for a reference user: tail a monolog
+    file, parse, and stream FORMAT RowBinary into the reference's own
+    published table shape — all non-Nullable LowCardinality(String)/
+    DateTime/String columns plus a MATERIALIZED log_date — with ZERO
+    sink config beyond url+table+format: the layout comes from
+    DESCRIBE TABLE. Proves (a) the DESCRIBE default encodes a
+    non-Nullable table correctly (no flag bytes), (b) the engine's
+    derived log_date parquet-layout column is dropped rather than
+    shipped (the server materializes it), and (c) the gzip default
+    composes with the binary stream."""
+    from urllib.parse import parse_qs, urlparse
+
+    from log2ck_spark.config import EngineConfig, SinkConfig, TailSpec
+    from log2ck_spark.streaming import run_ingest_stream, stop_all
+    from tests.test_clickhouse_sink import _RecordingCKServer
+
+    describe = (
+        "repo\tLowCardinality(String)\t\t\t\t\t\n"
+        "name\tLowCardinality(String)\t\t\t\t\t\n"
+        "host\tLowCardinality(String)\t\t\t\t\t\n"
+        "created_at\tDateTime\t\t\t\t\t\n"
+        "logger\tLowCardinality(String)\t\t\t\t\t\n"
+        "level\tLowCardinality(String)\t\t\t\t\t\n"
+        "message\tString\t\t\t\t\t\n"
+        "context\tString\t\t\t\t\t\n"
+        "extra\tString\t\t\t\t\t\n"
+        "log_date\tDate\tMATERIALIZED\ttoDate(created_at)\t\t\t\n"
+    )
+    srv = _RecordingCKServer(describe_tsv=describe)
+    try:
+        logs = tmp_path / "logs"
+        logs.mkdir()
+        (logs / "app.log").write_text(
+            "[2024-01-01 10:00:00] app.ERROR: boom {} []\n"
+        )
+        config = EngineConfig(
+            tails=[TailSpec(
+                name="app-log", path=str(logs / "*.log"),
+                repo="demo-repo", host="host-1",
+            )],
+            sink=SinkConfig(
+                kind="clickhouse_http",
+                options={
+                    "url": srv.url,
+                    "table": "repo",
+                    "format": "row_binary",
+                },
+            ),
+            checkpoint_root=str(tmp_path / "ckpt"),
+            trigger_seconds=1,
+        )
+        run_ingest_stream(spark, config, config.tails[0])
+        import time as _t
+
+        deadline = _t.time() + 60
+        while _t.time() < deadline and not srv.requests:
+            _t.sleep(0.5)
+        assert srv.requests, "no insert arrived"
+        path, body = srv.requests[0]
+        q = parse_qs(urlparse(path).query)["query"][0]
+        # log_date is NOT in the insert — it is the server's job
+        assert "log_date" not in q
+        assert q.endswith("FORMAT RowBinary")
+        assert all(enc == "gzip" for _p, _l, enc, _h in srv.wire)
+        # decode under the DataFrame's column order, SERVER's types:
+        # parse the insert's own column list, then walk the body
+        names = [
+            c.strip("` ") for c in
+            q[q.index("(") + 1:q.index(")")].split(",")
+        ]
+        off = 0
+        row = {}
+        for col in names:
+            if col == "created_at":
+                secs = struct.unpack("<I", body[off:off + 4])[0]
+                off += 4
+                row[col] = dt.datetime(1970, 1, 1) + dt.timedelta(
+                    seconds=secs
+                )
+            else:
+                ln = body[off]; off += 1  # short strings: 1-byte varint
+                row[col] = body[off:off + ln].decode(); off += ln
+        assert off == len(body)  # one row, no flag bytes, no leftovers
+        assert row == {
+            "repo": "demo-repo",
+            "name": "app-log",
+            "host": "host-1",
+            "created_at": dt.datetime(2024, 1, 1, 10, 0, 0),
+            "logger": "app",
+            "level": "ERROR",
+            "message": "boom",
+            "context": "{}",
+            "extra": "[]",
+        }
+    finally:
+        stop_all(spark)
+        srv.close()
