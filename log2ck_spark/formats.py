@@ -23,7 +23,9 @@ public spec:
   * DateTime — UInt32 epoch seconds; DateTime64(p) — Int64 ticks at
     10^-p seconds, computed in exact integer arithmetic (a float
     multiply drops microseconds past epoch ~2.8e8 s)
-  * Decimal(P,S), P <= 18 — Int64 of value * 10^S
+  * Decimal(P,S) — the scaled integer value·10^S in the tier's width:
+    Int32 (P≤9), Int64 (P≤18), Int128 (P≤38), Int256 (P≤76), all LE;
+    Int128/UInt128/Int256/UInt256 — little-endian fixed width
   * Nullable(T) — one flag byte (0 = value follows, 1 = NULL)
   * Array(T) — LEB128 element count + encoded elements
   * FixedString(N) — exactly N raw bytes (shorter input zero-padded,
@@ -225,22 +227,51 @@ class _DateTimeCodec(_Codec):
                 ) from e
 
 
+class _WideIntCodec(_Codec):
+    """Int128/UInt128/Int256/UInt256: fixed-width little-endian,
+    exactly like the narrow integers but beyond struct.pack's widths —
+    int.to_bytes carries the same contract (OverflowError on
+    out-of-range → the module's ValueError)."""
+
+    def __init__(self, ck_type: str, nbytes: int, signed: bool):
+        self.ck_type, self.nbytes, self.signed = ck_type, nbytes, signed
+
+    def encode(self, v, out: bytearray) -> None:
+        if v is None:
+            raise self._null_rejected(self.ck_type)
+        try:
+            out += int(v).to_bytes(
+                self.nbytes, "little", signed=self.signed
+            )
+        except (OverflowError, ValueError, TypeError) as e:
+            raise ValueError(
+                f"value {v!r} out of range for {self.ck_type}"
+            ) from e
+
+
 class _DecimalCodec(_Codec):
     """Decimal(P,S) as the scaled integer value·10^S — in the width
     ClickHouse's RowBinary uses for that precision tier: Decimal32
-    (P 1..9) is an Int32, Decimal64 (P 10..18) an Int64. Getting the
-    width wrong doesn't fail one value — it misaligns every byte of
-    the row stream after it."""
+    (P 1..9) is an Int32, Decimal64 (P 10..18) an Int64, Decimal128
+    (P 19..38) an Int128, Decimal256 (P 39..76) an Int256 — all
+    little-endian. Getting the width wrong doesn't fail one value —
+    it misaligns every byte of the row stream after it."""
 
     def __init__(self, precision: int, scale: int):
-        if not 1 <= precision <= 18:
+        if not 1 <= precision <= 76:
             raise ValueError(
-                f"Decimal({precision},{scale}): only 1 <= P <= 18 "
-                f"(Decimal32/Decimal64 storage) is supported by this "
-                f"encoder"
+                f"Decimal({precision},{scale}): ClickHouse precision "
+                f"is 1..76"
             )
         self.precision, self.scale = precision, scale
-        self.fmt = "<i" if precision <= 9 else "<q"
+        if precision <= 9:
+            self.nbytes = 4
+        elif precision <= 18:
+            self.nbytes = 8
+        elif precision <= 38:
+            self.nbytes = 16
+        else:
+            self.nbytes = 32
         # a P-digit decimal's scaled integer is bounded by 10^P
         self.bound = 10 ** precision
 
@@ -250,11 +281,15 @@ class _DecimalCodec(_Codec):
                 f"Decimal({self.precision},{self.scale})"
             )
         try:
-            q = int(
-                _decimal.Decimal(v).scaleb(self.scale).to_integral_exact(
-                    rounding=_decimal.ROUND_HALF_UP
+            with _decimal.localcontext() as ctx:
+                # default context is 28 significant digits — a wide
+                # Decimal(76) value would silently round mid-scaleb
+                ctx.prec = 100
+                q = int(
+                    _decimal.Decimal(v)
+                    .scaleb(self.scale)
+                    .to_integral_exact(rounding=_decimal.ROUND_HALF_UP)
                 )
-            )
         except (_decimal.InvalidOperation, ValueError, TypeError) as e:
             raise ValueError(
                 f"value {v!r} is not encodable as "
@@ -268,7 +303,7 @@ class _DecimalCodec(_Codec):
                 f"value {v!r} exceeds Decimal({self.precision},"
                 f"{self.scale}) precision"
             )
-        out += struct.pack(self.fmt, q)
+        out += q.to_bytes(self.nbytes, "little", signed=True)
 
 
 class _FixedStringCodec(_Codec):
@@ -531,6 +566,11 @@ def codec_for(ck_type: str) -> _Codec:
         return codec_for(m.group(1))
     if t in _INT_SPECS:
         return _IntCodec(t)
+    m = re.fullmatch(r"(U?)Int(128|256)", t)
+    if m:
+        return _WideIntCodec(
+            t, int(m.group(2)) // 8, signed=not m.group(1)
+        )
     if t in ("Float32", "Float64"):
         return _FloatCodec(t)
     if t == "Bool":

@@ -153,8 +153,38 @@ def test_decimal_width_follows_precision_tier():
     # wrong width would misalign every later column in the row stream
     assert _enc("Decimal(9,2)", "12.34") == struct.pack("<i", 1234)
     assert _enc("Decimal(4,0)", 7) == struct.pack("<i", 7)
-    with pytest.raises(ValueError, match="1 <= P <= 18"):
-        codec_for("Decimal(38,6)")
+    # Decimal128 (P 19..38): Int128 LE — 16 bytes (r11)
+    import decimal as _d
+
+    assert _enc("Decimal(38,6)", "1.5") == (1_500_000).to_bytes(
+        16, "little", signed=True
+    )
+    assert _enc("Decimal(38,6)", _d.Decimal("-2")) == (
+        -2_000_000
+    ).to_bytes(16, "little", signed=True)
+    # a 25-significant-digit value: exceeds the default decimal
+    # context's 28 digits once scaled — must stay EXACT, not round
+    wide = "1234567890123456789.123456"
+    assert _enc("Decimal(38,6)", wide) == int(
+        wide.replace(".", "")
+    ).to_bytes(16, "little", signed=True)
+    # Decimal256 (P 39..76): Int256 LE — 32 bytes
+    assert _enc("Decimal(76,0)", 10**75 - 1) == (10**75 - 1).to_bytes(
+        32, "little", signed=True
+    )
+    with pytest.raises(ValueError, match="1..76"):
+        codec_for("Decimal(77,6)")
+
+
+def test_wide_integers_little_endian():
+    assert _enc("Int128", -1) == b"\xff" * 16
+    assert _enc("UInt128", 2**127) == (2**127).to_bytes(16, "little")
+    assert _enc("Int256", 5) == (5).to_bytes(32, "little", signed=True)
+    assert _enc("UInt256", 2**255) == (2**255).to_bytes(32, "little")
+    with pytest.raises(ValueError, match="out of range"):
+        _enc("UInt128", -1)
+    with pytest.raises(ValueError, match="out of range"):
+        _enc("Int128", 2**127)
 
 
 def test_decimal_enforces_declared_precision_and_rejects_nan():
@@ -184,12 +214,12 @@ def test_arrays_including_nested_nullable():
 
 
 def test_unsupported_type_raises_at_parse_time():
-    # Map/Enum gained codecs in r11; these remain genuinely
+    # Map/Enum/Int128 gained codecs in r11; these remain genuinely
     # unsupported and must fail at writer creation, not mid-batch
     with pytest.raises(ValueError, match="unsupported"):
         codec_for("AggregateFunction(sum, Int64)")
     with pytest.raises(ValueError, match="unsupported"):
-        codec_for("Int128")
+        codec_for("Int512")
     with pytest.raises(ValueError, match="unsupported"):
         codec_for("JSON")
     with pytest.raises(ValueError, match="two type arguments"):
