@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import decimal as _decimal
+import operator as _op
 import re
 import struct
 from collections.abc import Iterator
@@ -240,7 +241,11 @@ class _WideIntCodec(_Codec):
         if v is None:
             raise self._null_rejected(self.ck_type)
         try:
-            out += int(v).to_bytes(
+            # operator.index, not int(): int(3.9) silently truncates
+            # and int("7") silently coerces — the narrow codecs raise
+            # on both (struct.pack requires a real integer), and the
+            # wide widths must honor the same fail-loud contract
+            out += _op.index(v).to_bytes(
                 self.nbytes, "little", signed=self.signed
             )
         except (OverflowError, ValueError, TypeError) as e:
@@ -497,10 +502,12 @@ class _ArrayCodec(_Codec):
 
 def _split_top(s: str) -> "list[str]":
     """Split a type-argument list on TOP-LEVEL commas only —
-    parentheses nest (Map(String, Array(Int64))) and single-quoted
+    parentheses nest (Map(String, Array(Int64))), single-quoted
     literals may contain commas and backslash-escaped quotes
-    (Enum8('a,b' = 1))."""
-    parts, depth, quote, cur, i = [], 0, False, [], 0
+    (Enum8('a,b' = 1)), and backtick-quoted identifiers (named Tuple
+    fields with hostile names: Tuple(`a,b` Int64, c String)) follow
+    the same escape rules — DESCRIBE emits both quote kinds."""
+    parts, depth, quote, cur, i = [], 0, "", [], 0
     while i < len(s):
         c = s[i]
         if quote:
@@ -508,10 +515,10 @@ def _split_top(s: str) -> "list[str]":
             if c == "\\" and i + 1 < len(s):
                 cur.append(s[i + 1])
                 i += 1
-            elif c == "'":
-                quote = False
-        elif c == "'":
-            quote = True
+            elif c == quote:
+                quote = ""
+        elif c in ("'", "`"):
+            quote = c
             cur.append(c)
         elif c == "(":
             depth += 1

@@ -84,79 +84,26 @@ def load_all() -> None:
 # ROTATION.md. Python dicts preserve insertion order, so a plain
 # rebuild is enough.
 ROTATION_FIRST: tuple[str, ...] = (
-    # r11 window — pinned in FULL (50 names) for determinism. Three
-    # groups; see ROTATION.md "Round 11 window" for the accounting.
-    #
-    # Group 1 — the 24-name code-changed queue carried out of r10
-    # (names whose code/oracle changed AFTER their latest driver row;
-    # the pin rule says these re-prove first). 7 timewarp
-    # (epoch-truncation contract), 9 sparse (NULL-embedding /
-    # NULLS FIRST / NULL-measure contracts), 2 blank (CSV round-trip,
-    # logfmt grammar), 5 nonfinite (finite_vec / finite-observation
-    # contracts), 1 jumbo (agg_map_sum per-entry try_cast):
-    "rate_counter",
-    "agg_latest_by_key",
-    "iat_stats",
-    "sessionize_gap",
-    "runs_encode",
-    "stream_stream_join",
-    "zorder_layout",
-    "similarity_topk",
-    "similarity_lsh",
-    "similarity_ivf",
-    "knn_classify",
-    "dedup_embedding_lsh",
-    "embedding_kmeans",
-    "dedup_semantic",
-    "window_ntile",
-    "sketch_quantile_hist",
-    "ingest_csv",
-    "parse_logfmt",
-    "anomaly_ewma",
-    "dedup_embedding",
-    "embedding_normalize",
-    "embedding_quantize",
-    "percentile_agg",
-    "agg_map_sum",
-    # + cube_rollup joined the queue mid-r11: the --empty hostile gate
-    # found Spark's ROLLUP emits no rows over empty input where
-    # ANSI/DuckDB emit the grand-total row; the oracle now carries
-    # HAVING COUNT(*) > 0 (a non-empty-input no-op), so its r10 row
-    # predates the oracle text. pii_scrub was displaced to the r12
-    # deferral list to keep the window at 50.
-    "cube_rollup",
-    # Group 2 — new this round (never driver-checked): the exact-sum
-    # domain-contract audit query (VERDICT r10 item 5).
-    "agg_sum_audited",
-    # Group 3 — stale-evidence drain (VERDICT r10 item 1): all 14
-    # remaining r6-latest names, then the 11 stalest r7 names that
-    # fit. 9 r7 names defer to r12 (listed in ROTATION.md with
-    # rationale; they become the unique stalest tier next round, so
-    # the automatic order surfaces them first even unpinned).
-    "datetime_funcs",
-    "distinct_exact",
-    "join_semi_anti",
-    "project_columns",
-    "sample_hash_bernoulli",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sort_within",
-    "string_match",
-    "topk_per_group",
-    "topk_per_group_twophase",
-    "tpch_q4_order_priority",
-    "window_rank",
-    "heavy_hitters",
-    "stream_dedup",
-    "text_lang_id",
-    "text_token_count",
-    "text_quality_score",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q16_supplier_cnt",
-    "tpch_q21_waiting_supplier",
-    "ttl_expire",
+    # r12 window — the stale-evidence drain, finished (VERDICT r11
+    # item 1). Manual pins are ONLY the 10 r7-latest names (the unique
+    # stalest tier; the r11 deferral list from ROTATION.md, now
+    # drained). No code-changed queue this round: query code and
+    # oracles were deliberately frozen (r11 verdict item 1), so the
+    # automatic stalest-first order fills the remaining 40 slots with
+    # the full 30-name r8 tier and the 10 registration-order-first r9
+    # names. Post-r12 target state: no name's latest driver row
+    # predates r9, after which the steady-state 50-name window
+    # maintains freshness with zero manual pins.
+    "bigram_stats",
+    "dedup_near",
+    "error_rate_alert",
+    "pii_scrub",
+    "pivot_agg",
+    "stratified_sample",
+    "text_fingerprint",
+    "tfidf_top_terms",
+    "token_count_bpe",
+    "vocab_coverage",
 )
 
 

@@ -319,6 +319,40 @@ def _quote_ident(name: str) -> str:
     return "`" + name.replace("\\", "\\\\").replace("`", "\\`") + "`"
 
 
+_TSV_UNESCAPES = {
+    "\\": "\\",
+    "'": "'",
+    '"': '"',
+    "b": "\b",
+    "f": "\f",
+    "r": "\r",
+    "n": "\n",
+    "t": "\t",
+    "0": "\0",
+    "a": "\a",
+    "v": "\v",
+}
+
+
+def _tsv_unescape(field: str) -> str:
+    """Undo ClickHouse TabSeparated output escaping (the format's
+    documented set: \\b \\f \\r \\n \\t \\0 \\' \\\\ …). An unknown
+    escape passes the character through verbatim, matching the
+    server's own lenient reader."""
+    if "\\" not in field:
+        return field
+    out, i, n = [], 0, len(field)
+    while i < n:
+        c = field[i]
+        if c == "\\" and i + 1 < n:
+            out.append(_TSV_UNESCAPES.get(field[i + 1], field[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def describe_table_columns(
     url: str,
     table: str,
@@ -363,7 +397,11 @@ def describe_table_columns(
     for line in text.splitlines():
         if not line:
             continue
-        fields = line.split("\t")
+        # TabSeparated backslash-escapes its field values — a type
+        # whose text contains a quoted argument (DateTime('UTC'),
+        # DateTime64(3, 'UTC'), Enum8('a' = 1)) arrives as
+        # DateTime(\'UTC\'), which codec_for would reject verbatim
+        fields = [_tsv_unescape(f) for f in line.split("\t")]
         name, ck_type = fields[0], fields[1] if len(fields) > 1 else ""
         default_type = fields[2] if len(fields) > 2 else ""
         if default_type in ("MATERIALIZED", "ALIAS"):
@@ -395,6 +433,7 @@ def http_insert_in_batches(
     max_body_bytes: int = 64 * 1024 * 1024,
     retries: int = 2,
     retry_backoff_s: float = 1.0,
+    dedup_token: bool = True,
 ) -> int:
     """Batched INSERT over ClickHouse's public HTTP interface: POST
     `INSERT INTO <table> FORMAT JSONEachRow` with newline-delimited
@@ -441,7 +480,22 @@ def http_insert_in_batches(
     previously-committed batch (a much wider at-least-once duplicate
     window than re-POSTing one idempotent body). Replays send
     byte-identical requests (deterministic gzip), so a deduplicating
-    target table absorbs them."""
+    target table absorbs them.
+
+    `dedup_token=True` (the DEFAULT) additionally sends ClickHouse's
+    public `insert_deduplication_token` setting per flush — the
+    sha256 of (table, uncompressed body), so any replay of the same
+    rows (in-place retry, Spark task re-run, stream-restart batch
+    replay) carries the SAME token and the server drops the duplicate
+    block. This upgrades at-least-once to idempotent inserts on a
+    plain MergeTree (given `non_replicated_deduplication_window > 0`;
+    replicated tables dedup by default) — something the reference's
+    native path cannot do (`Worker.php:123-124` replays duplicate
+    rows). Content-hash tokens reproduce the server's own
+    content-based block dedup semantics exactly: two flushes collide
+    only if their bytes are a true duplicate block. A caller-supplied
+    `insert_deduplication_token` in `params` wins (no auto-derive) —
+    note a STATIC token dedups every batch after the first."""
     import gzip as _gzip
     import time as _time
     import urllib.error as _ue
@@ -468,6 +522,7 @@ def http_insert_in_batches(
         content_type = "application/x-ndjson"
     qs = {"query": query}
     qs.update(params or {})  # database=..., CK settings, etc.
+    derive_token = dedup_token and "insert_deduplication_token" not in qs
     endpoint = url.rstrip("/") + "/?" + _up.urlencode(qs)
     headers = {"Content-Type": content_type}
     # CK's HTTP auth headers (public interface contract); absent ->
@@ -477,9 +532,9 @@ def http_insert_in_batches(
     if password is not None:
         headers["X-ClickHouse-Key"] = password
 
-    def _post_once(data: bytes) -> None:
+    def _post_once(data: bytes, target: str) -> None:
         req = _ur.Request(
-            endpoint,
+            target,
             data=data,
             headers=headers,
             method="POST",
@@ -494,6 +549,19 @@ def http_insert_in_batches(
 
     def _flush(buf: list[bytes]) -> None:
         data = sep.join(buf) + tail
+        target = endpoint
+        if derive_token:
+            # content-hash of the UNCOMPRESSED body: replays of the
+            # same rows — in-place retry, task re-run, batch replay —
+            # derive the same token, so the server absorbs them
+            import hashlib as _hashlib
+
+            token = _hashlib.sha256(
+                table.encode() + b"\0" + data
+            ).hexdigest()
+            target = endpoint + "&" + _up.urlencode(
+                {"insert_deduplication_token": token}
+            )
         if compression == "gzip":
             # mtime=0: deterministic bytes (the gzip header otherwise
             # embeds wall-clock time — untestable golden bodies and
@@ -505,7 +573,7 @@ def http_insert_in_batches(
         attempt = 0
         while True:
             try:
-                _post_once(data)
+                _post_once(data, target)
                 return
             except _ue.HTTPError as e:
                 # 429/5xx are the transient class; other 4xx will not
@@ -589,7 +657,16 @@ def clickhouse_http_writer(
     JSONEachRow). `max_body_bytes` (default 64 MiB, pre-compression),
     `retries` (default 2) and `retry_backoff_s` (default 1.0) tune the
     byte-bounded flush and the transient-failure (429/5xx/connection)
-    in-place retry — both documented on http_insert_in_batches."""
+    in-place retry — both documented on http_insert_in_batches.
+
+    `dedup_token` (default true): per-flush content-hash
+    `insert_deduplication_token` — replayed bodies (retry, task
+    re-run, stream restart) carry the same token, so a MergeTree with
+    a deduplication window absorbs them: idempotent inserts without a
+    ReplacingMergeTree. `drop_partition_col`: true | false | "auto"
+    (default) — "auto" drops the pipeline's derived parquet partition
+    column unless the user declared it or the server's DESCRIBE lists
+    it as a real insertable column (consulted on every format)."""
     opts: dict[str, Any] = dict(sink.options)
     table = str(_require_opt(opts, "table", "clickhouse_http"))
     url = str(_require_opt(opts, "url", "clickhouse_http"))
@@ -616,6 +693,25 @@ def clickhouse_http_writer(
     max_body_bytes = int(opts.pop("max_body_bytes", 64 * 1024 * 1024))
     retries = int(opts.pop("retries", 2))
     retry_backoff_s = float(opts.pop("retry_backoff_s", 1.0))
+    dedup_token = opts.pop("dedup_token", True)
+    if not isinstance(dedup_token, bool):
+        raise ValueError(
+            f"clickhouse_http sink: dedup_token={dedup_token!r} "
+            f"(expected true or false)"
+        )
+    drop_pc = opts.pop("drop_partition_col", "auto")
+    if isinstance(drop_pc, str):
+        if drop_pc.lower() != "auto":
+            raise ValueError(
+                f"clickhouse_http sink: drop_partition_col={drop_pc!r} "
+                f"(expected true, false, or 'auto')"
+            )
+        drop_pc = "auto"
+    elif not isinstance(drop_pc, bool):
+        raise ValueError(
+            f"clickhouse_http sink: drop_partition_col={drop_pc!r} "
+            f"(expected true, false, or 'auto')"
+        )
     declared: "list[tuple[str, str]] | None" = None
     infer_from_schema = False
     raw_cols = opts.pop("columns", None)
@@ -666,6 +762,38 @@ def clickhouse_http_writer(
         for _n, t in server_types.items():
             codec_for(t)
 
+    # Lazily-fetched layout for the drop rule below on paths that
+    # don't already DESCRIBE at creation (json_each_row, and
+    # row_binary with declared/inferred columns): one fetch per
+    # writer, first batch that actually carries the partition column.
+    _drop_layout: dict[str, Any] = {"fetched": False, "types": None}
+
+    def _server_lists_pc(pc: str) -> bool:
+        if server_types is not None:
+            return pc in server_types
+        if not _drop_layout["fetched"]:
+            _drop_layout["fetched"] = True
+            try:
+                _drop_layout["types"] = describe_table_columns(
+                    url, table, user=user, password=password,
+                    params=params,
+                )
+            except Exception as e:  # noqa: BLE001
+                # DESCRIBE denied/unsupported: fall back to the
+                # drop-the-derived-column rule (pre-r12 behavior) but
+                # say so — a genuinely-insertable partition column
+                # would otherwise be silently defaulted server-side
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "clickhouse_http sink: DESCRIBE TABLE %s failed "
+                    "(%s); assuming partition column is derived and "
+                    "dropping it — set drop_partition_col explicitly "
+                    "to silence this", table, e,
+                )
+        t = _drop_layout["types"]
+        return t is not None and pc in t
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         # The ingest pipeline appends `log_date` (sink.partition_col)
         # for the PARQUET layout — toDate(created_at), the reference
@@ -674,17 +802,21 @@ def clickhouse_http_writer(
         # column of that name, and shipping it would fail the insert
         # (JSONEachRow: unknown field; RowBinary: unknown batch
         # column). Drop the derived column here — UNLESS the user
-        # declared it explicitly or the server lists it insertable
-        # (then it's real data, not layout plumbing). Only the
-        # derived case is dropped: created_at must also be present.
+        # declared it explicitly, set drop_partition_col themselves,
+        # or the server lists it insertable (then it's real data, not
+        # layout plumbing — the server is consulted on EVERY format,
+        # not just the row_binary default). Only the derived case is
+        # dropped: created_at must also be present.
         pc = sink.partition_col
         if pc in batch_df.columns and "created_at" in batch_df.columns:
-            declared_has = declared is not None and any(
-                n == pc for n, _t in declared
-            )
-            server_has = server_types is not None and pc in server_types
-            if not declared_has and not server_has:
+            if drop_pc is True:
                 batch_df = batch_df.drop(pc)
+            elif drop_pc == "auto":
+                declared_has = declared is not None and any(
+                    n == pc for n, _t in declared
+                )
+                if not declared_has and not _server_lists_pc(pc):
+                    batch_df = batch_df.drop(pc)
         if fmt == "row_binary":
             if declared is not None:
                 columns = declared
@@ -722,6 +854,7 @@ def clickhouse_http_writer(
                 max_body_bytes=max_body_bytes,
                 retries=retries,
                 retry_backoff_s=retry_backoff_s,
+                dedup_token=dedup_token,
             )
 
         batch_df.rdd.foreachPartition(_insert_partition)
@@ -751,14 +884,63 @@ def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
     opts: dict[str, Any] = dict(sink.options)
     table = _require_opt(opts, "table", "clickhouse")
     batch_size = int(opts.pop("batch_size", CK_INSERT_BATCH))
+    drop_pc_opt = opts.pop("drop_partition_col", "auto")
+    if isinstance(drop_pc_opt, str):
+        if drop_pc_opt.lower() != "auto":
+            raise ValueError(
+                f"clickhouse sink: drop_partition_col={drop_pc_opt!r} "
+                f"(expected true, false, or 'auto')"
+            )
+        drop_pc_opt = "auto"
+    elif not isinstance(drop_pc_opt, bool):
+        raise ValueError(
+            f"clickhouse sink: drop_partition_col={drop_pc_opt!r} "
+            f"(expected true, false, or 'auto')"
+        )
+    _drop_layout: dict[str, Any] = {"fetched": False, "has_pc": False}
+
+    def _server_lists_pc(pc: str) -> bool:  # pragma: no cover
+        # 'auto' asks the server once (driver-side DESCRIBE via the
+        # same client lib) whether the partition column is a real
+        # insertable column; only the derived case is dropped —
+        # mirroring the HTTP writer's guard so a table that genuinely
+        # stores log_date keeps receiving it.
+        if not _drop_layout["fetched"]:
+            _drop_layout["fetched"] = True
+            try:
+                client = clickhouse_connect.get_client(**opts)
+                try:
+                    res = client.query(f"DESCRIBE TABLE {table}")
+                    _drop_layout["has_pc"] = any(
+                        row[0] == pc
+                        and str(row[2] or "")
+                        not in ("MATERIALIZED", "ALIAS")
+                        for row in res.result_rows
+                    )
+                finally:
+                    client.close()
+            except Exception as e:  # noqa: BLE001
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "clickhouse sink: DESCRIBE TABLE %s failed (%s); "
+                    "assuming partition column is derived and dropping "
+                    "it — set drop_partition_col explicitly to silence "
+                    "this", table, e,
+                )
+        return bool(_drop_layout["has_pc"])
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:  # pragma: no cover
         # Same derived-column rule as the HTTP writer: the parquet
         # layout's log_date (materialized server-side in the reference
-        # DDL) must not reach the positional native insert.
+        # DDL) must not reach the positional native insert — unless
+        # the user said otherwise or the server lists it insertable.
         pc = sink.partition_col
         if pc in batch_df.columns and "created_at" in batch_df.columns:
-            batch_df = batch_df.drop(pc)
+            if drop_pc_opt is True or (
+                drop_pc_opt == "auto" and not _server_lists_pc(pc)
+            ):
+                batch_df = batch_df.drop(pc)
 
         def _insert_partition(rows):
             client = clickhouse_connect.get_client(**opts)

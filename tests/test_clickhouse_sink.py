@@ -5,6 +5,7 @@ connection reused across batches) must hold regardless."""
 
 from __future__ import annotations
 
+import os
 import sys
 import types
 
@@ -265,6 +266,7 @@ class _RecordingCKServer:
                 ln = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(ln)
                 server.post_attempts += 1
+                server.attempt_paths.append(self.path)
                 if server.fail_remaining > 0:
                     # transient-failure injection: consume the body
                     # (done above) and answer the configured error
@@ -309,6 +311,7 @@ class _RecordingCKServer:
         self.requests: list[tuple[str, bytes]] = []
         self.wire: list[tuple[str, int, "str | None", dict]] = []
         self.gets: list[str] = []
+        self.attempt_paths: list[str] = []  # every POST, incl. failed
         self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
         self.url = f"http://127.0.0.1:{self.httpd.server_port}"
         self.thread = threading.Thread(
@@ -824,6 +827,151 @@ def test_retries_exhausted_raises_and_4xx_is_not_retried():
         srv2.close()
 
 
+def test_dedup_token_same_on_retry_distinct_per_batch():
+    """r12 (VERDICT item 2): every flush carries ClickHouse's public
+    insert_deduplication_token derived from the body content, so (a) a
+    transient-failure retry re-sends the SAME token (the server drops
+    the replayed block → idempotent inserts on plain MergeTree), and
+    (b) different batches carry DIFFERENT tokens (no false dedup)."""
+    from urllib.parse import parse_qs, urlparse
+
+    from log2ck_spark.sink import http_insert_in_batches
+
+    srv = _RecordingCKServer(fail_first=1)
+    try:
+        rows = [{"k": 1}, {"k": 2}, {"k": 3}]
+        n = http_insert_in_batches(
+            srv.url, "t", rows, batch_size=2, retries=2,
+            retry_backoff_s=0.0,
+        )
+        assert n == 3
+        # batch1 fails once then succeeds, batch2 succeeds = 3 attempts
+        assert srv.post_attempts == 3
+
+        def token(path):
+            q = parse_qs(urlparse(path).query)
+            (tok,) = q["insert_deduplication_token"]
+            return tok
+
+        toks = [token(p) for p in srv.attempt_paths]
+        assert toks[0] == toks[1]  # the retried flush: SAME token
+        assert toks[2] != toks[0]  # the second batch: a new token
+        assert all(len(t) == 64 for t in toks)  # sha256 hex
+    finally:
+        srv.close()
+
+
+def test_dedup_token_respects_caller_and_off_switch():
+    from urllib.parse import parse_qs, urlparse
+
+    from log2ck_spark.sink import http_insert_in_batches
+
+    # caller-supplied token wins — no auto-derive
+    srv = _RecordingCKServer()
+    try:
+        http_insert_in_batches(
+            srv.url, "t", [{"k": 1}],
+            params={"insert_deduplication_token": "mine"},
+        )
+        q = parse_qs(urlparse(srv.attempt_paths[0]).query)
+        assert q["insert_deduplication_token"] == ["mine"]
+    finally:
+        srv.close()
+
+    # dedup_token=False restores the bare query string
+    srv2 = _RecordingCKServer()
+    try:
+        http_insert_in_batches(srv2.url, "t", [{"k": 1}], dedup_token=False)
+        q2 = parse_qs(urlparse(srv2.attempt_paths[0]).query)
+        assert "insert_deduplication_token" not in q2
+    finally:
+        srv2.close()
+
+
+def test_dedup_token_identical_across_writer_level_replay(spark):
+    """The Spark-level replay story: re-running writer(df, 0) — what a
+    stream restart or task retry does — produces byte-identical
+    bodies AND identical tokens, so the replayed POST is absorbable
+    server-side. RowBinary and gzip both participate (token is over
+    the pre-compression bytes)."""
+    import datetime as dt
+    from urllib.parse import parse_qs, urlparse
+
+    from log2ck_spark.sink import writer_for
+
+    describe = (
+        "created_at\tDateTime\t\t\t\t\t\n"
+        "message\tString\t\t\t\t\t\n"
+    )
+    srv = _RecordingCKServer(describe_tsv=describe)
+    try:
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 10, 0, 0), "m")],
+            "created_at timestamp, message string",
+        ).coalesce(1)
+        writer = writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={
+                    "url": srv.url, "table": "logs",
+                    "format": "row_binary",
+                },
+            )
+        )
+        writer(df, 0)
+        writer(df, 0)  # the replay
+        assert len(srv.requests) == 2
+        (p1, b1), (p2, b2) = srv.requests
+        assert b1 == b2
+
+        def token(path):
+            return parse_qs(urlparse(path).query)[
+                "insert_deduplication_token"
+            ][0]
+
+        assert token(p1) == token(p2)
+    finally:
+        srv.close()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("LOG2CK_CK_HTTP_URL"),
+    reason="set LOG2CK_CK_HTTP_URL to a live ClickHouse HTTP endpoint",
+)
+def test_live_replayed_post_does_not_double_rows():
+    """LIVE idempotence proof (needs a real server): a MergeTree with
+    non_replicated_deduplication_window > 0 absorbs a byte-identical
+    replayed POST because both carry the same derived
+    insert_deduplication_token — row count stays at 1."""
+    import json
+    import urllib.request as ur
+    from urllib.parse import urlencode
+
+    from log2ck_spark.sink import http_insert_in_batches
+
+    url = os.environ["LOG2CK_CK_HTTP_URL"].rstrip("/")
+
+    def sql(q):
+        with ur.urlopen(url + "/?" + urlencode({"query": q})) as r:
+            return r.read().decode()
+
+    tbl = "log2ck_dedup_token_live_test"
+    sql(f"DROP TABLE IF EXISTS {tbl}")
+    sql(
+        f"CREATE TABLE {tbl} (k Int64) ENGINE = MergeTree ORDER BY k "
+        f"SETTINGS non_replicated_deduplication_window = 100"
+    )
+    try:
+        http_insert_in_batches(url, tbl, [{"k": 1}])
+        http_insert_in_batches(url, tbl, [{"k": 1}])  # the replay
+        cnt = json.loads(
+            sql(f"SELECT count() AS c FROM {tbl} FORMAT JSON")
+        )["data"][0]["c"]
+        assert int(cnt) == 1
+    finally:
+        sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_derived_log_date_dropped_from_json_inserts(spark):
     """The pipeline's log_date column exists for the PARQUET layout;
     the reference DDL MATERIALIZES it server-side, so a JSONEachRow
@@ -896,3 +1044,139 @@ def test_log_date_kept_when_server_declares_it_insertable(spark):
         assert "`log_date`" in q
     finally:
         srv.close()
+
+
+def test_log_date_kept_on_json_each_row_when_server_lists_it(spark):
+    """r12 (ADVICE): the insertable-column escape hatch must apply to
+    JSONEachRow too, not only the row_binary DESCRIBE default — a
+    table that genuinely stores log_date (e.g. created from
+    ck_columns_for_schema output) must keep receiving it, not get it
+    silently defaulted. The DESCRIBE is lazy and cached: one GET
+    across many batches."""
+    import datetime as dt
+
+    from log2ck_spark.sink import writer_for
+
+    describe = (
+        "created_at\tDateTime\t\t\t\t\t\n"
+        "log_date\tDate\t\t\t\t\t\n"
+        "message\tString\t\t\t\t\t\n"
+    )
+    srv = _RecordingCKServer(describe_tsv=describe)
+    try:
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 10, 0, 0), dt.date(2024, 1, 1), "m")],
+            "created_at timestamp, log_date date, message string",
+        ).coalesce(1)
+        writer = writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={"url": srv.url, "table": "logs"},
+            )
+        )
+        writer(df, 0)
+        writer(df, 1)
+        for row in srv.rows():
+            assert "log_date" in row
+        describes = [g for g in srv.gets if "DESCRIBE" in g]
+        assert len(describes) == 1  # lazy, fetched once, cached
+    finally:
+        srv.close()
+
+
+def test_drop_partition_col_option_forces_and_validates(spark):
+    """drop_partition_col=True drops even when the server lists the
+    column (explicit user intent beats auto); False keeps it with no
+    DESCRIBE round-trip; a junk value fails at writer creation."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from log2ck_spark.sink import writer_for
+
+    describe = (
+        "created_at\tDateTime\t\t\t\t\t\n"
+        "log_date\tDate\t\t\t\t\t\n"
+        "message\tString\t\t\t\t\t\n"
+    )
+    srv = _RecordingCKServer(describe_tsv=describe)
+    try:
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 10, 0, 0), dt.date(2024, 1, 1), "m")],
+            "created_at timestamp, log_date date, message string",
+        ).coalesce(1)
+        w_true = writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={
+                    "url": srv.url, "table": "logs",
+                    "drop_partition_col": True,
+                },
+            )
+        )
+        w_true(df, 0)
+        assert "log_date" not in srv.rows()[-1]
+
+        w_false = writer_for(
+            SinkConfig(
+                kind="clickhouse_http",
+                options={
+                    "url": srv.url, "table": "logs",
+                    "drop_partition_col": False,
+                },
+            )
+        )
+        n_gets = len(srv.gets)
+        w_false(df, 1)
+        assert "log_date" in srv.rows()[-1]
+        assert len(srv.gets) == n_gets  # no DESCRIBE needed
+
+        with _pytest.raises(ValueError, match="drop_partition_col"):
+            writer_for(
+                SinkConfig(
+                    kind="clickhouse_http",
+                    options={
+                        "url": srv.url, "table": "logs",
+                        "drop_partition_col": "sometimes",
+                    },
+                )
+            )
+    finally:
+        srv.close()
+
+
+def test_describe_tsv_unescapes_quoted_type_arguments():
+    """r12 (ADVICE): TabSeparated output backslash-escapes quotes and
+    backslashes, so DateTime('UTC') / DateTime64(3, 'UTC') /
+    Enum8('a' = 1) — types the codec layer explicitly supports —
+    arrive as DateTime(\\'UTC\\') and must be unescaped before
+    codec_for sees them, or the zero-config row_binary default fails
+    at writer creation on any table with a timezone'd DateTime."""
+    from log2ck_spark.formats import codec_for
+    from log2ck_spark.sink import describe_table_columns
+
+    describe = (
+        "created_at\tDateTime(\\'UTC\\')\t\t\t\t\t\n"
+        "ts\tDateTime64(3, \\'UTC\\')\t\t\t\t\t\n"
+        "lvl\tEnum8(\\'debug\\' = 1, \\'error\\' = 2)\t\t\t\t\t\n"
+        "tag\tLowCardinality(String)\t\t\t\t\t\n"
+    )
+    srv = _RecordingCKServer(describe_tsv=describe)
+    try:
+        cols = describe_table_columns(srv.url, "logs")
+        assert cols["created_at"] == "DateTime('UTC')"
+        assert cols["ts"] == "DateTime64(3, 'UTC')"
+        assert cols["lvl"] == "Enum8('debug' = 1, 'error' = 2)"
+        for t in cols.values():
+            codec_for(t)  # every unescaped type must codec cleanly
+    finally:
+        srv.close()
+
+
+def test_tsv_unescape_control_sequences():
+    from log2ck_spark.sink import _tsv_unescape
+
+    assert _tsv_unescape(r"DateTime(\'UTC\')") == "DateTime('UTC')"
+    assert _tsv_unescape(r"a\tb\nc\\d\0e") == "a\tb\nc\\d\0e"
+    assert _tsv_unescape("plain") == "plain"
+    assert _tsv_unescape("trailing\\") == "trailing\\"

@@ -187,6 +187,38 @@ def test_wide_integers_little_endian():
         _enc("Int128", 2**127)
 
 
+def test_wide_integers_reject_floats_and_strings():
+    """Fail-loud parity with the narrow codecs (r12, ADVICE): int(v)
+    would silently truncate 3.9 -> 3 and coerce "7" -> 7; the wide
+    widths must raise exactly like struct.pack does for Int64."""
+    for t in ("Int128", "UInt128", "Int256", "UInt256"):
+        with pytest.raises(ValueError, match="out of range"):
+            _enc(t, 3.9)
+        with pytest.raises(ValueError, match="out of range"):
+            _enc(t, 3.0)  # even integral floats: a typed-column bug
+        with pytest.raises(ValueError, match="out of range"):
+            _enc(t, "7")
+    # bool is an int subtype and a legitimate integral value
+    assert _enc("UInt128", True) == (1).to_bytes(16, "little")
+    # narrow codecs behave identically (the contract being mirrored)
+    with pytest.raises(ValueError):
+        _enc("Int64", 3.9)
+
+
+def test_split_top_tracks_backtick_quoted_identifiers():
+    """A named Tuple field whose backticked name contains a top-level
+    comma or paren (DESCRIBE emits these for hostile column names)
+    must not be split mid-name (r12, ADVICE)."""
+    c = codec_for("Tuple(`a,b` Int64, c String)")
+    out = bytearray()
+    c.encode((7, "x"), out)
+    assert bytes(out) == (7).to_bytes(8, "little", signed=True) + b"\x01x"
+    c2 = codec_for("Tuple(`we(ird)` UInt8, `q,` String)")
+    out2 = bytearray()
+    c2.encode((3, "y"), out2)
+    assert bytes(out2) == b"\x03\x01y"
+
+
 def test_decimal_enforces_declared_precision_and_rejects_nan():
     # 13 significant digits exceed Decimal(12,2) even though the
     # scaled integer fits Int64 — CK does not re-validate binary
