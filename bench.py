@@ -314,6 +314,33 @@ def main() -> None:
     regressions, env_drift, drift_source = detect_regressions(
         pairs, calib_ratio
     )
+    # Flagged-name self-adjudication (r12): a single bench-context
+    # timing on a 32-way-shared JVM produces recurring noise flags
+    # (r11 spent a commit adjudicating rate_counter by hand). Re-run
+    # every flagged name ISOLATED — after the sweep, min-of-3 warm,
+    # nothing else queued — and record the number ON the flag record,
+    # so the artifact itself says whether the flag survives a quiet
+    # re-measurement (isolated <= 2x drift-adjusted prev -> noise).
+    for name, rec in regressions.items():
+        q_dir = sf_dir if rec.get("set") == "headline" else warm_dir
+        if name not in QUERIES or not os.path.isdir(q_dir):
+            continue
+        try:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                QUERIES[name](spark, q_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.time() - t0)
+            rec["isolated"] = round(best, 3)
+            prev_t = rec.get("prev")
+            if prev_t:
+                rec["isolated_norm"] = round(
+                    (rec["isolated"] / prev_t) / max(env_drift, 0.001), 3
+                )
+        except Exception:
+            pass  # the original flag still stands in the record
     registry_total = round(sum(v for v in registry.values() if v > 0), 3)
     registry_line = {
         "registry_sf001": registry,
@@ -344,6 +371,14 @@ def main() -> None:
         # Compact {name: normalized-ratio}; full records (now/prev/
         # set/norm) are in the sidecar.
         "regressions": {n: v["norm"] for n, v in worst.items()},
+        # isolated min-of-3 re-run of each flagged name, drift-
+        # normalized — the self-adjudication number (full record in
+        # the sidecar's regressions map)
+        "regr_isolated": {
+            n: v["isolated_norm"]
+            for n, v in worst.items()
+            if "isolated_norm" in v
+        },
         "regressions_total": len(regressions),
         "regressions_baseline": prev_src,
         "env_drift": env_drift,
@@ -402,7 +437,9 @@ def final_line_json(line: dict) -> str:
     s = json.dumps(line)
     if len(s) <= _FINAL_LINE_BUDGET:
         return s
-    for key in ("regressions", "queries", "ingest", "calib_ratio"):
+    for key in (
+        "regr_isolated", "regressions", "queries", "ingest", "calib_ratio"
+    ):
         line.pop(key, None)
         s = json.dumps(line)
         if len(s) <= _FINAL_LINE_BUDGET:

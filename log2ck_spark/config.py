@@ -36,7 +36,8 @@ class SinkConfig:
     the optional client lib being importable)."""
 
     path: str = ""
-    # parquet | delta | clickhouse | clickhouse_http | memory
+    # parquet | delta | clickhouse | clickhouse_http |
+    # clickhouse_native | memory
     kind: str = "parquet"
     partition_col: str = "log_date"
     sort_cols: tuple[str, ...] = ("created_at",)  # readme.md:122 ORDER BY

@@ -193,6 +193,8 @@ def writer_for(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
         return clickhouse_writer(sink)
     if sink.kind == "clickhouse_http":
         return clickhouse_http_writer(sink)
+    if sink.kind == "clickhouse_native":
+        return clickhouse_native_writer(sink)
     if sink.kind == "memory":
         name = str(sink.options.get("name", "default"))
 
@@ -856,6 +858,114 @@ def clickhouse_http_writer(
                 retry_backoff_s=retry_backoff_s,
                 dedup_token=dedup_token,
             )
+
+        batch_df.rdd.foreachPartition(_insert_partition)
+
+    return _write
+
+
+def clickhouse_native_writer(
+    sink: SinkConfig,
+) -> Callable[[DataFrame, int], None]:
+    """ClickHouse sink over the NATIVE TCP protocol
+    (kind="clickhouse_native") — the same wire the reference uses
+    (`Worker.php:71-80` via lizhichao/one-ck, `composer.json:20`),
+    stdlib-only (log2ck_spark/native.py). Each executor partition
+    holds ONE connection (the reference's persistent-connection shape)
+    and issues one INSERT query per `batch_size` rows; the server's
+    typed-block handshake governs the block encoding, so the layout
+    can never drift from the table (same property as the HTTP
+    DESCRIBE default).
+
+    Options: `host` (required), `table` (required), `port` (9000),
+    `database` (""), `user` ("default"), `password` (""),
+    `batch_size` (10k), `timeout_s` (30), `dedup_token` (true: a
+    content-hash insert_deduplication_token per batch — replays are
+    absorbed by a MergeTree dedup window, same as the HTTP sink),
+    `drop_partition_col` (true: drop the pipeline's derived parquet
+    partition column when created_at is present; set false if the
+    target table genuinely stores it), `probe` (true: connect + ping
+    at writer creation so an unreachable server or bad credentials
+    fail at CONFIG time, not in the first batch's tasks). Any other
+    option rides the query as a ClickHouse setting string."""
+    opts: dict[str, Any] = dict(sink.options)
+    table = str(_require_opt(opts, "table", "clickhouse_native"))
+    host = str(_require_opt(opts, "host", "clickhouse_native"))
+    port = int(opts.pop("port", 9000))
+    database = str(opts.pop("database", ""))
+    user = str(opts.pop("user", "default"))
+    password = str(opts.pop("password", ""))
+    batch_size = int(opts.pop("batch_size", CK_INSERT_BATCH))
+    timeout_s = float(opts.pop("timeout_s", 30.0))
+    dedup_token = opts.pop("dedup_token", True)
+    if not isinstance(dedup_token, bool):
+        raise ValueError(
+            f"clickhouse_native sink: dedup_token={dedup_token!r} "
+            f"(expected true or false)"
+        )
+    drop_pc_opt = opts.pop("drop_partition_col", True)
+    if not isinstance(drop_pc_opt, bool):
+        raise ValueError(
+            f"clickhouse_native sink: drop_partition_col="
+            f"{drop_pc_opt!r} (expected true or false)"
+        )
+    probe = bool(opts.pop("probe", True))
+    settings = {k: str(v) for k, v in opts.items()}
+
+    from log2ck_spark.native import NativeClient, content_dedup_token
+
+    if probe:
+        client = NativeClient(
+            host, port, database=database, user=user,
+            password=password, timeout_s=timeout_s,
+        )
+        client.connect()
+        try:
+            client.ping()
+        finally:
+            client.close()
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        pc = sink.partition_col
+        if (
+            drop_pc_opt
+            and pc in batch_df.columns
+            and "created_at" in batch_df.columns
+        ):
+            batch_df = batch_df.drop(pc)
+        names = list(batch_df.columns)
+
+        def _insert_partition(rows_iter):
+            from log2ck_spark.native import NativeClient as _NC
+
+            client = _NC(
+                host, port, database=database, user=user,
+                password=password, timeout_s=timeout_s,
+            )
+            client.connect()
+            try:
+                buf: list = []
+
+                def _flush():
+                    rows = [r.asDict(recursive=True) for r in buf]
+                    batch_settings = dict(settings)
+                    if dedup_token and (
+                        "insert_deduplication_token" not in batch_settings
+                    ):
+                        batch_settings["insert_deduplication_token"] = (
+                            content_dedup_token(table, rows, names)
+                        )
+                    client.insert(table, names, rows, batch_settings)
+
+                for r in rows_iter:
+                    buf.append(r)
+                    if len(buf) >= batch_size:
+                        _flush()
+                        buf = []
+                if buf:
+                    _flush()
+            finally:
+                client.close()
 
         batch_df.rdd.foreachPartition(_insert_partition)
 

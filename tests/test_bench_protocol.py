@@ -380,6 +380,10 @@ def _worst_case_headline_line() -> dict:
             n: 999.99
             for n in bench.HEADLINE[: bench._REGRESSIONS_PRINT_CAP]
         },
+        "regr_isolated": {
+            n: 999.99
+            for n in bench.HEADLINE[: bench._REGRESSIONS_PRINT_CAP]
+        },
         "regressions_total": 175,
         "regressions_baseline": "BENCH_r08.json+bench_registry.json",
         "env_drift": 99.999,

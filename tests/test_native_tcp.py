@@ -1,0 +1,688 @@
+"""Native-TCP ClickHouse protocol (log2ck_spark/native.py) against an
+in-process socket-level fake server.
+
+The fake implements the SERVER half of the public wire protocol
+independently (parsing the client's bytes from the spec, not by
+calling the client's encoders), so these tests catch asymmetric
+encoding bugs: the typed-block handshake, client-info field order,
+settings-as-strings framing, LowCardinality dictionary encoding, and
+the content-hash dedup token. Golden byte literals pin the handshake
+exactly. A skipif live test (LOG2CK_CK_NATIVE_HOST) runs the same
+flow against a real server where one exists.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import threading
+
+import pytest
+
+from log2ck_spark.native import (
+    PROTOCOL_REVISION,
+    NativeClient,
+    NativeProtocolError,
+    client_hello_bytes,
+    content_dedup_token,
+    encode_block,
+)
+
+# ---------------------------------------------------------------------------
+# an independent wire decoder (test-side, from the spec)
+# ---------------------------------------------------------------------------
+
+
+class _Wire:
+    def __init__(self, conn: socket.socket):
+        self.conn = conn
+        self.buf = b""
+
+    def read(self, n: int) -> bytes:
+        while len(self.buf) < n:
+            chunk = self.conn.recv(65536)
+            if not chunk:
+                raise ConnectionError("client closed")
+            self.buf += chunk
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def var(self) -> int:
+        shift = n = 0
+        while True:
+            b = self.read(1)[0]
+            n |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return n
+            shift += 7
+
+    def s(self) -> str:
+        return self.read(self.var()).decode()
+
+    def send(self, data: bytes) -> None:
+        self.conn.sendall(data)
+
+
+def _wv(out: bytearray, n: int) -> None:
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _ws(out: bytearray, s: str) -> None:
+    data = s.encode()
+    _wv(out, len(data))
+    out += data
+
+
+def _decode_column(w: _Wire, ck_type: str, n_rows: int):
+    """Spec-derived decoder for the column types the tests exercise."""
+    t = ck_type.strip()
+    if t == "String":
+        return [w.read(w.var()).decode() for _ in range(n_rows)]
+    if t in ("UInt64", "Int64"):
+        fmt = "<Q" if t == "UInt64" else "<q"
+        return [struct.unpack(fmt, w.read(8))[0] for _ in range(n_rows)]
+    if t == "UInt8":
+        return [w.read(1)[0] for _ in range(n_rows)]
+    if t == "Float64":
+        return [struct.unpack("<d", w.read(8))[0] for _ in range(n_rows)]
+    if t == "DateTime":
+        return [struct.unpack("<I", w.read(4))[0] for _ in range(n_rows)]
+    if t.startswith("Nullable("):
+        inner = t[len("Nullable("):-1]
+        mask = [w.read(1)[0] for _ in range(n_rows)]
+        vals = _decode_column(w, inner, n_rows)
+        return [None if m else v for m, v in zip(mask, vals)]
+    if t.startswith("Array("):
+        inner = t[len("Array("):-1]
+        offsets = [
+            struct.unpack("<Q", w.read(8))[0] for _ in range(n_rows)
+        ]
+        total = offsets[-1] if offsets else 0
+        flat = _decode_column(w, inner, total)
+        out, prev = [], 0
+        for off in offsets:
+            out.append(flat[prev:off])
+            prev = off
+        return out
+    if t.startswith("LowCardinality("):
+        inner = t[len("LowCardinality("):-1]
+        nullable = inner.startswith("Nullable(")
+        nested = inner[len("Nullable("):-1] if nullable else inner
+        # prefix (version) was consumed by the block reader
+        if n_rows == 0:
+            return []
+        flags = struct.unpack("<Q", w.read(8))[0]
+        assert flags & (1 << 9), "HasAdditionalKeysBit must be set"
+        width = [1, 2, 4, 8][flags & 0xFF]
+        n_dict = struct.unpack("<Q", w.read(8))[0]
+        dict_vals = _decode_column(w, nested, n_dict)
+        n_keys = struct.unpack("<Q", w.read(8))[0]
+        assert n_keys == n_rows
+        fmt = {1: "<B", 2: "<H", 4: "<I", 8: "<Q"}[width]
+        keys = [
+            struct.unpack(fmt, w.read(width))[0] for _ in range(n_rows)
+        ]
+        if nullable:
+            return [None if k == 0 else dict_vals[k] for k in keys]
+        return [dict_vals[k] for k in keys]
+    raise AssertionError(f"test decoder: unsupported type {ck_type}")
+
+
+def _read_block(w: _Wire):
+    """Read a client Data packet body (after the packet-type varint):
+    external table name, BlockInfo, columns. Returns (cols, n_rows)
+    where cols is a list of (name, type, values)."""
+    w.s()  # external table name
+    while True:
+        field = w.var()
+        if field == 0:
+            break
+        if field == 1:
+            w.read(1)
+        elif field == 2:
+            w.read(4)
+        else:
+            raise AssertionError(f"unknown BlockInfo field {field}")
+    n_cols, n_rows = w.var(), w.var()
+    cols = []
+    for _ in range(n_cols):
+        name, t = w.s(), w.s()
+        if t.startswith("LowCardinality("):
+            version = struct.unpack("<Q", w.read(8))[0]
+            assert version == 1
+        cols.append((name, t, _decode_column(w, t, n_rows)))
+    return cols, n_rows
+
+
+class FakeNativeServer:
+    """A socket-level stand-in for ClickHouse's native TCP endpoint:
+    real handshake, real typed-block reply for INSERTs, full decode of
+    every client block — everything recorded for assertions."""
+
+    def __init__(
+        self,
+        columns,
+        server_revision: int = 54468,
+        exception_on_query: "str | None" = None,
+    ):
+        self.columns = columns  # [(name, ck_type)] the "table" layout
+        self.server_revision = server_revision
+        self.exception_on_query = exception_on_query
+        self.hellos: list[dict] = []
+        self.inserts: list[dict] = []  # {query, settings, rows}
+        self.pings = 0
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self.host, self.port = self._srv.getsockname()
+        self._stop = False
+        self._thread = threading.Thread(target=self._accept, daemon=True)
+        self._thread.start()
+
+    def close(self):
+        self._stop = True
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+    # -- server-side protocol
+
+    def _accept(self):
+        while not self._stop:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(
+                target=self._serve, args=(conn,), daemon=True
+            ).start()
+
+    def _serve(self, conn: socket.socket):
+        w = _Wire(conn)
+        try:
+            self._handshake(w)
+            while True:
+                pkt = w.var()
+                if pkt == 4:  # Ping
+                    self.pings += 1
+                    out = bytearray()
+                    _wv(out, 4)  # Pong
+                    w.send(bytes(out))
+                elif pkt == 1:  # Query
+                    self._query(w)
+                else:
+                    raise AssertionError(f"unexpected client packet {pkt}")
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            conn.close()
+
+    def _handshake(self, w: _Wire):
+        pkt = w.var()
+        assert pkt == 0, f"expected client Hello, got {pkt}"
+        hello = {
+            "client_name": w.s(),
+            "version": (w.var(), w.var()),
+            "revision": w.var(),
+            "database": w.s(),
+            "user": w.s(),
+            "password": w.s(),
+        }
+        self.hellos.append(hello)
+        eff = min(hello["revision"], self.server_revision)
+        out = bytearray()
+        _wv(out, 0)  # server Hello
+        _ws(out, "FakeHouse")
+        _wv(out, 23)
+        _wv(out, 8)
+        _wv(out, self.server_revision)
+        if eff >= 54058:
+            _ws(out, "UTC")
+        if eff >= 54372:
+            _ws(out, "fake-server")
+        if eff >= 54401:
+            _wv(out, 1)
+        w.send(bytes(out))
+        self._eff = eff
+
+    def _read_client_info_and_settings(self, w: _Wire):
+        eff = self._eff
+        w.s()  # query_id
+        kind = w.read(1)[0]
+        assert kind == 1  # INITIAL_QUERY
+        w.s()  # initial_user
+        w.s()  # initial_query_id
+        w.s()  # initial_address
+        if eff >= 54449:
+            w.read(8)
+        iface = w.read(1)[0]
+        assert iface == 1  # TCP
+        w.s()  # os_user
+        w.s()  # client_hostname
+        client_name = w.s()
+        w.var()
+        w.var()
+        w.var()  # client version triple
+        if eff >= 54060:
+            w.s()  # quota key
+        if eff >= 54448:
+            w.var()
+        if eff >= 54401:
+            w.var()  # patch
+        if eff >= 54442:
+            ot = w.read(1)[0]
+            assert ot == 0
+        if eff >= 54453:
+            w.var()
+            w.var()
+            w.var()
+        settings = {}
+        while True:
+            name = w.s()
+            if not name:
+                break
+            assert eff >= 54429
+            w.var()  # flags
+            settings[name] = w.s()
+        if eff >= 54441:
+            secret = w.s()
+            assert secret == ""
+        stage = w.var()
+        assert stage == 2
+        compression = w.var()
+        assert compression == 0
+        query = w.s()
+        return client_name, settings, query
+
+    def _send_exception(self, w: _Wire, message: str):
+        out = bytearray()
+        _wv(out, 2)  # Exception
+        out += struct.pack("<i", 60)  # UNKNOWN_TABLE-ish
+        _ws(out, "DB::Exception")
+        _ws(out, message)
+        _ws(out, "")  # stack trace
+        out.append(0)  # no nested
+        w.send(bytes(out))
+
+    def _query(self, w: _Wire):
+        _client, settings, query = self._read_client_info_and_settings(w)
+        # external tables: blocks until an empty one
+        while True:
+            pkt = w.var()
+            assert pkt == 2, f"expected client Data, got {pkt}"
+            cols, _ = _read_block(w)
+            if not cols:
+                break
+        if self.exception_on_query:
+            self._send_exception(w, self.exception_on_query)
+            return
+        # the typed-block handshake: 0-row block declaring the layout
+        out = bytearray()
+        _wv(out, 1)  # server Data
+        _ws(out, "")
+        out += b"\x01\x00\x02\xff\xff\xff\xff\x00"  # BlockInfo
+        _wv(out, len(self.columns))
+        _wv(out, 0)
+        for name, t in self.columns:
+            _ws(out, name)
+            _ws(out, t)
+            if t.startswith("LowCardinality("):
+                out += struct.pack("<Q", 1)  # keys version prefix
+        w.send(bytes(out))
+        # client data blocks until the empty terminator
+        rows: list[dict] = []
+        while True:
+            pkt = w.var()
+            assert pkt == 2, f"expected client Data, got {pkt}"
+            cols, n_rows = _read_block(w)
+            if not cols:
+                break
+            names = [c[0] for c in cols]
+            for i in range(n_rows):
+                rows.append({n: c[2][i] for n, c in zip(names, cols)})
+        self.inserts.append(
+            {"query": query, "settings": settings, "rows": rows}
+        )
+        out = bytearray()
+        _wv(out, 3)  # Progress
+        _wv(out, 0)
+        _wv(out, 0)
+        _wv(out, 0)
+        if self._eff >= 54372:
+            _wv(out, len(rows))
+            _wv(out, 0)
+        _wv(out, 5)  # EndOfStream
+        w.send(bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# golden bytes
+# ---------------------------------------------------------------------------
+
+
+def test_client_hello_golden_bytes():
+    """The handshake bytes, pinned literally: packet type 0, client
+    name, version 1.0, revision 54447 (LEB128 af a9 03), database,
+    user, password — the exact layout Protocol.h defines."""
+    got = client_hello_bytes("logs_db", "default", "secret")
+    expected = (
+        b"\x00"                       # CLIENT_HELLO
+        b"\x0clog2ck-spark"           # client name (len 12)
+        b"\x01\x00"                   # version major=1, minor=0
+        b"\xaf\xa9\x03"               # revision 54447 as LEB128
+        b"\x07logs_db"
+        b"\x07default"
+        b"\x06secret"
+    )
+    assert got == expected
+    assert PROTOCOL_REVISION == 54447
+
+
+def test_empty_and_typed_block_golden_bytes():
+    """Block framing pinned: BlockInfo (field 1 overflow=0, field 2
+    bucket=-1, terminator 0), then column/row counts, then per column
+    name, type, data. One UInt64 column with rows 7 and 300."""
+    assert encode_block([], []) == (
+        b"\x01\x00\x02\xff\xff\xff\xff\x00\x00\x00"
+    )
+    got = encode_block([("v", "UInt64")], [[7, 300]])
+    expected = (
+        b"\x01\x00\x02\xff\xff\xff\xff\x00"  # BlockInfo
+        b"\x01\x02"                          # 1 column, 2 rows
+        b"\x01v"
+        b"\x06UInt64"
+        + struct.pack("<Q", 7) + struct.pack("<Q", 300)
+    )
+    assert got == expected
+
+
+def test_lowcardinality_block_golden_bytes():
+    """LC(String) column ["a","b","a"]: version prefix 1, flags
+    UInt8-index|HasAdditionalKeys (0x200), dict size 2, dict values
+    a,b, key count 3, keys 0,1,0."""
+    got = encode_block(
+        [("s", "LowCardinality(String)")], [["a", "b", "a"]]
+    )
+    expected = (
+        b"\x01\x00\x02\xff\xff\xff\xff\x00"
+        b"\x01\x03"
+        b"\x01s"
+        b"\x16LowCardinality(String)"
+        + struct.pack("<Q", 1)          # keys serialization version
+        + struct.pack("<Q", 0x200)      # UInt8 keys | additional keys
+        + struct.pack("<Q", 2)          # dictionary size
+        + b"\x01a\x01b"                 # dictionary values
+        + struct.pack("<Q", 3)          # number of keys
+        + b"\x00\x01\x00"               # keys
+    )
+    assert got == expected
+
+
+def test_nullable_and_array_block_encoding():
+    got = encode_block(
+        [("s", "Nullable(String)"), ("a", "Array(Int64)")],
+        [["x", None], [[1, 2], [3]]],
+    )
+    expected = (
+        b"\x01\x00\x02\xff\xff\xff\xff\x00"
+        b"\x02\x02"
+        b"\x01s" b"\x10Nullable(String)"
+        b"\x00\x01"                     # null mask
+        b"\x01x" b"\x00"                # "x", default ""
+        b"\x01a" b"\x0cArray(Int64)"
+        + struct.pack("<Q", 2) + struct.pack("<Q", 3)   # offsets
+        + struct.pack("<q", 1) + struct.pack("<q", 2)
+        + struct.pack("<q", 3)
+    )
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# end-to-end against the fake server
+# ---------------------------------------------------------------------------
+
+_REF_DDL_COLUMNS = [
+    ("repo", "LowCardinality(String)"),
+    ("name", "LowCardinality(String)"),
+    ("host", "LowCardinality(String)"),
+    ("created_at", "DateTime"),
+    ("logger", "LowCardinality(String)"),
+    ("level", "LowCardinality(String)"),
+    ("message", "String"),
+    ("context", "String"),
+    ("extra", "String"),
+]
+
+
+def test_insert_roundtrip_reference_ddl_shape():
+    """The production case: the reference's own published table shape
+    (readme.md:111-119 — LowCardinality(String)/DateTime/String). The
+    fake decodes the client's native blocks independently; values must
+    round-trip exactly, the query must name the columns, and the
+    content-hash dedup token must ride as a query setting."""
+    import datetime as dt
+
+    srv = FakeNativeServer(_REF_DDL_COLUMNS)
+    try:
+        client = NativeClient(
+            srv.host, srv.port, database="logs", user="u", password="p",
+            client_hostname="testhost",
+        )
+        client.connect()
+        assert srv.hellos[0]["database"] == "logs"
+        assert srv.hellos[0]["revision"] == PROTOCOL_REVISION
+        assert client.server_info["name"] == "FakeHouse"
+        assert client.server_info["timezone"] == "UTC"
+        assert client.ping()
+
+        names = [n for n, _t in _REF_DDL_COLUMNS]
+        rows = [
+            {
+                "repo": "app", "name": "api", "host": "h1",
+                "created_at": dt.datetime(2024, 1, 1, 10, 0, 0),
+                "logger": "request", "level": "ERROR",
+                "message": "boom", "context": "{}", "extra": "{}",
+            },
+            {
+                "repo": "app", "name": "api", "host": "h1",
+                "created_at": dt.datetime(2024, 1, 1, 10, 0, 1),
+                "logger": "request", "level": "INFO",
+                "message": "ok", "context": '{"k":1}', "extra": "{}",
+            },
+        ]
+        token = content_dedup_token("logs_table", rows, names)
+        n = client.insert(
+            "logs_table", names, rows,
+            settings={"insert_deduplication_token": token},
+        )
+        assert n == 2
+        client.close()
+
+        (ins,) = srv.inserts
+        assert ins["query"].startswith("INSERT INTO logs_table (")
+        assert "`message`" in ins["query"]
+        assert ins["settings"]["insert_deduplication_token"] == token
+        got = ins["rows"]
+        assert [r["level"] for r in got] == ["ERROR", "INFO"]
+        assert [r["message"] for r in got] == ["boom", "ok"]
+        # DateTime rode as UInt32 epoch seconds
+        assert got[0]["created_at"] == int(
+            dt.datetime(
+                2024, 1, 1, 10, 0, 0, tzinfo=dt.timezone.utc
+            ).timestamp()
+        )
+        # replay determinism: the same rows derive the same token
+        assert content_dedup_token("logs_table", rows, names) == token
+        assert content_dedup_token(
+            "logs_table", rows[:1], names
+        ) != token
+    finally:
+        srv.close()
+
+
+def test_server_exception_surfaces_with_message():
+    srv = FakeNativeServer(
+        _REF_DDL_COLUMNS, exception_on_query="Table logs.missing no"
+    )
+    try:
+        client = NativeClient(srv.host, srv.port)
+        client.connect()
+        with pytest.raises(NativeProtocolError, match="logs.missing"):
+            client.insert("missing", ["message"], [{"message": "x"}])
+    finally:
+        srv.close()
+
+
+def test_typed_block_governs_encoding_not_client_guess():
+    """The server declares `n` as Nullable(String) and `v` as UInt8 —
+    the client must encode under THOSE types even though the values
+    are plain Python str/int (the drift-proof property)."""
+    srv = FakeNativeServer([("n", "Nullable(String)"), ("v", "UInt8")])
+    try:
+        client = NativeClient(srv.host, srv.port)
+        client.connect()
+        client.insert(
+            "t", ["n", "v"],
+            [{"n": "a", "v": 1}, {"n": None, "v": 2}],
+        )
+        (ins,) = srv.inserts
+        assert ins["rows"] == [{"n": "a", "v": 1}, {"n": None, "v": 2}]
+    finally:
+        srv.close()
+
+
+def test_insert_missing_column_in_typed_block_raises():
+    srv = FakeNativeServer([("a", "String")])
+    try:
+        client = NativeClient(srv.host, srv.port)
+        client.connect()
+        with pytest.raises(NativeProtocolError, match="lacks columns"):
+            client.insert("t", ["a", "zz"], [{"a": "x", "zz": 1}])
+    finally:
+        srv.close()
+
+
+def test_spark_writer_end_to_end_with_dedup_token_replay(spark):
+    """writer_for(kind='clickhouse_native') drives a real Spark batch
+    through the socket: per-partition connection, derived log_date
+    dropped, and a REPLAY of the same micro-batch carries the same
+    dedup token (the idempotence contract)."""
+    import datetime as dt
+
+    from log2ck_spark.config import SinkConfig
+    from log2ck_spark.sink import writer_for
+
+    srv = FakeNativeServer(_REF_DDL_COLUMNS[:4] + _REF_DDL_COLUMNS[6:7])
+    try:
+        df = spark.createDataFrame(
+            [
+                (
+                    "app", "api", "h1",
+                    dt.datetime(2024, 1, 1, 10, 0, 0),
+                    dt.date(2024, 1, 1), "hello",
+                )
+            ],
+            "repo string, name string, host string, "
+            "created_at timestamp, log_date date, message string",
+        ).coalesce(1)
+        writer = writer_for(
+            SinkConfig(
+                kind="clickhouse_native",
+                options={
+                    "host": srv.host, "port": srv.port,
+                    "table": "logs",
+                },
+            )
+        )
+        writer(df, 0)
+        writer(df, 0)  # the replay
+        assert len(srv.inserts) == 2
+        a, b = srv.inserts
+        assert a["rows"] == b["rows"]
+        assert "log_date" not in a["rows"][0]  # derived column dropped
+        assert a["rows"][0]["message"] == "hello"
+        assert a["rows"][0]["repo"] == "app"
+        tok_a = a["settings"]["insert_deduplication_token"]
+        tok_b = b["settings"]["insert_deduplication_token"]
+        assert tok_a == tok_b  # replay absorbable server-side
+        # creation-time probe pinged before any batch ran
+        assert srv.pings >= 1
+    finally:
+        srv.close()
+
+
+def test_writer_fails_at_config_time_when_unreachable():
+    from log2ck_spark.config import SinkConfig
+    from log2ck_spark.sink import writer_for
+
+    with pytest.raises(OSError):
+        writer_for(
+            SinkConfig(
+                kind="clickhouse_native",
+                options={
+                    "host": "127.0.0.1", "port": 1,  # nothing listens
+                    "table": "logs", "timeout_s": 0.2,
+                },
+            )
+        )
+    with pytest.raises(ValueError, match="requires a 'host'"):
+        writer_for(
+            SinkConfig(kind="clickhouse_native", options={"table": "t"})
+        )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("LOG2CK_CK_NATIVE_HOST"),
+    reason="set LOG2CK_CK_NATIVE_HOST (and optionally _PORT) to a live "
+    "ClickHouse native endpoint",
+)
+def test_live_native_insert_end_to_end():
+    """LIVE protocol proof: handshake, typed block, insert, and dedup
+    absorption against a real clickhouse-server."""
+    host = os.environ["LOG2CK_CK_NATIVE_HOST"]
+    port = int(os.environ.get("LOG2CK_CK_NATIVE_PORT", "9000"))
+    http = os.environ.get("LOG2CK_CK_HTTP_URL")
+
+    client = NativeClient(host, port)
+    client.connect()
+    assert client.ping()
+    if not http:
+        client.close()
+        return
+    import json
+    import urllib.request as ur
+    from urllib.parse import urlencode
+
+    def sql(q):
+        with ur.urlopen(
+            http.rstrip("/") + "/?" + urlencode({"query": q})
+        ) as r:
+            return r.read().decode()
+
+    tbl = "log2ck_native_live_test"
+    sql(f"DROP TABLE IF EXISTS {tbl}")
+    sql(
+        f"CREATE TABLE {tbl} (k Int64, s LowCardinality(String)) "
+        f"ENGINE = MergeTree ORDER BY k "
+        f"SETTINGS non_replicated_deduplication_window = 100"
+    )
+    try:
+        rows = [{"k": 1, "s": "a"}, {"k": 2, "s": "b"}]
+        tok = content_dedup_token(tbl, rows, ["k", "s"])
+        st = {"insert_deduplication_token": tok}
+        client.insert(tbl, ["k", "s"], rows, settings=st)
+        client.insert(tbl, ["k", "s"], rows, settings=st)  # replay
+        cnt = json.loads(
+            sql(f"SELECT count() AS c FROM {tbl} FORMAT JSON")
+        )["data"][0]["c"]
+        assert int(cnt) == 2  # replay absorbed
+    finally:
+        sql(f"DROP TABLE IF EXISTS {tbl}")
+        client.close()
