@@ -593,6 +593,20 @@ class NativeClient:
         typed-block handshake. Returns the declared (name, type)
         pairs; consumes per-column serialization prefixes (the UInt64
         LowCardinality version) so the stream stays aligned."""
+        header, n_rows, _vals = self._read_server_block(decode=False)
+        if n_rows != 0:
+            raise NativeProtocolError(
+                f"expected a 0-row typed block, got {n_rows} rows"
+            )
+        return header
+
+    def _read_server_block(self, decode: bool):
+        """Parse one server Data packet body. With decode=False any
+        non-empty block is a protocol error (the INSERT flow only
+        ever expects typed headers); with decode=True string-family
+        columns (String / LowCardinality / Nullable thereof) are
+        materialized — enough for DESCRIBE/SHOW/system-table results,
+        which is all the read side this sink needs."""
         r = self._reader
         assert r is not None
         r.read_str()  # external table name
@@ -610,17 +624,133 @@ class NativeClient:
                 )
         n_cols = r.read_var()
         n_rows = r.read_var()
-        if n_rows != 0:
-            raise NativeProtocolError(
-                f"expected a 0-row typed block, got {n_rows} rows"
-            )
-        cols: list[tuple[str, str]] = []
+        header: list[tuple[str, str]] = []
+        values: list[list] = []
         for _ in range(n_cols):
             name = r.read_str()
             t = r.read_str()
-            self._consume_prefix(t)
-            cols.append((name, t))
-        return cols
+            header.append((name, t))
+            if n_rows == 0:
+                self._consume_prefix(t)
+                continue
+            if not decode:
+                raise NativeProtocolError(
+                    f"unexpected {n_rows}-row data block"
+                )
+            values.append(self._decode_string_column(t, n_rows))
+        return header, n_rows, values
+
+    def _decode_string_column(self, ck_type: str, n_rows: int) -> list:
+        r = self._reader
+        assert r is not None
+        t = ck_type.strip()
+        if t == "String":
+            return [r.read_str() for _ in range(n_rows)]
+        m = re.fullmatch(r"Nullable\((.+)\)", t)
+        if m:
+            if m.group(1).strip() != "String":
+                raise NativeProtocolError(
+                    f"native read supports string columns only, got "
+                    f"{ck_type}"
+                )
+            mask = [r.read(1)[0] for _ in range(n_rows)]
+            vals = [r.read_str() for _ in range(n_rows)]
+            return [None if b else v for b, v in zip(mask, vals)]
+        m = re.fullmatch(r"LowCardinality\((.+)\)", t)
+        if m:
+            inner = m.group(1).strip()
+            nm = re.fullmatch(r"Nullable\((.+)\)", inner)
+            nullable = bool(nm)
+            nested = (nm.group(1) if nm else inner).strip()
+            if nested != "String":
+                raise NativeProtocolError(
+                    f"native read supports string columns only, got "
+                    f"{ck_type}"
+                )
+            version = struct.unpack("<Q", r.read(8))[0]
+            if version != 1:
+                raise NativeProtocolError(
+                    f"unsupported LowCardinality keys version {version}"
+                )
+            flags = struct.unpack("<Q", r.read(8))[0]
+            width = (1, 2, 4, 8)[flags & 0xFF]
+            n_dict = struct.unpack("<Q", r.read(8))[0]
+            dict_vals = [r.read_str() for _ in range(n_dict)]
+            n_keys = struct.unpack("<Q", r.read(8))[0]
+            if n_keys != n_rows:
+                raise NativeProtocolError("LowCardinality key mismatch")
+            fmt = {1: "<B", 2: "<H", 4: "<I", 8: "<Q"}[width]
+            keys = [
+                struct.unpack(fmt, r.read(width))[0]
+                for _ in range(n_rows)
+            ]
+            if nullable:
+                return [None if k == 0 else dict_vals[k] for k in keys]
+            return [dict_vals[k] for k in keys]
+        raise NativeProtocolError(
+            f"native read supports string columns only, got {ck_type}"
+        )
+
+    def query_string_rows(
+        self, query: str, settings: "dict[str, str] | None" = None
+    ) -> "list[tuple]":
+        """Run a query whose result is all string-family columns
+        (DESCRIBE TABLE, SHOW, system tables) and return its rows.
+        This is the read surface the sink needs — full typed reads
+        stay with Spark/the HTTP formats."""
+        if self._reader is None:
+            raise NativeProtocolError("not connected")
+        self._send(self._query_packet(query, settings))
+        self._send_block([], [])  # no external tables
+        r = self._reader
+        rows: list[tuple] = []
+        while True:
+            pkt = r.read_var()
+            if pkt == SERVER_END_OF_STREAM:
+                return rows
+            if pkt == SERVER_DATA:
+                _hdr, n_rows, values = self._read_server_block(
+                    decode=True
+                )
+                if n_rows:
+                    rows.extend(zip(*values))
+            elif pkt == SERVER_PROGRESS:
+                self._read_progress()
+            elif pkt == SERVER_PROFILE_INFO:
+                self._read_profile_info()
+            elif pkt in (SERVER_TOTALS, SERVER_EXTREMES):
+                self._read_server_block(decode=True)
+            elif pkt == SERVER_TABLE_COLUMNS:
+                r.read_str()
+                r.read_str()
+            elif pkt == SERVER_EXCEPTION:
+                raise self._read_exception()
+            else:
+                raise NativeProtocolError(
+                    f"unexpected packet {pkt} reading query result"
+                )
+
+    def describe_insertable_columns(self, table: str) -> "dict[str, str]":
+        """{name: type} of the table's INSERTABLE columns via DESCRIBE
+        over this connection — MATERIALIZED/ALIAS columns dropped,
+        exactly like sink.describe_table_columns does over HTTP."""
+        out: dict[str, str] = {}
+        for row in self.query_string_rows(f"DESCRIBE TABLE {table}"):
+            name = row[0]
+            ck_type = row[1] if len(row) > 1 else ""
+            default_type = row[2] if len(row) > 2 else ""
+            if default_type in ("MATERIALIZED", "ALIAS"):
+                continue
+            if not ck_type:
+                raise NativeProtocolError(
+                    f"DESCRIBE TABLE {table}: malformed row {row!r}"
+                )
+            out[name] = ck_type
+        if not out:
+            raise NativeProtocolError(
+                f"DESCRIBE TABLE {table} returned no insertable columns"
+            )
+        return out
 
     def _consume_prefix(self, ck_type: str) -> None:
         r = self._reader

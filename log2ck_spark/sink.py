@@ -903,11 +903,18 @@ def clickhouse_native_writer(
             f"clickhouse_native sink: dedup_token={dedup_token!r} "
             f"(expected true or false)"
         )
-    drop_pc_opt = opts.pop("drop_partition_col", True)
-    if not isinstance(drop_pc_opt, bool):
+    drop_pc_opt = opts.pop("drop_partition_col", "auto")
+    if isinstance(drop_pc_opt, str):
+        if drop_pc_opt.lower() != "auto":
+            raise ValueError(
+                f"clickhouse_native sink: drop_partition_col="
+                f"{drop_pc_opt!r} (expected true, false, or 'auto')"
+            )
+        drop_pc_opt = "auto"
+    elif not isinstance(drop_pc_opt, bool):
         raise ValueError(
             f"clickhouse_native sink: drop_partition_col="
-            f"{drop_pc_opt!r} (expected true or false)"
+            f"{drop_pc_opt!r} (expected true, false, or 'auto')"
         )
     probe = bool(opts.pop("probe", True))
     settings = {k: str(v) for k, v in opts.items()}
@@ -922,8 +929,29 @@ def clickhouse_native_writer(
         client.connect()
         try:
             client.ping()
+            if drop_pc_opt == "auto":
+                # same guard as the HTTP writer: drop the derived
+                # parquet partition column ONLY if the server does not
+                # list it as a real insertable column — resolved here,
+                # over the probe connection, via DESCRIBE on the
+                # native read path (fail-at-config-time, no per-batch
+                # round-trip)
+                server_cols = client.describe_insertable_columns(table)
+                drop_pc_opt = sink.partition_col not in server_cols
         finally:
             client.close()
+    if drop_pc_opt == "auto":
+        # probe disabled: nothing to consult — keep the pre-r12
+        # behavior (the reference DDL materializes the column) but
+        # say so, since a genuinely-insertable column would be lost
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "clickhouse_native sink: probe=false leaves "
+            "drop_partition_col unresolved; defaulting to drop — set "
+            "drop_partition_col explicitly to silence this"
+        )
+        drop_pc_opt = True
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         pc = sink.partition_col

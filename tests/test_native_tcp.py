@@ -95,6 +95,8 @@ def _decode_column(w: _Wire, ck_type: str, n_rows: int):
         return [struct.unpack("<d", w.read(8))[0] for _ in range(n_rows)]
     if t == "DateTime":
         return [struct.unpack("<I", w.read(4))[0] for _ in range(n_rows)]
+    if t == "Date":  # UInt16 days since epoch
+        return [struct.unpack("<H", w.read(2))[0] for _ in range(n_rows)]
     if t.startswith("Nullable("):
         inner = t[len("Nullable("):-1]
         mask = [w.read(1)[0] for _ in range(n_rows)]
@@ -172,10 +174,19 @@ class FakeNativeServer:
         columns,
         server_revision: int = 54468,
         exception_on_query: "str | None" = None,
+        describe_rows: "list[tuple[str, str, str]] | None" = None,
     ):
         self.columns = columns  # [(name, ck_type)] the "table" layout
         self.server_revision = server_revision
         self.exception_on_query = exception_on_query
+        # DESCRIBE result (name, type, default_type); defaults to the
+        # table layout with no MATERIALIZED/ALIAS columns
+        self.describe_rows = (
+            describe_rows
+            if describe_rows is not None
+            else [(n, t, "") for n, t in columns]
+        )
+        self.selects: list[str] = []
         self.hellos: list[dict] = []
         self.inserts: list[dict] = []  # {query, settings, rows}
         self.pings = 0
@@ -323,14 +334,49 @@ class FakeNativeServer:
         if self.exception_on_query:
             self._send_exception(w, self.exception_on_query)
             return
+        if not query.lstrip().upper().startswith("INSERT"):
+            # a read query (DESCRIBE/SHOW): answer with one block of
+            # String columns, then EndOfStream
+            self.selects.append(query)
+            out = bytearray()
+            _wv(out, 1)  # server Data
+            _ws(out, "")
+            out += b"\x01\x00\x02\xff\xff\xff\xff\x00"
+            cols = list(zip(*self.describe_rows)) or [[], [], []]
+            names = ("name", "type", "default_type")
+            _wv(out, 3)
+            _wv(out, len(self.describe_rows))
+            for cname, vals in zip(names, cols):
+                _ws(out, cname)
+                _ws(out, "String")
+                for v in vals:
+                    _ws(out, v)
+            _wv(out, 5)  # EndOfStream
+            w.send(bytes(out))
+            return
         # the typed-block handshake: 0-row block declaring the layout
+        # — like a real server, echo ONLY the columns the INSERT names
+        import re as _re
+
+        m = _re.search(r"INSERT INTO \S+ \(([^)]*)\)", query)
+        named = [
+            c.strip().strip("`") for c in m.group(1).split(",")
+        ] if m else [n for n, _t in self.columns]
+        by_name = dict(self.columns)
+        unknown = [n for n in named if n not in by_name]
+        if unknown:
+            self._send_exception(
+                w, f"No such column {unknown[0]} in table"
+            )
+            return
+        echo = [(n, by_name[n]) for n in named]
         out = bytearray()
         _wv(out, 1)  # server Data
         _ws(out, "")
         out += b"\x01\x00\x02\xff\xff\xff\xff\x00"  # BlockInfo
-        _wv(out, len(self.columns))
+        _wv(out, len(echo))
         _wv(out, 0)
-        for name, t in self.columns:
+        for name, t in echo:
             _ws(out, name)
             _ws(out, t)
             if t.startswith("LowCardinality("):
@@ -558,12 +604,12 @@ def test_typed_block_governs_encoding_not_client_guess():
         srv.close()
 
 
-def test_insert_missing_column_in_typed_block_raises():
+def test_insert_unknown_column_surfaces_server_exception():
     srv = FakeNativeServer([("a", "String")])
     try:
         client = NativeClient(srv.host, srv.port)
         client.connect()
-        with pytest.raises(NativeProtocolError, match="lacks columns"):
+        with pytest.raises(NativeProtocolError, match="No such column"):
             client.insert("t", ["a", "zz"], [{"a": "x", "zz": 1}])
     finally:
         srv.close()
@@ -616,6 +662,87 @@ def test_spark_writer_end_to_end_with_dedup_token_replay(spark):
         assert srv.pings >= 1
     finally:
         srv.close()
+
+
+def test_native_describe_returns_insertable_columns():
+    """The native read surface (string-family blocks) exists exactly
+    for this: DESCRIBE over the same connection, MATERIALIZED/ALIAS
+    columns excluded — parity with sink.describe_table_columns."""
+    srv = FakeNativeServer(
+        [("a", "String")],
+        describe_rows=[
+            ("created_at", "DateTime", ""),
+            ("log_date", "Date", "MATERIALIZED"),
+            ("message", "String", ""),
+            ("mv", "UInt64", "ALIAS"),
+        ],
+    )
+    try:
+        client = NativeClient(srv.host, srv.port)
+        client.connect()
+        cols = client.describe_insertable_columns("logs")
+        assert cols == {"created_at": "DateTime", "message": "String"}
+        assert srv.selects == ["DESCRIBE TABLE logs"]
+    finally:
+        srv.close()
+
+
+def test_native_auto_drop_consults_describe(spark):
+    """drop_partition_col='auto' (the default) resolves over the probe
+    connection: the derived log_date is dropped when the server
+    MATERIALIZES it, kept when the table genuinely stores it — the
+    same guard as the HTTP writer, now on the native path."""
+    import datetime as dt
+
+    from log2ck_spark.config import SinkConfig
+    from log2ck_spark.sink import writer_for
+
+    def _run(describe_rows):
+        srv = FakeNativeServer(
+            _REF_DDL_COLUMNS[:4] + [("log_date", "Date")]
+            + _REF_DDL_COLUMNS[6:7],
+            describe_rows=describe_rows,
+        )
+        try:
+            df = spark.createDataFrame(
+                [
+                    (
+                        "app", "api", "h1",
+                        dt.datetime(2024, 1, 1, 10, 0, 0),
+                        dt.date(2024, 1, 1), "hello",
+                    )
+                ],
+                "repo string, name string, host string, "
+                "created_at timestamp, log_date date, message string",
+            ).coalesce(1)
+            writer = writer_for(
+                SinkConfig(
+                    kind="clickhouse_native",
+                    options={
+                        "host": srv.host, "port": srv.port,
+                        "table": "logs",
+                    },
+                )
+            )
+            writer(df, 0)
+            (ins,) = srv.inserts
+            return ins["rows"][0]
+        finally:
+            srv.close()
+
+    # MATERIALIZED log_date -> derived plumbing, dropped
+    row = _run(
+        [(n, t, "") for n, t in _REF_DDL_COLUMNS]
+        + [("log_date", "Date", "MATERIALIZED")]
+    )
+    assert "log_date" not in row
+
+    # plain insertable log_date -> real data, kept
+    row = _run(
+        [(n, t, "") for n, t in _REF_DDL_COLUMNS]
+        + [("log_date", "Date", "")]
+    )
+    assert "log_date" in row
 
 
 def test_writer_fails_at_config_time_when_unreachable():
