@@ -490,6 +490,86 @@ def test_nullable_and_array_block_encoding():
     assert got == expected
 
 
+def test_nullable_fillers_keep_value_stream_aligned():
+    """A NULL slot inside a Nullable column must occupy exactly the
+    nested type's default width or every byte after it misparses."""
+    import datetime as dt
+    from decimal import Decimal
+
+    cases = [
+        ("Nullable(Enum8('a' = 1))", "a", b"\x00\x01\x01\x00"),
+        ("Nullable(Enum16('a' = 1))", "a", b"\x00\x01\x01\x00\x00\x00"),
+        (
+            "Nullable(Decimal(9,2))",
+            Decimal("1.50"),
+            b"\x00\x01" + (150).to_bytes(4, "little") + b"\x00" * 4,
+        ),
+        (
+            "Nullable(DateTime64(3))",
+            dt.datetime(1970, 1, 1, 0, 0, 1),
+            b"\x00\x01" + (1000).to_bytes(8, "little") + b"\x00" * 8,
+        ),
+        ("Nullable(FixedString(3))", b"abc", b"\x00\x01abc\x00\x00\x00"),
+        ("Nullable(UInt128)", 5, b"\x00\x01" + (5).to_bytes(16, "little")
+         + b"\x00" * 16),
+    ]
+    from log2ck_spark.native import col_writer
+
+    for t, v, expected in cases:
+        w = col_writer(t)
+        out = bytearray()
+        w.write_data([v, None], out)
+        assert bytes(out) == expected, t
+
+
+def test_tuple_and_named_tuple_columns():
+    from log2ck_spark.native import col_writer
+
+    w = col_writer("Tuple(a UInt8, `x,y` String)")
+    out = bytearray()
+    w.write_data([(1, "p"), (2, "q")], out)
+    # tuple = element columns serialized sequentially
+    assert bytes(out) == b"\x01\x02" + b"\x01p\x01q"
+
+
+def test_map_rejected_loudly_on_native_path():
+    from log2ck_spark.native import col_writer
+
+    with pytest.raises(ValueError, match="clickhouse_http"):
+        col_writer("Map(String, Int64)")
+
+
+def test_lowcardinality_nullable_reserves_index_zero():
+    from log2ck_spark.native import encode_block
+
+    got = encode_block(
+        [("s", "LowCardinality(Nullable(String))")], [["a", None, "a"]]
+    )
+    body = got[got.index(b"LowCardinality") + len(
+        b"LowCardinality(Nullable(String))"
+    ):]
+    assert body == (
+        struct.pack("<Q", 1)          # version
+        + struct.pack("<Q", 0x200)    # UInt8 keys | additional keys
+        + struct.pack("<Q", 2)        # dict: default + "a"
+        + b"\x00"                     # index 0: "" (the NULL entry)
+        + b"\x01a"
+        + struct.pack("<Q", 3)
+        + b"\x01\x00\x01"             # keys: a, NULL, a
+    )
+
+
+def test_wide_index_width_scales_with_dictionary():
+    from log2ck_spark.native import col_writer
+
+    w = col_writer("LowCardinality(String)")
+    out = bytearray()
+    vals = [f"v{i}" for i in range(300)]  # dict > 255 -> UInt16 keys
+    w.write_data(vals, out)
+    flags = struct.unpack("<Q", bytes(out[:8]))[0]
+    assert flags == 0x201  # UInt16 index | HasAdditionalKeysBit
+
+
 # ---------------------------------------------------------------------------
 # end-to-end against the fake server
 # ---------------------------------------------------------------------------
