@@ -448,6 +448,15 @@ class NativeClient:
         name = r.read_str()
         major, minor, srv_rev = r.read_var(), r.read_var(), r.read_var()
         eff = min(PROTOCOL_REVISION, srv_rev)
+        if eff < REV_SETTINGS_AS_STRINGS:
+            # the query/client-info framing below assumes the
+            # 54429+ layout; servers this old predate every
+            # ClickHouse release since 2020 — fail at connect, not
+            # with a misframed query packet
+            raise NativeProtocolError(
+                f"server protocol revision {srv_rev} too old "
+                f"(need >= {REV_SETTINGS_AS_STRINGS})"
+            )
         self.effective_revision = eff
         info: dict[str, Any] = {
             "name": name, "version": (major, minor), "revision": srv_rev,
@@ -519,12 +528,9 @@ class NativeClient:
             _w_var(out, 0)
             _w_var(out, 0)
             _w_var(out, 0)
-        # settings, serialized as strings (eff >= 54429 always here):
-        # name, flags varint (0 = not important), value; "" terminates
-        if eff < REV_SETTINGS_AS_STRINGS:  # pragma: no cover
-            raise NativeProtocolError(
-                "server too old: settings-as-strings unsupported"
-            )
+        # settings, serialized as strings (eff >= 54429, enforced at
+        # connect): name, flags varint (0 = not important), value;
+        # "" terminates
         for k, v in (settings or {}).items():
             _w_str(out, k)
             _w_var(out, 0)
