@@ -582,3 +582,224 @@ def alert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 6).alias("max_abs_z"),
         )
     )
+
+
+_FUNNEL_W_US = 6 * 3600 * 1_000_000  # windowFunnel window: 6 hours
+
+
+@register(
+    "window_funnel",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE event_type IN ('view','click','purchase')
+        AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    r1 AS (
+      SELECT *, MAX(CASE WHEN event_type='view' THEN us END)
+        OVER (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run1
+      FROM e
+    ),
+    r2 AS (
+      SELECT *, MAX(CASE WHEN event_type='click'
+                          AND run1 >= us - {_FUNNEL_W_US}
+                         THEN run1 END)
+        OVER (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run2
+      FROM r1
+    ),
+    lv AS (
+      SELECT user_id, MAX(CASE
+         WHEN event_type='purchase' AND run2 >= us - {_FUNNEL_W_US} THEN 3
+         WHEN event_type='click' AND run1 >= us - {_FUNNEL_W_US} THEN 2
+         WHEN event_type='view' THEN 1 ELSE 0 END) AS level
+      FROM r2 GROUP BY user_id
+    )
+    SELECT CAST(level AS INTEGER) AS level, COUNT(*) AS n_users
+    FROM lv GROUP BY level ORDER BY level
+    """,
+)
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `windowFunnel(W)(ts, type='view', 'click',
+    'purchase')` — the max funnel level each user reaches where every
+    chain event falls within W of the chain's FIRST event — then the
+    user histogram per level. This is the signature CK behavioral
+    aggregate a log2ck deployment would run over the ingested events
+    (the reference delegates its whole query surface to CK,
+    readme.md:106-125).
+
+    Spark-first re-expression — NOT the imperative per-user scan CK
+    uses: level-k reachability folds into k-1 chained RUNNING MAXES
+    over one (user_id, ts) sort. run1 = latest view time so far; a
+    click within W of run1 reaches level 2 carrying chain start run1;
+    run2 = the latest (= always optimal, since a later start only
+    widens the remaining window) level-2 chain start; a purchase
+    within W of run2 reaches level 3. Exactly the existential
+    semantics "∃ v ≤ c ≤ p, p ≤ v + W" — one exchange, one sort, no
+    per-user UDF, no event×event join; scales as O(n log n) per
+    partition at any corpus size.
+
+    Pinned contracts (both engines): tie-INCLUSIVE chains via RANGE
+    frames (CK's own default mode is insertion-order-dependent for
+    equal timestamps — not reproducible cross-engine); NULL ts or
+    user_id rows can't join a chain and are filtered symmetrically.
+    """
+    w_us = F.lit(_FUNNEL_W_US)
+    e = (
+        tbl(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin("view", "click", "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id", "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r1 = e.withColumn(
+        "run1",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("us"))
+        ).over(win),
+    )
+    r2 = r1.withColumn(
+        "run2",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("run1") >= F.col("us") - w_us),
+                F.col("run1"),
+            )
+        ).over(win),
+    )
+    lv = r2.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("run2") >= F.col("us") - w_us),
+                F.lit(3),
+            )
+            .when(
+                (F.col("event_type") == "click")
+                & (F.col("run1") >= F.col("us") - w_us),
+                F.lit(2),
+            )
+            .when(F.col("event_type") == "view", F.lit(1))
+            .otherwise(F.lit(0))
+        ).alias("level")
+    )
+    return (
+        lv.groupBy(F.col("level").cast("int").alias("level"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("level")
+    )
+
+
+@register(
+    "sequence_count",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      FROM events
+      WHERE event_type IN ('view','click')
+        AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    l AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+             ) AS prev
+      FROM e
+    )
+    SELECT user_id,
+           COUNT(*) FILTER (
+             WHERE event_type = 'click' AND prev = 'view'
+           ) AS n_chains
+    FROM l GROUP BY user_id
+    """,
+)
+def sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `sequenceCount('(?1).*(?2)')(ts, view, click)` —
+    NON-OVERLAPPING view→click chains per user, greedy left-to-right
+    matching (CK's documented algorithm: once a chain closes, its
+    events can't be reused).
+
+    The greedy count collapses to a LAG: restrict to the two stage
+    types, sort per user by (ts, event_id), and count clicks whose
+    immediately-preceding stage event is a view — exactly the number
+    of view-block→click-block alternations, which is what greedy
+    non-overlap matches. One exchange, one sort, no state machine.
+    Total order (ts, event_id) pins equal-timestamp behavior on both
+    engines."""
+    e = (
+        tbl(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin("view", "click")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id", "event_type",
+            F.unix_micros("ts").alias("us"), "event_id",
+        )
+    )
+    win = Window.partitionBy("user_id").orderBy("us", "event_id")
+    l = e.withColumn("prev", F.lag("event_type").over(win))
+    return l.groupBy("user_id").agg(
+        F.count(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("prev") == "view"),
+                True,
+            )
+        ).alias("n_chains")
+    )
+
+
+@register(
+    "retention_flags",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             BOOL_OR(event_type = 'signup') AS r1,
+             BOOL_OR(event_type = 'click') AS c2,
+             BOOL_OR(event_type = 'purchase') AS c3
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (WHERE r1) AS n_signup,
+           COUNT(*) FILTER (WHERE r1 AND c2) AS n_signup_and_click,
+           COUNT(*) FILTER (WHERE r1 AND c3) AS n_signup_and_purchase
+    FROM u
+    """,
+)
+def retention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `retention(signup, click, purchase)` — per user the
+    flag array [cond1, cond1 AND cond2, cond1 AND cond3] (conditions
+    2..N only count when the FIRST condition held, per the CK
+    definition — order-free, unlike the funnel), summed into the
+    classic retention report. One hash aggregation on user_id, then a
+    single-row reduce of three partial-aggregable counts."""
+    ev = tbl(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "signup").alias("r1"),
+        F.max(F.col("event_type") == "click").alias("c2"),
+        F.max(F.col("event_type") == "purchase").alias("c3"),
+    )
+    return u.agg(
+        F.count(F.when(F.col("r1"), True)).alias("n_signup"),
+        F.count(F.when(F.col("r1") & F.col("c2"), True)).alias(
+            "n_signup_and_click"
+        ),
+        F.count(F.when(F.col("r1") & F.col("c3"), True)).alias(
+            "n_signup_and_purchase"
+        ),
+    )

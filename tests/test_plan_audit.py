@@ -62,6 +62,7 @@ SINGLE_PARTITION_OK = {
     "sample_by_mixture",  # same weights subtree as mixture_weights
     "vocab_coverage",  # window over the _VOCAB_TOP-row head + scalar total
     "pmi_collocations",  # 1-row unigram/bigram total aggregates
+    "retention_flags",  # 1-row reduce of 3 partial-aggregable counts
     "series_similarity_search",  # 1-row reference-moments aggregates
     "profile_columns",
     "tpch_q11_important_share",
