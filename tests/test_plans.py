@@ -336,3 +336,27 @@ def test_similarity_lsh_query_side_filter_reaches_scan(spark, sf_dir):
         or f"LessThan(vec_id,{N_QUERIES})" in s
     ]
     assert len(filtered) >= 1, plan[:3000]
+
+
+def test_window_funnel_one_raw_event_exchange(spark, sf_dir):
+    """windowFunnel's scale claim: the whole funnel — both chained
+    running maxes AND the per-user level aggregate — rides ONE
+    hashpartitioning(user_id) exchange over raw events; the remaining
+    exchanges (the level histogram, the 4-row ORDER BY) move at most
+    |users| rows. A regression that re-shuffles raw events (e.g. a
+    second window spec with a different ordering) doubles the
+    dominant cost at 100 TB."""
+    plan = _plan(spark, "window_funnel", sf_dir)
+    user_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+    ]
+    assert len(user_exchanges) == 1, plan[:3000]
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_count_one_exchange_total(spark, sf_dir):
+    plan = _plan(spark, "sequence_count", sf_dir)
+    assert plan.count("Exchange") == 1, plan[:3000]
