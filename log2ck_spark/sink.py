@@ -814,10 +814,13 @@ def clickhouse_http_writer(
             if drop_pc is True:
                 batch_df = batch_df.drop(pc)
             elif drop_pc == "auto":
-                declared_has = declared is not None and any(
-                    n == pc for n, _t in declared
-                )
-                if not declared_has and not _server_lists_pc(pc):
+                if declared is not None:
+                    # an explicit `columns` pin IS the wire layout —
+                    # the server need not be consulted: absent from
+                    # the pin means the column never ships
+                    if not any(n == pc for n, _t in declared):
+                        batch_df = batch_df.drop(pc)
+                elif not _server_lists_pc(pc):
                     batch_df = batch_df.drop(pc)
         if fmt == "row_binary":
             if declared is not None:
