@@ -803,3 +803,82 @@ def retention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_signup_and_purchase"
         ),
     )
+
+
+@register(
+    "sequence_match",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE event_type IN ('signup','click','purchase')
+        AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    r1 AS (
+      SELECT *, MAX(CASE WHEN event_type='signup' THEN us END)
+        OVER (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run1
+      FROM e
+    ),
+    r2 AS (
+      SELECT *, MAX(CASE WHEN event_type='click' AND run1 IS NOT NULL
+                         THEN run1 END)
+        OVER (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run2
+      FROM r1
+    )
+    SELECT user_id,
+           BOOL_OR(event_type='purchase' AND run2 IS NOT NULL)
+             AS matched
+    FROM r2 GROUP BY user_id
+    """,
+)
+def sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `sequenceMatch('(?1).*(?2).*(?3)')(ts, signup,
+    click, purchase)` — per user, does the event stream contain the
+    three conditions in timestamp order (any events in between, no
+    time bound)? The unwindowed sibling of `window_funnel`, using the
+    same chained-running-max kernel with the window check removed:
+    run1 = any signup so far, run2 = any signup→click prefix so far,
+    matched = a purchase after such a prefix. One exchange, no
+    per-user state machine. Ties are chain-INCLUSIVE (RANGE frames),
+    the same pinned contract as window_funnel; users with none of the
+    three stage events do not appear (they have no row to match)."""
+    e = (
+        tbl(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin("signup", "click", "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id", "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r1 = e.withColumn(
+        "run1",
+        F.max(
+            F.when(F.col("event_type") == "signup", F.col("us"))
+        ).over(win),
+    )
+    r2 = r1.withColumn(
+        "run2",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("run1").isNotNull(),
+                F.col("run1"),
+            )
+        ).over(win),
+    )
+    return r2.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "purchase")
+            & F.col("run2").isNotNull()
+        ).alias("matched")
+    )

@@ -120,3 +120,24 @@ def test_retention_flags_gate_on_first_condition(spark, tmp_path):
     assert (r.n_signup, r.n_signup_and_click, r.n_signup_and_purchase) == (
         3, 1, 2,
     )
+
+
+def test_sequence_match_order_and_negatives(spark, tmp_path):
+    rows = [
+        # u1: in order -> matched
+        (1, 1, "signup", 0), (2, 1, "click", 10), (3, 1, "purchase", 20),
+        # u2: purchase BEFORE click -> not matched
+        (4, 2, "signup", 0), (5, 2, "purchase", 10), (6, 2, "click", 20),
+        # u3: missing the middle stage -> not matched
+        (7, 3, "signup", 0), (8, 3, "purchase", 10),
+        # u4: all at the same instant -> tie-inclusive, matched
+        (9, 4, "purchase", 0), (10, 4, "click", 0), (11, 4, "signup", 0),
+        # u5: interleaved noise events don't break '.*'
+        (12, 5, "signup", 0), (13, 5, "purchase", 5), (14, 5, "click", 10),
+        (15, 5, "purchase", 15),
+    ]
+    got = {
+        r.user_id: r.matched
+        for r in _run(spark, tmp_path, "sequence_match", _mk_events(spark, rows)).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: True}
