@@ -152,23 +152,47 @@ CK_INSERT_BATCH = 10_000
 
 
 def insert_in_batches(
-    client: Any, table: str, rows, batch_size: int = CK_INSERT_BATCH
+    client: Any, table: str, rows, batch_size: int = CK_INSERT_BATCH,
+    dedup_token: bool = False,
 ) -> int:
     """Buffer rows and flush every `batch_size` — the reference's
     batch-insert loop (`Worker.php:71-80`: accumulate lines, insert in
     one call, only then advance the offset). Factored out of the
     executor closure so the batching contract is unit-testable with a
-    fake client. Returns rows inserted."""
+    fake client. Returns rows inserted.
+
+    `dedup_token=True` passes a content-hash
+    `insert_deduplication_token` setting per flush (same idempotent-
+    replay contract as the HTTP and native writers) — requires a
+    client whose `insert` accepts a `settings` kwarg (clickhouse-
+    connect does); the default keeps the 2-arg fake-client contract."""
+    import hashlib as _hashlib
+
+    def _flush(buf: list) -> None:
+        if not dedup_token:
+            client.insert(table, buf)
+            return
+        h = _hashlib.sha256(table.encode())
+        for r in buf:
+            h.update(b"\1")
+            for v in r:
+                h.update(repr(v).encode())
+                h.update(b"\0")
+        client.insert(
+            table, buf,
+            settings={"insert_deduplication_token": h.hexdigest()},
+        )
+
     buf: list[list] = []
     n = 0
     for row in rows:
         buf.append(list(row))
         if len(buf) >= batch_size:
-            client.insert(table, buf)
+            _flush(buf)
             n += len(buf)
             buf = []
     if buf:
-        client.insert(table, buf)
+        _flush(buf)
         n += len(buf)
     return n
 
@@ -1007,7 +1031,12 @@ def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
     """ClickHouse sink (reference A10: native-TCP batch insert,
     `Worker.php:71-80,:123`). Gated on an optional client lib; inserts
     happen per-partition on executors via a connection each — the
-    Spark-shaped analog of the reference's persistent connection."""
+    Spark-shaped analog of the reference's persistent connection.
+    `dedup_token` (default true): a content-hash
+    `insert_deduplication_token` setting per flush — the same
+    idempotent-replay contract as the HTTP and native writers.
+    `drop_partition_col`: true | false | "auto" (default; consults a
+    driver-side DESCRIBE via the client lib)."""
     try:
         import clickhouse_connect  # type: ignore  # noqa: F401
     except ImportError as e:
@@ -1025,6 +1054,12 @@ def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
     opts: dict[str, Any] = dict(sink.options)
     table = _require_opt(opts, "table", "clickhouse")
     batch_size = int(opts.pop("batch_size", CK_INSERT_BATCH))
+    ck_dedup_token = opts.pop("dedup_token", True)
+    if not isinstance(ck_dedup_token, bool):
+        raise ValueError(
+            f"clickhouse sink: dedup_token={ck_dedup_token!r} "
+            f"(expected true or false)"
+        )
     drop_pc_opt = opts.pop("drop_partition_col", "auto")
     if isinstance(drop_pc_opt, str):
         if drop_pc_opt.lower() != "auto":
@@ -1086,7 +1121,10 @@ def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
         def _insert_partition(rows):
             client = clickhouse_connect.get_client(**opts)
             try:
-                insert_in_batches(client, table, rows, batch_size)
+                insert_in_batches(
+                    client, table, rows, batch_size,
+                    dedup_token=ck_dedup_token,
+                )
             finally:
                 client.close()
 

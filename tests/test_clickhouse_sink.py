@@ -1180,3 +1180,40 @@ def test_tsv_unescape_control_sequences():
     assert _tsv_unescape(r"a\tb\nc\\d\0e") == "a\tb\nc\\d\0e"
     assert _tsv_unescape("plain") == "plain"
     assert _tsv_unescape("trailing\\") == "trailing\\"
+
+
+def test_insert_in_batches_dedup_token_same_batch_same_token():
+    """The optional-lib path honors the same idempotent-replay
+    contract as the HTTP/native writers: identical batch content
+    derives an identical insert_deduplication_token, distinct batches
+    distinct tokens; dedup_token=False keeps the 2-arg legacy call."""
+
+    class SettingsClient:
+        def __init__(self):
+            self.calls = []
+
+        def insert(self, table, rows, settings=None):
+            self.calls.append((table, [list(r) for r in rows], settings))
+
+    c = SettingsClient()
+    insert_in_batches(
+        c, "t", iter([[1, "a"], [2, "b"], [3, "c"]]),
+        batch_size=2, dedup_token=True,
+    )
+    assert len(c.calls) == 2
+    t1 = c.calls[0][2]["insert_deduplication_token"]
+    t2 = c.calls[1][2]["insert_deduplication_token"]
+    assert len(t1) == 64 and t1 != t2
+
+    # a replay of the same batch content derives the same token
+    c2 = SettingsClient()
+    insert_in_batches(
+        c2, "t", iter([[1, "a"], [2, "b"]]), batch_size=2,
+        dedup_token=True,
+    )
+    assert c2.calls[0][2]["insert_deduplication_token"] == t1
+
+    # default: legacy 2-arg contract, no settings kwarg
+    legacy = FakeClient()
+    insert_in_batches(legacy, "t", iter([[1]]))
+    assert legacy.calls == [("t", 1)]
