@@ -231,7 +231,14 @@ class _LowCardinalityCol(_ColWriter):
     (a Nullable inner reserves index 0 for the default/NULL entry and
     writes NO null map), UInt64 row count, fixed-width key indexes."""
 
+    # Official client serializers (clickhouse-driver, ch-go) set BOTH
+    # bits on insert blocks: the keys travel with the block AND the
+    # server must fold them into its dictionary. Matching them keeps
+    # this writer on the server's well-trodden decode path (ADVICE
+    # r12 — additional-keys-only was a divergence only the live test
+    # exercised).
     _HAS_ADDITIONAL_KEYS = 1 << 9
+    _NEED_UPDATE_DICTIONARY = 1 << 10
 
     def __init__(self, inner_type: str):
         m = re.fullmatch(r"Nullable\((.+)\)", inner_type.strip())
@@ -274,7 +281,11 @@ class _LowCardinalityCol(_ColWriter):
             flag, fmt = 2, "<I"
         else:  # pragma: no cover — a >4B-distinct single block
             flag, fmt = 3, "<Q"
-        out += struct.pack("<Q", flag | self._HAS_ADDITIONAL_KEYS)
+        out += struct.pack(
+            "<Q",
+            flag | self._HAS_ADDITIONAL_KEYS
+            | self._NEED_UPDATE_DICTIONARY,
+        )
         out += struct.pack("<Q", n_dict)
         if self.nullable:
             out += self.default_filler  # index 0: the NULL entry
@@ -363,16 +374,31 @@ class _Reader:
     def __init__(self, sock: socket.socket):
         self._sock = sock
         self._buf = b""
+        self._pos = 0
 
     def read(self, n: int) -> bytes:
-        while len(self._buf) < n:
-            chunk = self._sock.recv(max(65536, n - len(self._buf)))
-            if not chunk:
-                raise NativeProtocolError(
-                    "server closed the connection mid-packet"
-                )
-            self._buf += chunk
-        out, self._buf = self._buf[:n], self._buf[n:]
+        # Consume via an offset into one buffer and collect incoming
+        # chunks in a list joined once per refill — `buf += chunk` +
+        # per-call slicing is O(total²) byte copying when a server
+        # block (a large LowCardinality dictionary, a wide DESCRIBE)
+        # spans many recv() chunks (ADVICE r12).
+        avail = len(self._buf) - self._pos
+        if avail < n:
+            chunks = [self._buf[self._pos:]] if avail else []
+            while avail < n:
+                chunk = self._sock.recv(max(65536, n - avail))
+                if not chunk:
+                    raise NativeProtocolError(
+                        "server closed the connection mid-packet"
+                    )
+                chunks.append(chunk)
+                avail += len(chunk)
+            self._buf = b"".join(chunks)
+            self._pos = 0
+        out = self._buf[self._pos:self._pos + n]
+        self._pos += n
+        if self._pos >= len(self._buf):
+            self._buf, self._pos = b"", 0
         return out
 
     def read_var(self) -> int:

@@ -882,3 +882,305 @@ def sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("run2").isNotNull()
         ).alias("matched")
     )
+
+
+@register(
+    "window_funnel_strict_order",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    l AS (
+      SELECT *,
+        LAG(event_type)    OVER w AS p1_type,
+        LAG(us)            OVER w AS p1_us,
+        LAG(event_type, 2) OVER w AS p2_type,
+        LAG(us, 2)         OVER w AS p2_us
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    lv AS (
+      SELECT user_id, MAX(CASE
+        WHEN event_type='purchase' AND p1_type='click'
+             AND p2_type='view' AND us <= p2_us + {_FUNNEL_W_US} THEN 3
+        WHEN event_type='click' AND p1_type='view'
+             AND us <= p1_us + {_FUNNEL_W_US} THEN 2
+        WHEN event_type='view' THEN 1 ELSE 0 END) AS level
+      FROM l GROUP BY user_id
+    )
+    SELECT CAST(level AS INTEGER) AS level, COUNT(*) AS n_users
+    FROM lv GROUP BY level ORDER BY level
+    """,
+)
+def window_funnel_strict_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse `windowFunnel(W, 'strict_order')(ts, view, click,
+    purchase)` — the strict_order mode: ANY other event between chain
+    steps kills the chain ("in the case of A->B->D->C, it stops
+    finding A->B->C at the D", the CK docs' own example), so a chain
+    is exactly a run of CONSECUTIVE rows view,click,purchase in the
+    user's FULL event stream (no event-type filter — an 'error' or
+    'signup' between steps interrupts, matching CK, where rows
+    matching no condition still advance the stream).
+
+    Consecutiveness turns the funnel into two LAGs over one
+    (user_id; ts, event_id) sort: level 3 = a purchase whose two
+    immediate predecessors are click then view with the purchase
+    within W of the view (the intermediate click is then within W
+    automatically); level 2 = a click immediately after a view within
+    W; level 1 = any view. One exchange, one sort, no per-user state
+    machine — the strict mode is CHEAPER than the default funnel's
+    chained running maxes. Equal timestamps are pinned by the total
+    order (ts, event_id) on both engines (CK itself is
+    insertion-order-dependent there — not reproducible)."""
+    e = (
+        tbl(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id", "event_type",
+            F.unix_micros("ts").alias("us"), "event_id",
+        )
+    )
+    win = Window.partitionBy("user_id").orderBy("us", "event_id")
+    l = (
+        e.withColumn("p1_type", F.lag("event_type").over(win))
+        .withColumn("p1_us", F.lag("us").over(win))
+        .withColumn("p2_type", F.lag("event_type", 2).over(win))
+        .withColumn("p2_us", F.lag("us", 2).over(win))
+    )
+    w_us = F.lit(_FUNNEL_W_US)
+    lv = l.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("p1_type") == "click")
+                & (F.col("p2_type") == "view")
+                & (F.col("us") <= F.col("p2_us") + w_us),
+                F.lit(3),
+            )
+            .when(
+                (F.col("event_type") == "click")
+                & (F.col("p1_type") == "view")
+                & (F.col("us") <= F.col("p1_us") + w_us),
+                F.lit(2),
+            )
+            .when(F.col("event_type") == "view", F.lit(1))
+            .otherwise(F.lit(0))
+        ).alias("level")
+    )
+    return (
+        lv.groupBy(F.col("level").cast("int").alias("level"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("level")
+    )
+
+
+@register(
+    "window_funnel_strict_dedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      FROM events
+      WHERE event_type IN ('view','click','purchase')
+        AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    p1 AS (
+      SELECT *,
+        LAST_VALUE(CASE WHEN event_type IN ('view','click')
+                        THEN struct_pack(t := event_type, u := us)
+                   END IGNORE NULLS) OVER w AS pv
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p2 AS (
+      SELECT *,
+        CASE WHEN event_type='click' AND pv.t='view'
+              AND us <= pv.u + {_FUNNEL_W_US} THEN pv.u END AS c2s,
+        LAST_VALUE(CASE WHEN event_type IN ('view','click')
+                        THEN struct_pack(
+                          t := event_type,
+                          s := CASE WHEN event_type='click'
+                                     AND pv.t='view'
+                                     AND us <= pv.u + {_FUNNEL_W_US}
+                                    THEN pv.u END)
+                   END IGNORE NULLS) OVER w AS pc
+      FROM p1
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    lv AS (
+      SELECT user_id, MAX(CASE
+        WHEN event_type='purchase' AND pc.t='click'
+             AND pc.s IS NOT NULL
+             AND us <= pc.s + {_FUNNEL_W_US} THEN 3
+        WHEN c2s IS NOT NULL THEN 2
+        WHEN event_type='view' THEN 1 ELSE 0 END) AS level
+      FROM p2 GROUP BY user_id
+    )
+    SELECT CAST(level AS INTEGER) AS level, COUNT(*) AS n_users
+    FROM lv GROUP BY level ORDER BY level
+    """,
+)
+def window_funnel_strict_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse `windowFunnel(W, 'strict_deduplication')(ts, view,
+    click, purchase)` — a repeat of a condition the chain has ALREADY
+    matched interrupts further processing (docs: "if the same
+    condition holds for the sequence of events, then such repeating
+    event interrupts further processing"), while events matching no
+    not-yet-held condition pass through (only the three stage types
+    feed the aggregate, matching the default funnel's framing).
+
+    The interruption collapses declaratively: a surviving level-2
+    chain's click must have a VIEW as its nearest preceding
+    view-or-click (a nearer view restarts the chain later = strictly
+    more window slack, a nearer click is the dedup kill), and a
+    surviving level-3 purchase must have a QUALIFYING CLICK as ITS
+    nearest preceding view-or-click (any view or click between kills
+    — a view repeats condition 1, a click repeats condition 2;
+    purchases between don't interrupt and the earlier purchase would
+    itself complete the chain). So: one last-non-null window carrying
+    (type, us) of the previous stage-1/2 event, a second carrying the
+    click's chain start, then the level CASE — two window passes over
+    the SAME (user_id; ts, event_id) sort = one exchange, one sort,
+    no per-user state machine. Window checks anchor to the chain's
+    first event (the view), per the CK contract; ties pinned by the
+    total order (ts, event_id) on both engines."""
+    e = (
+        tbl(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin("view", "click", "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id", "event_type",
+            F.unix_micros("ts").alias("us"), "event_id",
+        )
+    )
+    w_us = F.lit(_FUNNEL_W_US)
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_vc = F.col("event_type").isin("view", "click")
+    p1 = e.withColumn(
+        "pv",
+        F.last(
+            F.when(
+                is_vc,
+                F.struct(
+                    F.col("event_type").alias("t"),
+                    F.col("us").alias("u"),
+                ),
+            ),
+            ignorenulls=True,
+        ).over(win),
+    )
+    c2s = F.when(
+        (F.col("event_type") == "click")
+        & (F.col("pv.t") == "view")
+        & (F.col("us") <= F.col("pv.u") + w_us),
+        F.col("pv.u"),
+    )
+    p2 = p1.withColumn("c2s", c2s).withColumn(
+        "pc",
+        F.last(
+            F.when(
+                is_vc,
+                F.struct(
+                    F.col("event_type").alias("t"),
+                    c2s.alias("s"),
+                ),
+            ),
+            ignorenulls=True,
+        ).over(win),
+    )
+    lv = p2.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("pc.t") == "click")
+                & F.col("pc.s").isNotNull()
+                & (F.col("us") <= F.col("pc.s") + w_us),
+                F.lit(3),
+            )
+            .when(F.col("c2s").isNotNull(), F.lit(2))
+            .when(F.col("event_type") == "view", F.lit(1))
+            .otherwise(F.lit(0))
+        ).alias("level")
+    )
+    return (
+        lv.groupBy(F.col("level").cast("int").alias("level"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("level")
+    )
+
+
+_SEQ_T_US = 3600 * 1_000_000  # sequenceMatch (?t<=N): 1 hour
+
+
+@register(
+    "sequence_match_time",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      FROM events
+      WHERE event_type IN ('signup','click')
+        AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    l AS (
+      SELECT user_id, event_type, us,
+             LAG(event_type) OVER w AS prev,
+             LAG(us) OVER w AS prev_us
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT user_id,
+           BOOL_OR(event_type='click' AND prev='signup'
+                   AND us <= prev_us + {_SEQ_T_US}) AS matched
+    FROM l GROUP BY user_id
+    """,
+)
+def sequence_match_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `sequenceMatch('(?1)(?t<=3600)(?2)')(ts, signup,
+    click)` — the time-bounded adjacent-step pattern: per user, does
+    a click DIRECTLY follow a signup (among condition-matching
+    events; rows matching no condition are ignored, per the CK
+    contract) within 1 hour? The `(?t<=N)` operator constrains the
+    gap between the two ADJACENT matched conditions — unlike
+    `sequence_match`'s `.*` pattern there is no "any events between",
+    so the kernel is a single LAG over the (user_id; ts, event_id)
+    sort of the two stage types: matched = any click whose
+    predecessor is a signup at most N seconds older. One exchange,
+    no state machine; ties pinned by the total order, NULL ts/user
+    filtered symmetrically on both engines."""
+    e = (
+        tbl(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin("signup", "click")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id", "event_type",
+            F.unix_micros("ts").alias("us"), "event_id",
+        )
+    )
+    win = Window.partitionBy("user_id").orderBy("us", "event_id")
+    l = e.withColumn("prev", F.lag("event_type").over(win)).withColumn(
+        "prev_us", F.lag("us").over(win)
+    )
+    return l.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == "click")
+            & (F.col("prev") == "signup")
+            & (F.col("us") <= F.col("prev_us") + F.lit(_SEQ_T_US))
+        ).alias("matched")
+    )

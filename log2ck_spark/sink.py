@@ -548,7 +548,14 @@ def http_insert_in_batches(
         content_type = "application/x-ndjson"
     qs = {"query": query}
     qs.update(params or {})  # database=..., CK settings, etc.
-    derive_token = dedup_token and "insert_deduplication_token" not in qs
+    # Mutable so one UNKNOWN_SETTING response (servers < 22.2, where
+    # insert_deduplication_token does not exist — the HTTP interface
+    # rejects unknown settings, unlike native, which skips unimportant
+    # ones) downgrades the DEFAULT to token-less for the rest of this
+    # call instead of hard-failing every previously-working insert.
+    token_state = {
+        "on": dedup_token and "insert_deduplication_token" not in qs
+    }
     endpoint = url.rstrip("/") + "/?" + _up.urlencode(qs)
     headers = {"Content-Type": content_type}
     # CK's HTTP auth headers (public interface contract); absent ->
@@ -573,37 +580,74 @@ def http_insert_in_batches(
                     f"ClickHouse HTTP insert failed: {resp.status}"
                 )
 
-    def _flush(buf: list[bytes]) -> None:
-        data = sep.join(buf) + tail
-        target = endpoint
-        if derive_token:
-            # content-hash of the UNCOMPRESSED body: replays of the
-            # same rows — in-place retry, task re-run, batch replay —
-            # derive the same token, so the server absorbs them
-            import hashlib as _hashlib
+    def _target_for(data: bytes) -> str:
+        if not token_state["on"]:
+            return endpoint
+        # content-hash of the UNCOMPRESSED body: replays of the
+        # same rows — in-place retry, task re-run, batch replay —
+        # derive the same token, so the server absorbs them
+        import hashlib as _hashlib
 
-            token = _hashlib.sha256(
-                table.encode() + b"\0" + data
-            ).hexdigest()
-            target = endpoint + "&" + _up.urlencode(
-                {"insert_deduplication_token": token}
-            )
+        token = _hashlib.sha256(
+            table.encode() + b"\0" + data
+        ).hexdigest()
+        return endpoint + "&" + _up.urlencode(
+            {"insert_deduplication_token": token}
+        )
+
+    def _is_unknown_token_setting(e) -> bool:
+        # CK's HTTP interface reports exceptions in the body as
+        # `Code: 115. DB::Exception: Unknown setting ...` — detect
+        # the token setting specifically, so a genuinely malformed
+        # INSERT (also 4xx) still raises.
+        try:
+            body = e.read() or b""
+        except Exception:  # noqa: BLE001 — closed/consumed stream
+            body = b""
+        body += str(e).encode("utf-8", "replace")
+        return (
+            b"insert_deduplication_token" in body
+            and (b"UNKNOWN_SETTING" in body or b"Code: 115" in body)
+        )
+
+    def _flush(buf: list[bytes]) -> None:
+        raw = sep.join(buf) + tail
         if compression == "gzip":
             # mtime=0: deterministic bytes (the gzip header otherwise
             # embeds wall-clock time — untestable golden bodies and
             # pointless entropy on retries of the same batch)
             data = _gzip.compress(
-                data, compresslevel=compression_level, mtime=0
+                raw, compresslevel=compression_level, mtime=0
             )
             headers["Content-Encoding"] = "gzip"
+        else:
+            data = raw
         attempt = 0
         while True:
             try:
-                _post_once(data, target)
+                _post_once(data, _target_for(raw))
                 return
             except _ue.HTTPError as e:
                 # 429/5xx are the transient class; other 4xx will not
-                # heal by waiting — surface immediately
+                # heal by waiting — surface immediately, EXCEPT the
+                # one self-inflicted 4xx: a pre-22.2 server rejecting
+                # the derived insert_deduplication_token. Drop the
+                # token for the rest of this call (keeps the True
+                # default safe on old servers; ADVICE r12) and retry
+                # once without consuming a transient-retry attempt.
+                if token_state["on"] and e.code < 500 and e.code != 429 \
+                        and _is_unknown_token_setting(e):
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "ClickHouse server rejected "
+                        "insert_deduplication_token (pre-22.2?); "
+                        "retrying without it — inserts are "
+                        "at-least-once, not idempotent, on this "
+                        "server. Pass dedup_token=False to silence."
+                    )
+                    token_state["on"] = False
+                    continue
                 if not (e.code == 429 or e.code >= 500):
                     raise
                 last = e
@@ -798,23 +842,29 @@ def clickhouse_http_writer(
         if server_types is not None:
             return pc in server_types
         if not _drop_layout["fetched"]:
-            _drop_layout["fetched"] = True
             try:
                 _drop_layout["types"] = describe_table_columns(
                     url, table, user=user, password=password,
                     params=params,
                 )
+                _drop_layout["fetched"] = True
             except Exception as e:  # noqa: BLE001
                 # DESCRIBE denied/unsupported: fall back to the
                 # drop-the-derived-column rule (pre-r12 behavior) but
                 # say so — a genuinely-insertable partition column
-                # would otherwise be silently defaulted server-side
+                # would otherwise be silently defaulted server-side.
+                # fetched stays False: a TRANSIENT failure here (one
+                # network blip on the first batch) must not lock in
+                # the drop rule for the writer's lifetime — the next
+                # batch re-DESCRIBEs and can resolve it correctly
+                # (ADVICE r12).
                 import logging
 
                 logging.getLogger(__name__).warning(
                     "clickhouse_http sink: DESCRIBE TABLE %s failed "
                     "(%s); assuming partition column is derived and "
-                    "dropping it — set drop_partition_col explicitly "
+                    "dropping it for THIS batch (will retry DESCRIBE "
+                    "next batch) — set drop_partition_col explicitly "
                     "to silence this", table, e,
                 )
         t = _drop_layout["types"]

@@ -141,3 +141,135 @@ def test_sequence_match_order_and_negatives(spark, tmp_path):
         for r in _run(spark, tmp_path, "sequence_match", _mk_events(spark, rows)).collect()
     }
     assert got == {1: True, 2: False, 3: False, 4: True, 5: True}
+
+
+def test_strict_order_interruption_is_the_ck_docs_example(
+    spark, tmp_path
+):
+    """CK's own strict_order example: A->B->D->C stops the A->B->C
+    search at the D, max level 2. Here view->click->error->purchase:
+    the error (ANY other event — no type filter in strict mode) kills
+    the chain before the purchase."""
+    rows = [
+        (1, 1, "view", 0), (2, 1, "click", 10),
+        (3, 1, "error", 20), (4, 1, "purchase", 30),
+        # u2: the same stream WITHOUT the interloper -> level 3
+        (5, 2, "view", 0), (6, 2, "click", 10), (7, 2, "purchase", 30),
+    ]
+    got = {
+        r.level: r.n_users
+        for r in _run(
+            spark, tmp_path, "window_funnel_strict_order",
+            _mk_events(spark, rows),
+        ).collect()
+    }
+    assert got == {2: 1, 3: 1}
+
+
+def test_strict_order_requires_consecutive_steps_and_window(
+    spark, tmp_path
+):
+    rows = [
+        # u1: view then a signup between view and click -> chain dead
+        # at the signup; the later click has no adjacent view -> 1
+        (1, 1, "view", 0), (2, 1, "signup", 5), (3, 1, "click", 10),
+        # u2: consecutive view,click but purchase past view + W -> 2
+        (4, 2, "view", 0), (5, 2, "click", 10), (6, 2, "purchase", W + 1),
+        # u3: consecutive triple with purchase EXACTLY at view+W -> 3
+        (7, 3, "view", 0), (8, 3, "click", 10), (9, 3, "purchase", W),
+        # u4: a second chain succeeds after an interrupted first
+        (10, 4, "view", 0), (11, 4, "error", 1),
+        (12, 4, "view", 2), (13, 4, "click", 3), (14, 4, "purchase", 4),
+    ]
+    got = {
+        r.level: r.n_users
+        for r in _run(
+            spark, tmp_path, "window_funnel_strict_order",
+            _mk_events(spark, rows),
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_strict_dedup_repeat_condition_interrupts(spark, tmp_path):
+    """CK strict_deduplication: a repeat of an already-held condition
+    interrupts FURTHER processing (the level reached stands)."""
+    rows = [
+        # u1: view,click then a second CLICK before purchase ->
+        # condition 2 repeats -> stuck at level 2 (the second click's
+        # own chain has no adjacent view... its nearest prior
+        # view-or-click is a click) -> 2
+        (1, 1, "view", 0), (2, 1, "click", 10),
+        (3, 1, "click", 20), (4, 1, "purchase", 30),
+        # u2: view,click then a second VIEW before purchase ->
+        # condition 1 repeats, chain dead; the second view's new
+        # chain has no click before the purchase -> 2
+        (5, 2, "view", 0), (6, 2, "click", 10),
+        (7, 2, "view", 20), (8, 2, "purchase", 30),
+        # u3: clean chain -> 3 (a purchase between steps would NOT
+        # interrupt — condition 3 never held mid-chain)
+        (9, 3, "view", 0), (10, 3, "click", 10), (11, 3, "purchase", 20),
+        # u4: view, PURCHASE, click, purchase -> the early purchase
+        # (condition 3, not yet held) does not interrupt -> 3
+        (12, 4, "view", 0), (13, 4, "purchase", 5),
+        (14, 4, "click", 10), (15, 4, "purchase", 20),
+    ]
+    got = {
+        r.level: r.n_users
+        for r in _run(
+            spark, tmp_path, "window_funnel_strict_dedup",
+            _mk_events(spark, rows),
+        ).collect()
+    }
+    assert got == {2: 2, 3: 2}
+
+
+def test_strict_dedup_second_view_restarts_with_fresh_window(
+    spark, tmp_path
+):
+    """The dedup kill and the restart interact: view1,click1,view2,
+    click2,purchase — view2 kills chain 1 at level 2, but (view2,
+    click2, purchase) is a complete fresh chain -> 3. And the fresh
+    chain's window anchors at view2, rescuing a purchase past
+    view1 + W."""
+    rows = [
+        (1, 1, "view", 0), (2, 1, "click", 10),
+        (3, 1, "view", W), (4, 1, "click", W + 10),
+        (5, 1, "purchase", W + 20),  # past view1+W, inside view2+W
+    ]
+    got = {
+        r.level: r.n_users
+        for r in _run(
+            spark, tmp_path, "window_funnel_strict_dedup",
+            _mk_events(spark, rows),
+        ).collect()
+    }
+    assert got == {3: 1}
+
+
+def test_sequence_match_time_adjacency_and_bound(spark, tmp_path):
+    """(?1)(?t<=3600)(?2): the click must DIRECTLY follow the signup
+    among condition events (a view between is ignored — it matches no
+    condition; a second signup between is NOT, it matches ?1), and
+    the gap bound is inclusive."""
+    rows = [
+        # u1: signup then click 3600s later -> inclusive bound, True
+        (1, 1, "signup", 0), (2, 1, "click", 3600),
+        # u2: gap one second over -> False
+        (3, 2, "signup", 0), (4, 2, "click", 3601),
+        # u3: a view between signup and click is invisible -> True
+        (5, 3, "signup", 0), (6, 3, "view", 100), (7, 3, "click", 200),
+        # u4: a second signup between resets adjacency — the click's
+        # predecessor is signup@100, still within bound -> True
+        (8, 4, "signup", 0), (9, 4, "signup", 100), (10, 4, "click", 200),
+        # u5: click before signup -> False
+        (11, 5, "click", 0), (12, 5, "signup", 100),
+    ]
+    got = {
+        r.user_id: r.matched
+        for r in _run(
+            spark, tmp_path, "sequence_match_time",
+            _mk_events(spark, rows),
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: True, 5: False}

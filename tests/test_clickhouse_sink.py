@@ -1217,3 +1217,157 @@ def test_insert_in_batches_dedup_token_same_batch_same_token():
     legacy = FakeClient()
     insert_in_batches(legacy, "t", iter([[1]]))
     assert legacy.calls == [("t", 1)]
+
+
+def test_unknown_token_setting_downgrades_instead_of_failing():
+    """A pre-22.2 server has no insert_deduplication_token and its
+    HTTP interface rejects unknown settings outright (unlike native,
+    which skips unimportant ones). The default dedup_token=True must
+    stay safe there: on the CK-style `Code: 115 ... Unknown setting`
+    response the sink retries the SAME flush without the token, logs
+    a warning, and stops deriving tokens for the rest of the call —
+    so 3 batches cost exactly one extra POST, not three failures
+    (ADVICE r12)."""
+    import http.server
+    import json
+    import threading
+
+    from log2ck_spark.sink import http_insert_in_batches
+
+    paths: list[str] = []
+    bodies: list[bytes] = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            ln = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(ln)
+            paths.append(self.path)
+            if "insert_deduplication_token" in self.path:
+                # ClickHouse < 22.2 wording, verbatim shape
+                payload = (
+                    b"Code: 115. DB::Exception: Unknown setting "
+                    b"insert_deduplication_token. (UNKNOWN_SETTING) "
+                    b"(version 21.8.10.19 (official build))\n"
+                )
+                self.send_response(404)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
+            import gzip as _gz
+
+            if self.headers.get("Content-Encoding") == "gzip":
+                body = _gz.decompress(body)
+            bodies.append(body)
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_port}"
+        n = http_insert_in_batches(
+            url, "t",
+            [{"k": i} for i in range(6)],
+            batch_size=2,
+            retries=0,  # the downgrade retry must not consume these
+        )
+        assert n == 6
+        rows = [
+            json.loads(line)
+            for b in bodies
+            for line in b.decode().splitlines()
+            if line
+        ]
+        assert [r["k"] for r in rows] == list(range(6))
+        # exactly ONE rejected attempt (the first flush), then every
+        # subsequent POST is token-less: 1 + 3 accepted = 4 total
+        assert len(paths) == 4
+        assert sum(
+            "insert_deduplication_token" in p for p in paths
+        ) == 1
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_genuine_4xx_still_raises_with_token_on():
+    """The UNKNOWN_SETTING downgrade must not swallow real 4xx
+    failures: a malformed-insert-style 400 whose body does NOT name
+    the token setting raises immediately even with dedup_token=True."""
+    import http.server
+    import threading
+
+    import pytest as _pytest
+    import urllib.error as _ue
+
+    from log2ck_spark.sink import http_insert_in_batches
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            payload = b"Code: 27. DB::Exception: Cannot parse input\n"
+            self.send_response(400)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_port}"
+        with _pytest.raises(_ue.HTTPError):
+            http_insert_in_batches(
+                url, "t", [{"k": 1}], retries=0,
+            )
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_describe_failure_is_retried_next_batch(monkeypatch):
+    """A transient DESCRIBE failure on the first batch must not lock
+    in the drop-partition-column rule for the writer's lifetime: the
+    layout cache keeps fetched=False on exception so the NEXT batch
+    re-DESCRIBEs and resolves correctly (ADVICE r12)."""
+    import log2ck_spark.sink as sink_mod
+    from log2ck_spark.config import SinkConfig
+    from log2ck_spark.sink import clickhouse_http_writer
+
+    calls = {"n": 0}
+
+    def flaky_describe(url, table, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConnectionError("blip")
+        return {"k": "Int64", "log_date": "Date"}
+
+    monkeypatch.setattr(
+        sink_mod, "describe_table_columns", flaky_describe
+    )
+    # Reach the lazy _server_lists_pc closure via the writer factory.
+    w = clickhouse_http_writer(
+        SinkConfig(
+            path="", kind="clickhouse_http",
+            options={"url": "http://h:8123", "table": "t"},
+        )
+    )
+    lists_pc = None
+    for cell in w.__closure__ or ():
+        v = cell.cell_contents
+        if callable(v) and getattr(v, "__name__", "") == "_server_lists_pc":
+            lists_pc = v
+    assert lists_pc is not None, "writer layout closure not found"
+    # batch 1: DESCRIBE blips -> fall back (False) but DON'T cache
+    assert lists_pc("log_date") is False
+    # batch 2: retried DESCRIBE succeeds -> correct answer
+    assert lists_pc("log_date") is True
+    # batch 3: success IS cached -> no third DESCRIBE
+    assert lists_pc("log_date") is True
+    assert calls["n"] == 2

@@ -451,7 +451,9 @@ def test_empty_and_typed_block_golden_bytes():
 
 def test_lowcardinality_block_golden_bytes():
     """LC(String) column ["a","b","a"]: version prefix 1, flags
-    UInt8-index|HasAdditionalKeys (0x200), dict size 2, dict values
+    UInt8-index|HasAdditionalKeys|NeedUpdateDictionary (0x600 — both
+    bits, matching official client serializers), dict size 2, dict
+    values
     a,b, key count 3, keys 0,1,0."""
     got = encode_block(
         [("s", "LowCardinality(String)")], [["a", "b", "a"]]
@@ -462,7 +464,7 @@ def test_lowcardinality_block_golden_bytes():
         b"\x01s"
         b"\x16LowCardinality(String)"
         + struct.pack("<Q", 1)          # keys serialization version
-        + struct.pack("<Q", 0x200)      # UInt8 keys | additional keys
+        + struct.pack("<Q", 0x600)      # UInt8 | add-keys | need-update
         + struct.pack("<Q", 2)          # dictionary size
         + b"\x01a\x01b"                 # dictionary values
         + struct.pack("<Q", 3)          # number of keys
@@ -550,7 +552,7 @@ def test_lowcardinality_nullable_reserves_index_zero():
     ):]
     assert body == (
         struct.pack("<Q", 1)          # version
-        + struct.pack("<Q", 0x200)    # UInt8 keys | additional keys
+        + struct.pack("<Q", 0x600)    # UInt8 | add-keys | need-update
         + struct.pack("<Q", 2)        # dict: default + "a"
         + b"\x00"                     # index 0: "" (the NULL entry)
         + b"\x01a"
@@ -567,7 +569,7 @@ def test_wide_index_width_scales_with_dictionary():
     vals = [f"v{i}" for i in range(300)]  # dict > 255 -> UInt16 keys
     w.write_data(vals, out)
     flags = struct.unpack("<Q", bytes(out[:8]))[0]
-    assert flags == 0x201  # UInt16 index | HasAdditionalKeysBit
+    assert flags == 0x601  # UInt16 | add-keys | need-update-dict
 
 
 # ---------------------------------------------------------------------------
@@ -893,3 +895,32 @@ def test_live_native_insert_end_to_end():
     finally:
         sql(f"DROP TABLE IF EXISTS {tbl}")
         client.close()
+
+
+def test_reader_spans_many_small_chunks_linearly():
+    """_Reader must stay correct (and linear — chunks joined once per
+    refill, consumed via an offset; ADVICE r12) when one logical read
+    spans many tiny recv() returns, e.g. a large LowCardinality
+    dictionary block dribbling in."""
+    import socket
+    import threading
+
+    from log2ck_spark.native import _Reader
+
+    a, b = socket.socketpair()
+    payload = bytes(range(256)) * 512  # 128 KiB
+    def drip():
+        for i in range(0, len(payload), 173):  # hostile chunking
+            b.sendall(payload[i:i + 173])
+        b.close()
+
+    t = threading.Thread(target=drip, daemon=True)
+    t.start()
+    r = _Reader(a)
+    # interleave small and large exact-reads across chunk boundaries
+    got = r.read(5) + r.read(1) + r.read(70000) + r.read(
+        len(payload) - 5 - 1 - 70000
+    )
+    assert got == payload
+    t.join()
+    a.close()
