@@ -84,26 +84,12 @@ def load_all() -> None:
 # ROTATION.md. Python dicts preserve insertion order, so a plain
 # rebuild is enough.
 ROTATION_FIRST: tuple[str, ...] = (
-    # r12 window — the stale-evidence drain, finished (VERDICT r11
-    # item 1). Manual pins are ONLY the 10 r7-latest names (the unique
-    # stalest tier; the r11 deferral list from ROTATION.md, now
-    # drained). No code-changed queue this round: query code and
-    # oracles were deliberately frozen (r11 verdict item 1), so the
-    # automatic stalest-first order fills the remaining 40 slots with
-    # the full 30-name r8 tier and the 10 registration-order-first r9
-    # names. Post-r12 target state: no name's latest driver row
-    # predates r9, after which the steady-state 50-name window
-    # maintains freshness with zero manual pins.
-    "bigram_stats",
-    "dedup_near",
-    "error_rate_alert",
-    "pii_scrub",
-    "pivot_agg",
-    "stratified_sample",
-    "text_fingerprint",
-    "tfidf_top_terms",
-    "token_count_bpe",
-    "vocab_coverage",
+    # r13: STEADY STATE, zero pins (VERDICT r12 item 1). The r12 drain
+    # finished (nothing predates r9); no code-changed queue exists this
+    # round (green query code and oracles frozen), so the automatic
+    # order fills the whole window: the 3 never-checked r13 behavioral
+    # names, then the 25 r9-latest names, then the oldest r10 tier.
+    # Target state after r13: no name's latest driver row predates r10.
 )
 
 
