@@ -342,6 +342,18 @@ def main() -> None:
         except Exception:
             pass  # the original flag still stands in the record
     registry_total = round(sum(v for v in registry.values() if v > 0), 3)
+    # Frozen GENESIS baseline (r12 verdict): the sidecar is
+    # overwritten every official run, so per-name regression detection
+    # only ever looked one round back — a slow multi-round creep below
+    # the per-round threshold was invisible. Carry an immutable
+    # genesis column (the first official sidecar's full timings +
+    # calib; seeded from the committed r12 registry) forward verbatim
+    # on every overwrite, and report cum_drift = current/genesis
+    # normalized by the calib anchor chain, per name.
+    genesis, cum_drift, cum_drift_med = genesis_and_drift(
+        os.path.join(_REPO_ROOT, "bench_registry.json"),
+        timings, calib, sf_val,
+    )
     registry_line = {
         "registry_sf001": registry,
         "registry_sf001_total": registry_total,
@@ -385,6 +397,13 @@ def main() -> None:
         "drift_source": drift_source,
         "calib": calib,
         "calib_ratio": calib_ratio,
+        # cumulative calib-normalized drift vs the FROZEN genesis
+        # registry (never overwritten — multi-round creep detector;
+        # full per-name map in the sidecar)
+        "cum_drift_med": cum_drift_med,
+        "cum_drift_worst": dict(
+            sorted(cum_drift.items(), key=lambda kv: -kv[1])[:3]
+        ),
         "ingest": ingest,
         "sf": sf_val,
     }
@@ -401,6 +420,10 @@ def main() -> None:
                     **headline_line,
                     "queries": timings,
                     "regressions": regressions,
+                    # immutable across overwrites + the full per-name
+                    # cumulative drift map it anchors
+                    "genesis": genesis,
+                    "cum_drift": cum_drift,
                     **registry_line,
                 },
                 f,
@@ -417,6 +440,55 @@ def main() -> None:
 
 
 # Driver stdout capture keeps the LAST 2000 bytes; the final line must
+def genesis_and_drift(
+    sidecar_path: str,
+    timings: "dict[str, float]",
+    calib: "float | None",
+    sf_val,
+):
+    """The frozen-genesis drift detector (r12 verdict): read the
+    sidecar's immutable `genesis` column — or seed it, once, from the
+    sidecar's own committed numbers (the r12 registry), falling back
+    to THIS run on a virgin checkout — and compute per-name
+    cum_drift = (now / genesis) / (calib_now / calib_genesis). The
+    calib chain divides out cumulative machine speed, so a value that
+    climbs across rounds is code creep even when every single round
+    stayed under the one-round threshold. Returns (genesis, cum_drift
+    map, median)."""
+    genesis = None
+    try:
+        with open(sidecar_path) as f:
+            _prev = json.load(f)
+        genesis = _prev.get("genesis") or {
+            "round": "r12",
+            "calib": _prev.get("calib"),
+            "sf": _prev.get("sf"),
+            "queries": _prev.get("queries") or {},
+        }
+    except (OSError, ValueError):
+        genesis = None
+    if not (genesis and genesis.get("queries")):
+        genesis = {
+            "round": "seed",
+            "calib": calib,
+            "sf": sf_val,
+            "queries": dict(timings),
+        }
+    cum_drift: "dict[str, float]" = {}
+    cum_drift_med = None
+    if sf_val == genesis.get("sf"):
+        g_calib = genesis.get("calib")
+        chain = (calib / g_calib) if (calib and g_calib) else 1.0
+        for n, g_t in genesis["queries"].items():
+            t = timings.get(n)
+            if t and g_t and g_t > 0:
+                cum_drift[n] = round((t / g_t) / max(chain, 0.001), 3)
+        if cum_drift:
+            vals = sorted(cum_drift.values())
+            cum_drift_med = vals[len(vals) // 2]
+    return genesis, cum_drift, cum_drift_med
+
+
 # parse from inside that window with margin for a trailing newline and
 # any same-window debris. 1800 leaves 10% headroom.
 _FINAL_LINE_BUDGET = 1800
@@ -438,7 +510,8 @@ def final_line_json(line: dict) -> str:
     if len(s) <= _FINAL_LINE_BUDGET:
         return s
     for key in (
-        "regr_isolated", "regressions", "queries", "ingest", "calib_ratio"
+        "regr_isolated", "cum_drift_worst", "regressions", "queries",
+        "ingest", "calib_ratio",
     ):
         line.pop(key, None)
         s = json.dumps(line)

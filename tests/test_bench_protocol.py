@@ -459,3 +459,89 @@ def test_r3_subset_is_exactly_the_r3_bench_set():
     with open(bench._REPO_ROOT + "/BENCH_r03.json") as f:
         r3 = json.load(f)["parsed"]["queries"]
     assert bench.HEADLINE[: len(r3)] == list(r3)
+
+
+def test_genesis_seeded_from_committed_sidecar_and_carried(tmp_path):
+    """First call on an old-format sidecar (no genesis key) must seed
+    genesis from THAT sidecar's committed numbers (the r12 registry),
+    and a later call on a new-format sidecar must carry the stored
+    genesis VERBATIM — never re-derive from the fresher overwrite."""
+    import json
+
+    import bench
+
+    old = tmp_path / "reg.json"
+    old.write_text(json.dumps({
+        "calib": 0.2, "sf": 0.1,
+        "queries": {"q1": 1.0, "q2": 2.0},
+    }))
+    g, drift, med = bench.genesis_and_drift(
+        str(old), {"q1": 1.5, "q2": 2.0}, calib=0.3, sf_val=0.1
+    )
+    assert g["round"] == "r12" and g["queries"] == {"q1": 1.0, "q2": 2.0}
+    # chain = 0.3/0.2 = 1.5x slower machine; q1 raw 1.5x -> norm 1.0,
+    # q2 raw 1.0x -> norm 0.667
+    assert drift == {"q1": 1.0, "q2": 0.667}
+    assert med == 1.0
+
+    # new-format sidecar: stored genesis wins over the record's own
+    # (newer, drifted) queries map
+    new = tmp_path / "reg2.json"
+    new.write_text(json.dumps({
+        "calib": 0.3, "sf": 0.1,
+        "queries": {"q1": 9.9},
+        "genesis": g,
+    }))
+    g2, drift2, _ = bench.genesis_and_drift(
+        str(new), {"q1": 1.0}, calib=0.2, sf_val=0.1
+    )
+    assert g2 == g
+    assert drift2 == {"q1": 1.0}
+
+
+def test_genesis_sf_mismatch_and_virgin_checkout(tmp_path):
+    """A smoke-scale run must not produce cross-scale drift numbers;
+    a missing sidecar seeds genesis from the current run."""
+    import bench
+
+    missing = tmp_path / "nope.json"
+    g, drift, med = bench.genesis_and_drift(
+        str(missing), {"q1": 1.0}, calib=0.1, sf_val=0.1
+    )
+    assert g["round"] == "seed" and g["queries"] == {"q1": 1.0}
+    assert drift == {"q1": 1.0} and med == 1.0
+
+    g2, drift2, med2 = bench.genesis_and_drift(
+        str(missing), {"q1": 1.0}, calib=0.1, sf_val=0.001
+    )
+    assert g2["sf"] == 0.001  # seeded at this run's scale
+    # but reading an sf0.1 genesis at sf0.001 yields NO drift rows
+    import json
+    sc = tmp_path / "reg3.json"
+    sc.write_text(json.dumps({
+        "calib": 0.2, "sf": 0.1, "queries": {"q1": 1.0},
+    }))
+    _, drift3, med3 = bench.genesis_and_drift(
+        str(sc), {"q1": 5.0}, calib=0.2, sf_val=0.001
+    )
+    assert drift3 == {} and med3 is None
+
+
+def test_final_line_sheds_cum_drift_worst_before_regressions():
+    import json
+
+    import bench
+
+    line = {
+        "metric": "m", "value": 1.0, "unit": "sec", "sf": 0.1,
+        "queries": {f"q{i}": 1.0 for i in range(40)},
+        "regressions": {f"r{i}": 2.0 for i in range(30)},
+        "cum_drift_worst": {f"c{i:03d}" * 20: 9.9 for i in range(20)},
+        "regr_isolated": {},
+    }
+    out = bench.final_line_json(line)
+    assert len(out) <= bench._FINAL_LINE_BUDGET
+    parsed = json.loads(out)
+    assert "cum_drift_worst" not in parsed
+    # the caller's dict is untouched (it feeds the sidecar)
+    assert "cum_drift_worst" in line
