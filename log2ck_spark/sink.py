@@ -964,7 +964,18 @@ def clickhouse_native_writer(
     target table genuinely stores it), `probe` (true: connect + ping
     at writer creation so an unreachable server or bad credentials
     fail at CONFIG time, not in the first batch's tasks). Any other
-    option rides the query as a ClickHouse setting string."""
+    option rides the query as a ClickHouse setting string.
+
+    WIRE EFFICIENCY: this path sends UNCOMPRESSED blocks (protocol
+    compression=0 in the hello — the reference's client does the
+    same, so this is parity, but it means "native" is the WORSE
+    choice on a congested network). The protocol's compressed frames
+    need LZ4 + CityHash128, neither in the stdlib; rather than ship a
+    slow pure-Python approximation in the hot path, bandwidth-
+    sensitive deployments should use kind="clickhouse_http" with
+    format="row_binary" (default gzip: measured 3-7x smaller bodies,
+    DEPLOY.md) — the writer logs this steer once at creation so the
+    trade-off is visible where the choice is made, not only in docs."""
     opts: dict[str, Any] = dict(sink.options)
     table = str(_require_opt(opts, "table", "clickhouse_native"))
     host = str(_require_opt(opts, "host", "clickhouse_native"))
@@ -998,6 +1009,15 @@ def clickhouse_native_writer(
 
     from log2ck_spark.native import NativeClient, content_dedup_token
 
+    import logging as _logging
+
+    _logging.getLogger(__name__).info(
+        "clickhouse_native sink: blocks ship UNCOMPRESSED (protocol "
+        "compression is not implemented — parity with the reference "
+        "client); on a bandwidth-constrained link prefer "
+        "kind=clickhouse_http with format=row_binary (gzip default, "
+        "3-7x smaller bodies)"
+    )
     if probe:
         client = NativeClient(
             host, port, database=database, user=user,

@@ -924,3 +924,119 @@ def test_reader_spans_many_small_chunks_linearly():
     assert got == payload
     t.join()
     a.close()
+
+
+# ---------------------------------------------------------------------------
+# recorded-exchange replay (VERDICT r12 item 2)
+# ---------------------------------------------------------------------------
+
+# The full hello -> query(+settings) -> typed-block -> data -> EndOfStream
+# conversation, frozen as raw wire bytes. Client segments were recorded
+# from NativeClient itself (pinned hostname/database/user/token, so the
+# bytes are deterministic) and hand-checked against the published native
+# protocol framing (revision 54447 layout: ClientInfo field order,
+# settings-as-strings with the empty-key terminator, BlockInfo fields
+# 1/2/0, LowCardinality version+flags 0x600). Server segments replay the
+# spec-mirror responses. The replay server below does NOT parse: it
+# demands each client segment byte-for-byte and answers with the frozen
+# bytes, so ANY framing drift — field order, varint width, flag bits,
+# encoding — fails loudly with the first diverging offset. A live
+# ClickHouse has still never acked these bytes in this sandbox; the
+# skipif live test above remains the real-server gate.
+_XCHG = [
+    # client Hello: name "log2ck-spark", ver 1.0, rev 54447,
+    # db "logs", user "default", empty password
+    ("C", "000c6c6f6732636b2d737061726b0100afa903046c6f67730764656661756c"
+          "7400"),
+    # server Hello: "FakeHouse" 23.8, rev 54468, tz UTC,
+    # display "fake-server", patch 1
+    ("S", "000946616b65486f7573651708c4a903035554430b66616b652d7365727665"
+          "7201"),
+    # client Query (INSERT ... VALUES, quoted idents) + settings
+    # {insert_deduplication_token: tok-abc} + empty external-data block
+    ("C", "010001000009302e302e302e303a30010764656661756c740b70696e6e6564"
+          "2d686f73740c6c6f6732636b2d737061726b0100afa9030000001a696e7365"
+          "72745f64656475706c69636174696f6e5f746f6b656e0007746f6b2d616263"
+          "000002003a494e5345525420494e544f206c6f67732e6d6f6e6f6c6f672028"
+          "607265706f602c20606d657373616765602c20606e756d60292056414c5545"
+          "530200010002ffffffff000000"),
+    # server typed header block: 0 rows, repo LowCardinality(String)
+    # (keys-version prefix), message String, num UInt64
+    ("S", "0100010002ffffffff000300047265706f164c6f7743617264696e616c6974"
+          "7928537472696e67290100000000000000076d65737361676506537472696e"
+          "67036e756d0655496e743634"),
+    # client data block (2 rows: LC dict {app} flags 0x600, UTF-8
+    # "wörld", UInt64 1,2) + empty end-of-insert block
+    ("C", "0200010002ffffffff000302047265706f164c6f7743617264696e616c6974"
+          "7928537472696e672901000000000000000006000000000000010000000000"
+          "00000361707002000000000000000000076d65737361676506537472696e67"
+          "0568656c6c6f0677c3b6726c64036e756d065549 6e743634"
+          "010000000000000002000000000000000200010002ffffffff000000"),
+    # server Progress (rows 2) + EndOfStream
+    ("S", "03000000020005"),
+]
+
+
+def test_recorded_exchange_replays_byte_for_byte():
+    import socket as _socket
+    import threading as _threading
+
+    from log2ck_spark.native import NativeClient
+
+    xchg = [(d, bytes.fromhex(h.replace(" ", ""))) for d, h in _XCHG]
+    srv = _socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    errors: list[str] = []
+
+    def replay():
+        conn, _ = srv.accept()
+        with conn:
+            for i, (d, payload) in enumerate(xchg):
+                if d == "S":
+                    conn.sendall(payload)
+                    continue
+                got = b""
+                while len(got) < len(payload):
+                    chunk = conn.recv(len(payload) - len(got))
+                    if not chunk:
+                        errors.append(
+                            f"seg {i}: peer closed at {len(got)}/"
+                            f"{len(payload)}"
+                        )
+                        return
+                    got += chunk
+                if got != payload:
+                    off = next(
+                        k for k in range(len(payload))
+                        if got[k] != payload[k]
+                    )
+                    errors.append(
+                        f"seg {i}: first divergence at byte {off}: "
+                        f"got {got[off:off+8].hex()} want "
+                        f"{payload[off:off+8].hex()}"
+                    )
+                    return
+
+    t = _threading.Thread(target=replay, daemon=True)
+    t.start()
+    cli = NativeClient(
+        "127.0.0.1", port, database="logs", user="default",
+        password="", client_hostname="pinned-host",
+    )
+    cli.connect()
+    assert cli.server_info["name"] == "FakeHouse"
+    assert cli.server_info["revision"] == 54468
+    n = cli.insert(
+        "logs.monolog",
+        ["repo", "message", "num"],
+        [
+            {"repo": "app", "message": "hello", "num": 1},
+            {"repo": "app", "message": "wörld", "num": 2},
+        ],
+        settings={"insert_deduplication_token": "tok-abc"},
+    )
+    cli.close()
+    t.join(5)
+    srv.close()
+    assert not errors, errors
+    assert n == 2
