@@ -1184,3 +1184,112 @@ def sequence_match_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("us") <= F.col("prev_us") + F.lit(_SEQ_T_US))
         ).alias("matched")
     )
+
+
+@register(
+    "window_funnel_strict_increase",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE event_type IN ('view','click','purchase')
+        AND ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    r1 AS (
+      SELECT *, MAX(CASE WHEN event_type='view' THEN us END)
+        OVER (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run1
+      FROM e
+    ),
+    r2 AS (
+      SELECT *, MAX(CASE WHEN event_type='click'
+                          AND run1 >= us - {_FUNNEL_W_US}
+                         THEN run1 END)
+        OVER (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run2
+      FROM r1
+    ),
+    lv AS (
+      SELECT user_id, MAX(CASE
+         WHEN event_type='purchase' AND run2 >= us - {_FUNNEL_W_US} THEN 3
+         WHEN event_type='click' AND run1 >= us - {_FUNNEL_W_US} THEN 2
+         WHEN event_type='view' THEN 1 ELSE 0 END) AS level
+      FROM r2 GROUP BY user_id
+    )
+    SELECT CAST(level AS INTEGER) AS level, COUNT(*) AS n_users
+    FROM lv GROUP BY level ORDER BY level
+    """,
+)
+def window_funnel_strict_increase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse `windowFunnel(W, 'strict_increase')(ts, view, click,
+    purchase)` — the third and last documented mode: chain steps must
+    have STRICTLY increasing timestamps, so equal-timestamp events can
+    never chain (the inverse of the default kernel's tie-INCLUSIVE
+    RANGE frames). Completes the mode family with `window_funnel`
+    (default), `window_funnel_strict_order`, and
+    `window_funnel_strict_dedup`.
+
+    Same chained-running-max kernel as the default funnel, with the
+    frame tightened from CURRENT ROW to 1 PRECEDING on the
+    microsecond ORDER BY — a RANGE frame bound, so "1 preceding"
+    means us-1, i.e. STRICTLY earlier instants, independent of how
+    many events share the current timestamp. One exchange, one sort,
+    no per-user state machine; ties need no (ts, event_id) pin
+    because the value-based frame excludes them symmetrically on both
+    engines."""
+    w_us = F.lit(_FUNNEL_W_US)
+    e = (
+        tbl(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin("view", "click", "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "user_id", "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    r1 = e.withColumn(
+        "run1",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("us"))
+        ).over(win),
+    )
+    r2 = r1.withColumn(
+        "run2",
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("run1") >= F.col("us") - w_us),
+                F.col("run1"),
+            )
+        ).over(win),
+    )
+    lv = r2.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("run2") >= F.col("us") - w_us),
+                F.lit(3),
+            )
+            .when(
+                (F.col("event_type") == "click")
+                & (F.col("run1") >= F.col("us") - w_us),
+                F.lit(2),
+            )
+            .when(F.col("event_type") == "view", F.lit(1))
+            .otherwise(F.lit(0))
+        ).alias("level")
+    )
+    return (
+        lv.groupBy(F.col("level").cast("int").alias("level"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("level")
+    )

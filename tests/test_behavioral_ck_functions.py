@@ -273,3 +273,31 @@ def test_sequence_match_time_adjacency_and_bound(spark, tmp_path):
         ).collect()
     }
     assert got == {1: True, 2: False, 3: True, 4: True, 5: False}
+
+
+def test_strict_increase_equal_timestamps_cannot_chain(
+    spark, tmp_path
+):
+    """strict_increase: chain steps need STRICTLY increasing ts —
+    the exact stream that reaches level 3 under the default mode's
+    tie-inclusive contract stalls where timestamps repeat."""
+    rows = [
+        # u1: view and click at the SAME instant, purchase later ->
+        # click can't chain on the tied view -> level 1
+        (1, 1, "view", 0), (2, 1, "click", 0), (3, 1, "purchase", 10),
+        # u2: strictly increasing triple -> 3
+        (4, 2, "view", 0), (5, 2, "click", 1), (6, 2, "purchase", 2),
+        # u3: click strictly after view, purchase TIED with click -> 2
+        (7, 3, "view", 0), (8, 3, "click", 5), (9, 3, "purchase", 5),
+        # u4: window still anchors at the view — purchase at view+W
+        # inclusive -> 3
+        (10, 4, "view", 0), (11, 4, "click", 1), (12, 4, "purchase", W),
+    ]
+    got = {
+        r.level: r.n_users
+        for r in _run(
+            spark, tmp_path, "window_funnel_strict_increase",
+            _mk_events(spark, rows),
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2}
