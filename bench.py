@@ -352,7 +352,7 @@ def main() -> None:
     # normalized by the calib anchor chain, per name.
     genesis, cum_drift, cum_drift_med = genesis_and_drift(
         os.path.join(_REPO_ROOT, "bench_registry.json"),
-        timings, calib, sf_val,
+        timings, calib, sf_val, registry=registry,
     )
     registry_line = {
         "registry_sf001": registry,
@@ -399,10 +399,20 @@ def main() -> None:
         "calib_ratio": calib_ratio,
         # cumulative calib-normalized drift vs the FROZEN genesis
         # registry (never overwritten — multi-round creep detector;
-        # full per-name map in the sidecar)
+        # full per-name map in the sidecar). raw_med = the same median
+        # WITHOUT the calib division: when the two disagree (as
+        # drift_source=median_calib_divergent flags), the judge can
+        # triangulate machine vs code instead of trusting one anchor.
         "cum_drift_med": cum_drift_med,
-        "cum_drift_worst": dict(
-            sorted(cum_drift.items(), key=lambda kv: -kv[1])[:3]
+        "cum_drift_raw_med": (
+            round(
+                cum_drift_med * (calib / genesis["calib"]), 3
+            )
+            if cum_drift_med and calib and genesis.get("calib")
+            else cum_drift_med
+        ),
+        "cum_drift_worst": material_cum_drift(
+            genesis, cum_drift, timings, registry, calib
         ),
         "ingest": ingest,
         "sf": sf_val,
@@ -445,6 +455,7 @@ def genesis_and_drift(
     timings: "dict[str, float]",
     calib: "float | None",
     sf_val,
+    registry: "dict[str, float] | None" = None,
 ):
     """The frozen-genesis drift detector (r12 verdict): read the
     sidecar's immutable `genesis` column — or seed it, once, from the
@@ -453,8 +464,15 @@ def genesis_and_drift(
     cum_drift = (now / genesis) / (calib_now / calib_genesis). The
     calib chain divides out cumulative machine speed, so a value that
     climbs across rounds is code creep even when every single round
-    stayed under the one-round threshold. Returns (genesis, cum_drift
-    map, median)."""
+    stayed under the one-round threshold.
+
+    Two genesis maps: `queries` (headline names at the official sf —
+    compared only when this run's sf matches) and `registry` (the
+    full-registry sf0.01 sweep — pinned to sf0.01 by construction, so
+    it compares on EVERY official run and covers all ~178 names, not
+    just the 63 headliners). Returns (genesis, cum_drift map,
+    median)."""
+    registry = registry or {}
     genesis = None
     try:
         with open(sidecar_path) as f:
@@ -465,6 +483,10 @@ def genesis_and_drift(
             "sf": _prev.get("sf"),
             "queries": _prev.get("queries") or {},
         }
+        if "registry" not in genesis:
+            # migrate pre-registry genesis records in place: freeze
+            # the oldest committed sweep we can still see
+            genesis["registry"] = _prev.get("registry_sf001") or {}
     except (OSError, ValueError):
         genesis = None
     if not (genesis and genesis.get("queries")):
@@ -473,20 +495,56 @@ def genesis_and_drift(
             "calib": calib,
             "sf": sf_val,
             "queries": dict(timings),
+            "registry": dict(registry),
         }
     cum_drift: "dict[str, float]" = {}
     cum_drift_med = None
+    g_calib = genesis.get("calib")
+    chain = (calib / g_calib) if (calib and g_calib) else 1.0
+    # registry-vs-registry first, headline-vs-headline second so the
+    # sf-exact headline number wins for names present in both
+    if registry:
+        for n, g_t in (genesis.get("registry") or {}).items():
+            t = registry.get(n)
+            if t and g_t and g_t > 0:
+                cum_drift[n] = round((t / g_t) / max(chain, 0.001), 3)
     if sf_val == genesis.get("sf"):
-        g_calib = genesis.get("calib")
-        chain = (calib / g_calib) if (calib and g_calib) else 1.0
         for n, g_t in genesis["queries"].items():
             t = timings.get(n)
             if t and g_t and g_t > 0:
                 cum_drift[n] = round((t / g_t) / max(chain, 0.001), 3)
-        if cum_drift:
-            vals = sorted(cum_drift.values())
-            cum_drift_med = vals[len(vals) // 2]
+    if cum_drift:
+        vals = sorted(cum_drift.values())
+        cum_drift_med = vals[len(vals) // 2]
     return genesis, cum_drift, cum_drift_med
+
+
+def material_cum_drift(
+    genesis: dict,
+    cum_drift: "dict[str, float]",
+    timings: "dict[str, float]",
+    registry: "dict[str, float]",
+    calib: "float | None",
+    top: int = 3,
+):
+    """The worst-N cum_drift names that also pass the SAME 0.25 s
+    chain-adjusted materiality floor the regression tripwire uses —
+    a 0.06 s query reading 5x is sub-second measurement noise, and
+    surfacing it as `cum_drift_worst` invites misreading; the full
+    unfloored map stays in the sidecar for completeness."""
+    g_calib = genesis.get("calib")
+    chain = (calib / g_calib) if (calib and g_calib) else 1.0
+    g_all = dict(genesis.get("registry") or {})
+    g_all.update(genesis.get("queries") or {})
+    t_all = dict(registry or {})
+    t_all.update(timings or {})
+    material = {
+        n: v
+        for n, v in cum_drift.items()
+        if n in g_all and n in t_all
+        and t_all[n] - chain * g_all[n] > 0.25
+    }
+    return dict(sorted(material.items(), key=lambda kv: -kv[1])[:top])
 
 
 # parse from inside that window with margin for a trailing newline and

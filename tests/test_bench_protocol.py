@@ -545,3 +545,48 @@ def test_final_line_sheds_cum_drift_worst_before_regressions():
     assert "cum_drift_worst" not in parsed
     # the caller's dict is untouched (it feeds the sidecar)
     assert "cum_drift_worst" in line
+
+
+def test_genesis_registry_map_widens_drift_to_all_names(tmp_path):
+    """genesis carries BOTH maps: headline (sf-gated) and the sf0.01
+    registry sweep (always comparable), so cum_drift covers the whole
+    query surface, not just the 63 headliners; pre-registry genesis
+    records migrate in place from the sidecar's own sweep."""
+    import json
+
+    import bench
+
+    sc = tmp_path / "reg.json"
+    sc.write_text(json.dumps({
+        "calib": 0.2, "sf": 0.1,
+        "queries": {"h1": 1.0},
+        "registry_sf001": {"r1": 0.5, "r2": 0.5},
+        "genesis": {  # pre-registry format
+            "round": "r12", "calib": 0.2, "sf": 0.1,
+            "queries": {"h1": 1.0},
+        },
+    }))
+    g, drift, med = bench.genesis_and_drift(
+        str(sc), {"h1": 1.0}, calib=0.2, sf_val=0.1,
+        registry={"r1": 1.0, "r2": 0.5},
+    )
+    assert g["registry"] == {"r1": 0.5, "r2": 0.5}  # migrated
+    assert drift == {"h1": 1.0, "r1": 2.0, "r2": 1.0}
+    assert med == 1.0
+
+
+def test_material_cum_drift_floors_subsecond_noise():
+    """A 0.06 s query reading 5x is measurement noise — the worst-N
+    display applies the tripwire's 0.25 s chain-adjusted floor; a
+    genuinely material mover survives."""
+    import bench
+
+    genesis = {
+        "calib": 0.2, "sf": 0.1,
+        "queries": {}, "registry": {"tiny": 0.06, "big": 1.0},
+    }
+    cum = {"tiny": 5.0, "big": 2.0}
+    got = bench.material_cum_drift(
+        genesis, cum, {}, {"tiny": 0.30, "big": 2.0}, calib=0.2,
+    )
+    assert got == {"big": 2.0}
