@@ -1293,3 +1293,104 @@ def window_funnel_strict_increase(
         .agg(F.count("*").alias("n_users"))
         .orderBy("level")
     )
+
+
+@register(
+    "sequence_next_node",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    l AS (
+      SELECT user_id, event_type, us, event_id,
+             LAG(event_type) OVER w AS prev,
+             LEAD(event_type) OVER w AS nxt
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    m AS (
+      SELECT user_id, nxt,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+             ) AS rn
+      FROM l
+      WHERE event_type = 'click' AND prev = 'view'
+    )
+    SELECT user_id, nxt AS next_node FROM m WHERE rn = 1
+    """,
+)
+def sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `sequenceNextNode('forward', 'first_match')(ts,
+    event_type, ..., event_type='view', event_type='click')` — the
+    event FOLLOWING the first matched view→click chain, per user (the
+    "what do users do after converting?" dashboard query, from the
+    same CK docs section as the windowFunnel family). Chain steps are
+    adjacent in the user's FULL stream (sequenceNextNode evaluates
+    every row, like strict_order; an interloper between view and
+    click means no match there), `first_match` picks the earliest
+    chain, and the node after the stream's last event is NULL.
+
+    Kernel: one (user_id; ts, event_id) sort serving LAG (chain
+    adjacency), LEAD (the next node), and ROW_NUMBER (first match) —
+    three window functions, ONE exchange, no per-user state machine.
+    Ties pinned by the total order on both engines."""
+    e = (
+        tbl(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id", "event_type",
+            F.unix_micros("ts").alias("us"), "event_id",
+        )
+    )
+    win = Window.partitionBy("user_id").orderBy("us", "event_id")
+    l = (
+        e.withColumn("prev", F.lag("event_type").over(win))
+        .withColumn("nxt", F.lead("event_type").over(win))
+    )
+    m = l.where(
+        (F.col("event_type") == "click") & (F.col("prev") == "view")
+    ).withColumn("rn", F.row_number().over(win))
+    return m.where(F.col("rn") == 1).select(
+        "user_id", F.col("nxt").alias("next_node")
+    )
+
+
+_UNIQ_UP_TO_N = 8
+
+
+@register(
+    "uniq_up_to",
+    oracle=f"""
+    SELECT event_type,
+           LEAST(COUNT(DISTINCT user_id), {_UNIQ_UP_TO_N} + 1)
+             AS u_upto,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `uniqUpTo(N)(user_id)` per event_type: the exact
+    distinct count when it is ≤ N, else N+1 — CK's cheap "are there
+    more than N distinct?" probe (the docs recommend it for small N
+    where full uniqExact state is wasted). Spark's partial aggregation
+    gives the same early-bound benefit structurally: the map-side
+    distinct-set per (event_type, user_id) pair collapses before the
+    exchange, and the final LEAST caps the answer — semantics parity
+    with the CK function, expressed as exact-distinct + cap (NULL
+    user_ids excluded, as uniqUpTo skips NULLs)."""
+    return (
+        tbl(spark, sf_dir, "events")
+        .where(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.least(
+                F.count_distinct(F.col("user_id")),
+                F.lit(_UNIQ_UP_TO_N + 1).cast("long"),
+            ).alias("u_upto"),
+            F.count("*").alias("n_events"),
+        )
+    )

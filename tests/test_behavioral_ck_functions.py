@@ -301,3 +301,59 @@ def test_strict_increase_equal_timestamps_cannot_chain(
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_sequence_next_node_first_match_and_stream_edges(
+    spark, tmp_path
+):
+    """forward/first_match semantics: adjacent view→click in the FULL
+    stream (an interloper kills the match there), earliest chain wins,
+    next-after-last-event is NULL, unmatched users emit no row."""
+    rows = [
+        # u1: view,click,purchase -> next node after first chain =
+        # purchase (a later view,click,error chain is ignored)
+        (1, 1, "view", 0), (2, 1, "click", 1), (3, 1, "purchase", 2),
+        (4, 1, "view", 3), (5, 1, "click", 4), (6, 1, "error", 5),
+        # u2: chain at the very end of the stream -> NULL next node
+        (7, 2, "error", 0), (8, 2, "view", 1), (9, 2, "click", 2),
+        # u3: view,ERROR,click -> interloper breaks adjacency -> no row
+        (10, 3, "view", 0), (11, 3, "error", 1), (12, 3, "click", 2),
+        # u4: first adjacent pair is later in the stream
+        (13, 4, "click", 0), (14, 4, "view", 1), (15, 4, "click", 2),
+        (16, 4, "signup", 3),
+    ]
+    got = {
+        r.user_id: r.next_node
+        for r in _run(
+            spark, tmp_path, "sequence_next_node",
+            _mk_events(spark, rows),
+        ).collect()
+    }
+    assert got == {1: "purchase", 2: None, 4: "signup"}
+
+
+def test_uniq_up_to_caps_at_n_plus_one(spark, tmp_path):
+    """uniqUpTo(8): exact when distinct <= 8, pinned 9 when over;
+    NULL user_ids skipped."""
+    rows = []
+    eid = 1
+    # 'view': 3 distinct users -> exact 3
+    for u in (1, 2, 3):
+        rows.append((eid, u, "view", eid)); eid += 1
+    # 'click': 12 distinct users -> capped 9
+    for u in range(10, 22):
+        rows.append((eid, u, "click", eid)); eid += 1
+    df = _mk_events(spark, rows)
+    # add one NULL-user view row (skipped by the aggregate)
+    import datetime as _dt
+    null_row = spark.createDataFrame(
+        [(999, _dt.datetime(2024, 1, 1), None, "view", 1.0, "{}")],
+        df.schema,
+    )
+    got = {
+        r.event_type: (r.u_upto, r.n_events)
+        for r in _run(
+            spark, tmp_path, "uniq_up_to", df.unionByName(null_row)
+        ).collect()
+    }
+    assert got == {"view": (3, 4), "click": (9, 12)}
