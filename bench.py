@@ -412,7 +412,8 @@ def main() -> None:
             else cum_drift_med
         ),
         "cum_drift_worst": material_cum_drift(
-            genesis, cum_drift, timings, registry, calib
+            genesis, cum_drift, timings, registry, calib,
+            sf_val=sf_val,
         ),
         "ingest": ingest,
         "sf": sf_val,
@@ -449,7 +450,6 @@ def main() -> None:
     print(final_line_json(headline_line))
 
 
-# Driver stdout capture keeps the LAST 2000 bytes; the final line must
 def genesis_and_drift(
     sidecar_path: str,
     timings: "dict[str, float]",
@@ -506,12 +506,15 @@ def genesis_and_drift(
     if registry:
         for n, g_t in (genesis.get("registry") or {}).items():
             t = registry.get(n)
-            if t and g_t and g_t > 0:
+            # t > 0 matters: a failed sweep query records the -1.0
+            # sentinel, which must surface as a failure, not pollute
+            # the drift map with a nonsense negative ratio
+            if t and t > 0 and g_t and g_t > 0:
                 cum_drift[n] = round((t / g_t) / max(chain, 0.001), 3)
     if sf_val == genesis.get("sf"):
         for n, g_t in genesis["queries"].items():
             t = timings.get(n)
-            if t and g_t and g_t > 0:
+            if t and t > 0 and g_t and g_t > 0:
                 cum_drift[n] = round((t / g_t) / max(chain, 0.001), 3)
     if cum_drift:
         vals = sorted(cum_drift.values())
@@ -526,27 +529,37 @@ def material_cum_drift(
     registry: "dict[str, float]",
     calib: "float | None",
     top: int = 3,
+    sf_val=None,
 ):
     """The worst-N cum_drift names that also pass the SAME 0.25 s
     chain-adjusted materiality floor the regression tripwire uses —
     a 0.06 s query reading 5x is sub-second measurement noise, and
     surfacing it as `cum_drift_worst` invites misreading; the full
-    unfloored map stays in the sidecar for completeness."""
+    unfloored map stays in the sidecar for completeness.
+
+    The headline maps only participate when this run's sf matches the
+    genesis sf (mirroring genesis_and_drift's gating): merging a
+    small-sf headline timing over the always-sf0.01 registry value
+    would make the materiality delta negative and spuriously empty
+    the worst set on non-official-scale runs."""
     g_calib = genesis.get("calib")
     chain = (calib / g_calib) if (calib and g_calib) else 1.0
     g_all = dict(genesis.get("registry") or {})
-    g_all.update(genesis.get("queries") or {})
     t_all = dict(registry or {})
-    t_all.update(timings or {})
+    if sf_val is None or sf_val == genesis.get("sf"):
+        g_all.update(genesis.get("queries") or {})
+        t_all.update(timings or {})
     material = {
         n: v
         for n, v in cum_drift.items()
         if n in g_all and n in t_all
+        and t_all[n] > 0 and g_all[n] > 0
         and t_all[n] - chain * g_all[n] > 0.25
     }
     return dict(sorted(material.items(), key=lambda kv: -kv[1])[:top])
 
 
+# Driver stdout capture keeps the LAST 2000 bytes; the final line must
 # parse from inside that window with margin for a trailing newline and
 # any same-window debris. 1800 leaves 10% headroom.
 _FINAL_LINE_BUDGET = 1800

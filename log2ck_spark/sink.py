@@ -444,6 +444,15 @@ def describe_table_columns(
     return out
 
 
+# Server URLs that rejected insert_deduplication_token (pre-22.2):
+# once a server proves it lacks the setting, every later writer in
+# this executor process skips the token up front instead of re-paying
+# a rejected POST + warning on each micro-batch flush. Process-local
+# by design — no cross-executor coordination needed, worst case is
+# one extra probe POST per executor process per server.
+_NO_TOKEN_SERVERS: "set[str]" = set()
+
+
 def http_insert_in_batches(
     url: str,
     table: str,
@@ -551,10 +560,16 @@ def http_insert_in_batches(
     # Mutable so one UNKNOWN_SETTING response (servers < 22.2, where
     # insert_deduplication_token does not exist — the HTTP interface
     # rejects unknown settings, unlike native, which skips unimportant
-    # ones) downgrades the DEFAULT to token-less for the rest of this
-    # call instead of hard-failing every previously-working insert.
+    # ones) downgrades the DEFAULT to token-less instead of
+    # hard-failing every previously-working insert. The downgrade is
+    # remembered PER PROCESS (keyed by server URL): this function runs
+    # fresh per partition per micro-batch, and without the cache a
+    # long-lived stream against an old server would re-pay one
+    # rejected POST + warning on every single flush forever.
     token_state = {
-        "on": dedup_token and "insert_deduplication_token" not in qs
+        "on": dedup_token
+        and "insert_deduplication_token" not in qs
+        and url not in _NO_TOKEN_SERVERS
     }
     endpoint = url.rstrip("/") + "/?" + _up.urlencode(qs)
     headers = {"Content-Type": content_type}
@@ -647,6 +662,7 @@ def http_insert_in_batches(
                         "server. Pass dedup_token=False to silence."
                     )
                     token_state["on"] = False
+                    _NO_TOKEN_SERVERS.add(url)
                     continue
                 if not (e.code == 429 or e.code >= 500):
                     raise
@@ -1152,7 +1168,6 @@ def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
         # mirroring the HTTP writer's guard so a table that genuinely
         # stores log_date keeps receiving it.
         if not _drop_layout["fetched"]:
-            _drop_layout["fetched"] = True
             try:
                 client = clickhouse_connect.get_client(**opts)
                 try:
@@ -1163,16 +1178,23 @@ def clickhouse_writer(sink: SinkConfig) -> Callable[[DataFrame, int], None]:
                         not in ("MATERIALIZED", "ALIAS")
                         for row in res.result_rows
                     )
+                    _drop_layout["fetched"] = True
                 finally:
                     client.close()
             except Exception as e:  # noqa: BLE001
+                # fetched stays False: a TRANSIENT failure (one
+                # network blip on the first batch) must not lock in
+                # "drop the partition column" for the writer's whole
+                # lifetime — the next batch retries the DESCRIBE
+                # (mirrors the HTTP writer's guard; ADVICE r12)
                 import logging
 
                 logging.getLogger(__name__).warning(
                     "clickhouse sink: DESCRIBE TABLE %s failed (%s); "
                     "assuming partition column is derived and dropping "
-                    "it — set drop_partition_col explicitly to silence "
-                    "this", table, e,
+                    "it for THIS batch (will retry DESCRIBE next "
+                    "batch) — set drop_partition_col explicitly to "
+                    "silence this", table, e,
                 )
         return bool(_drop_layout["has_pc"])
 

@@ -590,3 +590,36 @@ def test_material_cum_drift_floors_subsecond_noise():
         genesis, cum, {}, {"tiny": 0.30, "big": 2.0}, calib=0.2,
     )
     assert got == {"big": 2.0}
+
+
+def test_material_cum_drift_gates_headline_maps_on_sf():
+    """On a non-official-scale run (sf != genesis sf) the headline
+    timing maps must NOT merge over the always-sf0.01 registry values:
+    a small-sf headline timing under a big-sf genesis value makes the
+    materiality delta negative and spuriously empties the worst set.
+    Registry-vs-registry comparisons stay in; the -1.0 failed-sweep
+    sentinel is excluded rather than producing a nonsense ratio."""
+    import bench
+
+    genesis = {
+        "calib": 0.2, "sf": 0.1,
+        # h1 is a headline name: genesis recorded it at sf0.1 (4.0 s)
+        "queries": {"h1": 4.0},
+        "registry": {"h1": 0.4, "r1": 1.0, "bad": 0.5},
+    }
+    cum = {"h1": 3.0, "r1": 2.0, "bad": 4.0}
+    # this run is sf0.01: headline h1 ran in 1.2 s (vs registry 0.4 —
+    # material), but vs the sf0.1 genesis headline 4.0 the delta
+    # would be negative and h1 would vanish; "bad" failed the sweep
+    timings = {"h1": 1.2}
+    registry = {"h1": 1.2, "r1": 2.5, "bad": -1.0}
+    got = bench.material_cum_drift(
+        genesis, cum, timings, registry, calib=0.2, sf_val=0.01,
+    )
+    assert got == {"h1": 3.0, "r1": 2.0}  # sentinel "bad" excluded
+    # at the OFFICIAL scale the headline maps participate again
+    got_official = bench.material_cum_drift(
+        genesis, cum, {"h1": 9.0}, {"r1": 2.5, "bad": -1.0},
+        calib=0.2, sf_val=0.1,
+    )
+    assert "h1" in got_official and "bad" not in got_official

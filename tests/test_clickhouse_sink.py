@@ -1289,9 +1289,24 @@ def test_unknown_token_setting_downgrades_instead_of_failing():
         assert sum(
             "insert_deduplication_token" in p for p in paths
         ) == 1
+        # the downgrade is remembered per process: a NEW call against
+        # the same server (a later micro-batch flush — this function
+        # runs fresh per partition per batch) skips the token up
+        # front, so a long-lived stream pays the probe POST once, not
+        # once per flush forever
+        paths.clear()
+        n2 = http_insert_in_batches(
+            url, "t", [{"k": 9}], retries=0,
+        )
+        assert n2 == 1
+        assert len(paths) == 1
+        assert "insert_deduplication_token" not in paths[0]
     finally:
         httpd.shutdown()
         httpd.server_close()
+        from log2ck_spark import sink as _sink
+
+        _sink._NO_TOKEN_SERVERS.discard(url)
 
 
 def test_genuine_4xx_still_raises_with_token_on():
