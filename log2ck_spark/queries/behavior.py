@@ -1394,3 +1394,108 @@ def uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "max_intersections",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, epoch_us(ts) AS s_us,
+             epoch_us(ts) + 1000000 + CAST(FLOOR(fmod(abs(
+               CASE WHEN isfinite(value) THEN value ELSE 0 END
+             ), 6000.0) * 100000.0) AS BIGINT) AS e_us
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ), pts AS (
+      SELECT event_type, s_us AS t,  1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, e_us AS t, -1 AS d FROM iv
+    ), sweep AS (
+      SELECT event_type, t,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY t) AS o
+      FROM pts
+    ), mx AS (
+      SELECT event_type, t, o,
+             MAX(o) OVER (PARTITION BY event_type) AS m
+      FROM sweep
+    )
+    SELECT event_type,
+           CAST(MAX(o) AS BIGINT) AS max_open,
+           MIN(CASE WHEN o = m THEN t END) AS pos_us
+    FROM mx GROUP BY event_type
+    """,
+)
+def max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `maxIntersections(start, end)` +
+    `maxIntersectionsPosition` per event_type: the peak number of
+    concurrently-open intervals and the earliest instant it is
+    reached — "max concurrent sessions", the classic ops question CK
+    answers with this aggregate pair. Intervals are synthesized
+    deterministically from the fixture: [ts, ts + 1s + value-derived
+    duration (≤ 10 min)], the duration via double fmod so both
+    engines walk bit-identical arithmetic (non-finite/NULL value →
+    zero extra, mirroring rate_counter's --nonfinite contract).
+
+    Kernel: the sweep-line as ONE exchange — explode each interval
+    into a (+1 at start, -1 at end) point row, cumulative-sum over a
+    window partitioned by event_type, and take the running max. The
+    default RANGE frame makes instants that tie process all their
+    peers together (a touching end+start nets to zero), so the
+    result is independent of physical row order on both engines. The
+    per-partition MAX window and the final groupBy reuse the same
+    partitioning key, so the whole plan is a single shuffle; at
+    100 TB it scales with |event_type| × points per partition, no
+    per-interval pair expansion, no driver state. CK computes the
+    same quantity by sorting (point, ±1) pairs inside the aggregate
+    state; the sweep is that algorithm expressed relationally."""
+    ev = (
+        tbl(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("s_us"),
+            (
+                F.unix_micros("ts")
+                + F.lit(1_000_000)
+                + F.floor(
+                    (
+                        F.abs(
+                            F.when(finite("value"), F.col("value"))
+                            .otherwise(F.lit(0.0))
+                        )
+                        % F.lit(6000.0)
+                    )
+                    * F.lit(100000.0)
+                ).cast("bigint")
+            ).alias("e_us"),
+        )
+    )
+    # ONE scan: each interval row explodes into its two sweep points
+    # (a unionAll of two selects would read the source twice — at
+    # 100 TB that doubles the I/O for no plan benefit)
+    pts = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("s_us").alias("t"), F.lit(1).alias("d")),
+                F.struct(
+                    F.col("e_us").alias("t"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("p"),
+    ).select("event_type", "p.t", "p.d")
+    # default frame with an ORDER BY = RANGE UNBOUNDED PRECEDING ..
+    # CURRENT ROW: peers (tied instants) aggregate together — the
+    # property that makes the sweep order-independent
+    w_cum = Window.partitionBy("event_type").orderBy("t")
+    sweep = pts.select(
+        "event_type", "t", F.sum("d").over(w_cum).alias("o")
+    )
+    w_all = Window.partitionBy("event_type")
+    mx = sweep.withColumn("m", F.max("o").over(w_all))
+    return mx.groupBy("event_type").agg(
+        F.max("o").cast("long").alias("max_open"),
+        F.min(F.when(F.col("o") == F.col("m"), F.col("t"))).alias(
+            "pos_us"
+        ),
+    )

@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from log2ck_spark.functions.numeric import DECIMAL, dsum, oracle_dsum, oracle_round6
+from log2ck_spark.functions.numeric import (
+    DECIMAL,
+    dsum,
+    finite,
+    oracle_dsum,
+    oracle_round6,
+)
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -1045,4 +1051,149 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").try_cast(DECIMAL)).over(w).cast("double").alias(
             "trailing_1h"
         ),
+    )
+
+
+_WTT = {
+    "sa": (
+        "CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN event_type = 'click'"
+        " THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR)"
+        " AS DOUBLE)"
+    ),
+    "sa2": (
+        "CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN event_type = 'click'"
+        " THEN value * value END AS VARCHAR) AS DECIMAL(18,6)))"
+        " AS VARCHAR) AS DOUBLE)"
+    ),
+    "sb": (
+        "CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN event_type = 'view'"
+        " THEN value END AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR)"
+        " AS DOUBLE)"
+    ),
+    "sb2": (
+        "CAST(CAST(SUM(TRY_CAST(CAST(CASE WHEN event_type = 'view'"
+        " THEN value * value END AS VARCHAR) AS DECIMAL(18,6)))"
+        " AS VARCHAR) AS DOUBLE)"
+    ),
+    "t": oracle_round6("(ma - mb) / sqrt(se2)"),
+    "df": oracle_round6(
+        "se2 * se2 / ((va / na) * (va / na) / (na - 1)"
+        " + (vb / nb) * (vb / nb) / (nb - 1))"
+    ),
+}
+
+
+@register(
+    "welch_ttest",
+    oracle="""
+    WITH f AS (
+      SELECT event_type, value FROM events
+      WHERE isfinite(value) AND event_type IN ('click', 'view')
+    ), agg AS (
+      SELECT
+        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+        COUNT(CASE WHEN event_type = 'view'  THEN 1 END) AS nb,
+        {sa} AS sa, {sa2} AS sa2, {sb} AS sb, {sb2} AS sb2
+      FROM f
+    ), m AS (
+      SELECT na, nb,
+        CASE WHEN na > 0 THEN sa / na END AS ma,
+        CASE WHEN nb > 0 THEN sb / nb END AS mb,
+        CASE WHEN na > 1 THEN
+          CASE WHEN (sa2 - sa * sa / na) / (na - 1) > 0.0
+               THEN (sa2 - sa * sa / na) / (na - 1) ELSE 0.0 END
+        END AS va,
+        CASE WHEN nb > 1 THEN
+          CASE WHEN (sb2 - sb * sb / nb) / (nb - 1) > 0.0
+               THEN (sb2 - sb * sb / nb) / (nb - 1) ELSE 0.0 END
+        END AS vb
+      FROM agg
+    ), w AS (
+      SELECT na, nb, ma, mb, va, vb,
+        CASE WHEN na > 1 AND nb > 1 THEN va / na + vb / nb END AS se2
+      FROM m
+    )
+    SELECT CAST(na AS BIGINT) AS n_click,
+           CAST(nb AS BIGINT) AS n_view,
+           CASE WHEN se2 > 0 THEN {t} END AS t_stat,
+           CASE WHEN se2 > 0 THEN {df} END AS df_welch
+    FROM w
+    """.format(**_WTT),
+)
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `welchTTest(value, sample_index)` over the 'click'
+    vs 'view' samples: Welch's unequal-variance t-statistic plus the
+    Welch–Satterthwaite degrees of freedom. CK returns (t, p-value);
+    the p-value needs the Student-t CDF — not expressible identically
+    in ANSI SQL — so this exposes (t, df), from which p is a pure
+    client-side lookup; t and df are the entire data-dependent
+    computation, so parity on them IS parity on the test.
+
+    Kernel: ONE global aggregation pass (partial-aggregated
+    map-side — six conditional sums/counts, no shuffle of rows, one
+    exchange of a single partial-state row) followed by scalar
+    arithmetic on the driver-side 1-row plan. Means and variances
+    derive from decimal-exact Σx / Σx² (functions/numeric.py), so the
+    doubles entering the t/df formulas — and therefore the rounded
+    outputs — are bit-identical on both engines at any partitioning.
+    Every division is CASE-guarded (n>1, se2>0): degenerate inputs
+    (--blank/--sparse gates empty a sample) yield NULL statistics on
+    both engines instead of an ANSI divide error, matching how CK
+    returns nan for undersized samples."""
+    f = tbl(spark, sf_dir, "events").where(
+        finite("value") & F.col("event_type").isin("click", "view")
+    )
+    is_a = F.col("event_type") == "click"
+    is_b = F.col("event_type") == "view"
+
+    def _dsum(cond, expr):
+        return F.sum(F.when(cond, expr).try_cast(DECIMAL)).cast("double")
+
+    v = F.col("value")
+    agg = f.agg(
+        F.count(F.when(is_a, F.lit(1))).alias("na"),
+        F.count(F.when(is_b, F.lit(1))).alias("nb"),
+        _dsum(is_a, v).alias("sa"),
+        _dsum(is_a, v * v).alias("sa2"),
+        _dsum(is_b, v).alias("sb"),
+        _dsum(is_b, v * v).alias("sb2"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sa2 = F.col("sa"), F.col("sa2")
+    sb, sb2 = F.col("sb"), F.col("sb2")
+    va_raw = (sa2 - sa * sa / na) / (na - 1)
+    vb_raw = (sb2 - sb * sb / nb) / (nb - 1)
+    m = agg.select(
+        na, nb,
+        F.when(na > 0, sa / na).alias("ma"),
+        F.when(nb > 0, sb / nb).alias("mb"),
+        # the inner CASE mirrors the oracle's clamp-to-zero exactly
+        # (greatest() would swallow the NULL of an undersized sample
+        # on both engines — DuckDB and Spark greatest ignore NULLs)
+        F.when(
+            na > 1, F.when(va_raw > 0.0, va_raw).otherwise(F.lit(0.0))
+        ).alias("va"),
+        F.when(
+            nb > 1, F.when(vb_raw > 0.0, vb_raw).otherwise(F.lit(0.0))
+        ).alias("vb"),
+    )
+    va, vb = F.col("va"), F.col("vb")
+    w = m.select(
+        na, nb, F.col("ma"), F.col("mb"), va, vb,
+        F.when((na > 1) & (nb > 1), va / na + vb / nb).alias("se2"),
+    )
+    se2 = F.col("se2")
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(se2)
+    df = (
+        se2 * se2
+        / (
+            (va / na) * (va / na) / (na - 1)
+            + (vb / nb) * (vb / nb) / (nb - 1)
+        )
+    )
+    return w.select(
+        na.cast("long").alias("n_click"),
+        nb.cast("long").alias("n_view"),
+        F.when(se2 > 0, F.round(t, 6)).alias("t_stat"),
+        F.when(se2 > 0, F.round(df, 6)).alias("df_welch"),
     )

@@ -649,3 +649,75 @@ def forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(abs_err.cast("double") / F.count("yhat"), 6).alias("mae"),
         F.round(abs_err.cast("double") / F.sum("n"), 6).alias("wape"),
     )
+
+
+@register(
+    "delta_sum",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             (epoch_us(ts) // 1000000) AS ts_s,
+             CAST(floor(CASE WHEN isfinite(value) THEN value END * 100)
+                  AS BIGINT) AS v
+      FROM events
+      WHERE user_id IS NOT NULL
+    ), obs AS (
+      -- deltaSum skips NULL observations entirely (they do not break
+      -- adjacency): drop them BEFORE the lag
+      SELECT * FROM s WHERE v IS NOT NULL
+    ), d AS (
+      SELECT user_id,
+             v - lag(v) OVER (PARTITION BY user_id
+                              ORDER BY ts_s, event_id) AS dv
+      FROM obs
+    )
+    SELECT user_id,
+           COUNT(*) AS n_samples,
+           CAST(COALESCE(SUM(CASE WHEN dv > 0 THEN dv END), 0)
+                AS BIGINT) AS delta_sum
+    FROM d GROUP BY user_id
+    """,
+)
+def delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `deltaSum(value)` per user_id: the sum of POSITIVE
+    differences between consecutive observations, negative deltas
+    ignored outright. Distinct from rate_counter's PromQL rule — a
+    drop there is a counter reset whose post-reset value counts; here
+    a drop contributes nothing (CK's documented semantics, the shape
+    used for monotone-ish gauges where dips are noise, not resets).
+    Observations are integer cents of the finite values (the same
+    deterministic quantization as rate_counter, --nonfinite/--bignum
+    safe); NULL/non-finite observations are skipped without breaking
+    adjacency, as the CK aggregate does.
+
+    Kernel: ONE shuffle on user_id serves the lag window and the
+    final per-user aggregation (same key); per-key state is a sort
+    within the partition. CK evaluates deltaSum as streaming
+    aggregate state over its ORDER BY; the lag-then-conditional-sum
+    is that state machine expressed relationally — no per-key
+    collect, scales with user cardinality at 100 TB."""
+    obs = (
+        tbl(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("ts_s"),
+            F.floor(F.when(finite("value"), F.col("value")) * 100)
+            .cast("bigint")
+            .alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    d = obs.select(
+        "user_id", (F.col("v") - F.lag("v").over(w)).alias("dv")
+    )
+    return d.groupBy("user_id").agg(
+        F.count("*").alias("n_samples"),
+        F.coalesce(
+            F.sum(F.when(F.col("dv") > 0, F.col("dv"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("delta_sum"),
+    )

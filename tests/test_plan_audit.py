@@ -73,6 +73,7 @@ SINGLE_PARTITION_OK = {
     "tpch_q22_global_sales_opportunity",
     "tpch_q6_forecast_revenue",
     "ttl_expire",  # 1-row retention-cutoff aggregate
+    "welch_ttest",  # 1-row reduce of 6 partial-aggregable moments
 }
 
 
