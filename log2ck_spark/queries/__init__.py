@@ -87,10 +87,11 @@ ROTATION_FIRST: tuple[str, ...] = (
     # r13: STEADY STATE, zero pins (VERDICT r12 item 1). The r12 drain
     # finished (nothing predates r9); no code-changed queue exists this
     # round (green query code and oracles frozen), so the automatic
-    # order fills the whole window: the 9 never-checked r13 names (the
-    # behavioral six + the CK aggregate trio max_intersections/
-    # delta_sum/welch_ttest), then the 25 r9-latest names, then the
-    # oldest r10 tier.
+    # order fills the whole window: the 12 never-checked r13 names
+    # (the behavioral six + the CK aggregate family max_intersections/
+    # interval_length_sum/delta_sum/welch_ttest/mann_whitney_utest/
+    # cramers_v), then the 25 r9-latest names, then the oldest r10
+    # tier.
     # Target state after r13: no name's latest driver row predates r10.
 )
 

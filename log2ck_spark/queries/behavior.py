@@ -1499,3 +1499,105 @@ def max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_us"
         ),
     )
+
+
+@register(
+    "interval_length_sum",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, epoch_us(ts) AS s_us,
+             epoch_us(ts) + 1000000 + CAST(FLOOR(fmod(abs(
+               CASE WHEN isfinite(value) THEN value ELSE 0 END
+             ), 6000.0) * 100000.0) AS BIGINT) AS e_us
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    ), pts AS (
+      SELECT event_type, s_us AS t,  1 AS d FROM iv
+      UNION ALL
+      SELECT event_type, e_us AS t, -1 AS d FROM iv
+    ), sweep AS (
+      SELECT event_type, t,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY t) AS o,
+             lead(t) OVER (PARTITION BY event_type ORDER BY t) AS nt
+      FROM pts
+    )
+    SELECT event_type,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+           CAST(COALESCE(SUM(CASE WHEN o > 0 AND nt IS NOT NULL
+                                  THEN nt - t END), 0)
+                AS BIGINT) AS covered_us
+    FROM sweep GROUP BY event_type
+    """,
+)
+def interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `intervalLengthSum(start, end)` per event_type: the
+    total length of the UNION of intervals — overlapping stretches
+    counted once ("how long was at least one session open?").
+    Interval synthesis is byte-identical to `max_intersections`
+    (same [ts, ts + 1s + value-derived duration] family), so the two
+    aggregates answer the paired CK questions over one dataset.
+
+    Kernel: the same one-exchange sweep — +1/-1 point rows, a
+    peer-netting RANGE cumsum for the open count — plus a LEAD on the
+    identical sort for the next sweep instant; a covered segment
+    [t_i, t_{i+1}) contributes exactly once because among tied rows
+    at t_i only the sort-final peer's LEAD reaches the next distinct
+    instant (every other peer's LEAD is its own t: a zero-length
+    term), making the sum independent of physical tie order on both
+    engines. CK computes this by sorting the (point, ±1) pairs inside
+    its aggregate state; this is that algorithm relationally, one
+    shuffle, no pair expansion, integer microseconds throughout."""
+    ev = (
+        tbl(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("s_us"),
+            (
+                F.unix_micros("ts")
+                + F.lit(1_000_000)
+                + F.floor(
+                    (
+                        F.abs(
+                            F.when(finite("value"), F.col("value"))
+                            .otherwise(F.lit(0.0))
+                        )
+                        % F.lit(6000.0)
+                    )
+                    * F.lit(100000.0)
+                ).cast("bigint")
+            ).alias("e_us"),
+        )
+    )
+    pts = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("s_us").alias("t"), F.lit(1).alias("d")),
+                F.struct(
+                    F.col("e_us").alias("t"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("p"),
+    ).select("event_type", "p.t", "p.d")
+    w = Window.partitionBy("event_type").orderBy("t")
+    sweep = pts.select(
+        "event_type",
+        "t",
+        F.sum("d").over(w).alias("o"),
+        F.lead("t").over(w).alias("nt"),
+    )
+    return sweep.groupBy("event_type").agg(
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("o") > 0) & F.col("nt").isNotNull(),
+                    F.col("nt") - F.col("t"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("covered_us"),
+    )

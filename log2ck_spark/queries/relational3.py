@@ -21,7 +21,7 @@ at any partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log2ck_spark.functions.numeric import (
@@ -1196,4 +1196,236 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.cast("long").alias("n_view"),
         F.when(se2 > 0, F.round(t, 6)).alias("t_stat"),
         F.when(se2 > 0, F.round(df, 6)).alias("df_welch"),
+    )
+
+
+@register(
+    "mann_whitney_utest",
+    oracle="""
+    WITH f AS (
+      SELECT event_type, value FROM events
+      WHERE isfinite(value) AND event_type IN ('click', 'view')
+    ), grid AS (
+      SELECT value AS v,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS ca,
+             COUNT(CASE WHEN event_type = 'view'  THEN 1 END) AS cb
+      FROM f GROUP BY value
+    ), ranked AS (
+      SELECT ca, cb, ca + cb AS c,
+             SUM(ca + cb) OVER (ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM grid
+    ), agg AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(SUM(ca * (2 * (cum - c) + c + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie
+      FROM ranked
+    ), m AS (
+      SELECT na, nb, na + nb AS n,
+        CASE WHEN na > 0 AND nb > 0
+             THEN (r2a - na * (na + 1)) / 2.0 END AS u_a,
+        CASE WHEN na + nb > 1 THEN
+          na * nb / 12.0
+          * ((na + nb + 1)
+             - CAST(tie AS DOUBLE)
+               / ((na + nb) * (na + nb - 1)))
+        END AS var_u
+      FROM agg
+    )
+    SELECT na AS n_click, nb AS n_view,
+           {u} AS u_stat,
+           CASE WHEN var_u > 0 AND u_a IS NOT NULL
+                THEN {z} END AS z_score
+    FROM m
+    """.format(
+        u=oracle_round6("u_a"),
+        z=oracle_round6(
+            "(u_a - na * nb / 2.0) / sqrt(var_u)"
+        ),
+    ),
+)
+def mann_whitney_utest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `mannWhitneyUTest(value, sample_index)` over the
+    'click' vs 'view' samples: the U statistic of the first sample
+    and its tie-corrected normal z-score (CK returns (u, p-value);
+    the p is a client-side normal-CDF lookup on z, so u and z are
+    the entire data-dependent computation — no continuity
+    correction, matching the plain normal approximation).
+
+    Kernel: rank-sums WITHOUT ranking rows. Observations collapse
+    onto the distinct-value grid first (one partial-aggregated
+    exchange; the fixture's cent-quantized domain bounds the grid at
+    ~49k rows REGARDLESS of row count — at 100 TB the grid is still
+    tiny), then one cumulative window over that bounded grid yields
+    every average rank in closed form: rows at value v share rank
+    C_v + (c_v+1)/2. All sums stay in BIGINT (2·R_a keeps the ½-rank
+    exact), so both engines do identical integer arithmetic until
+    the final guarded double division — no float-sum order
+    dependence anywhere. The lone single-partition window runs over
+    the bounded grid, not raw rows (plan-audit allowlisted, like
+    vocab_coverage's bounded head)."""
+    f = tbl(spark, sf_dir, "events").where(
+        finite("value") & F.col("event_type").isin("click", "view")
+    )
+    grid = f.groupBy(F.col("value").alias("v")).agg(
+        F.count(
+            F.when(F.col("event_type") == "click", F.lit(1))
+        ).alias("ca"),
+        F.count(
+            F.when(F.col("event_type") == "view", F.lit(1))
+        ).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = F.col("ca") + F.col("cb")
+    ranked = grid.select(
+        "ca", "cb", c.alias("c"), F.sum(c).over(w).alias("cum")
+    )
+    agg = ranked.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(
+            F.col("ca")
+            * (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1)
+        )
+        .cast("long")
+        .alias("r2a"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        )
+        .cast("long")
+        .alias("tie"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    n = na + nb
+    m = agg.select(
+        na, nb,
+        F.when(
+            (na > 0) & (nb > 0),
+            (F.col("r2a") - na * (na + 1)) / 2.0,
+        ).alias("u_a"),
+        F.when(
+            n > 1,
+            na * nb / 12.0
+            * ((n + 1) - F.col("tie").cast("double") / (n * (n - 1))),
+        ).alias("var_u"),
+    )
+    u_a, var_u = F.col("u_a"), F.col("var_u")
+    return m.select(
+        na.alias("n_click"),
+        nb.alias("n_view"),
+        F.round(u_a, 6).alias("u_stat"),
+        F.when(
+            (var_u > 0) & u_a.isNotNull(),
+            F.round((u_a - na * nb / 2.0) / F.sqrt(var_u), 6),
+        ).alias("z_score"),
+    )
+
+
+_CV_TERM = (
+    "CAST(CAST(SUM(TRY_CAST(CAST("
+    "CAST(o AS DOUBLE) * o / (ra * cb) AS VARCHAR)"
+    " AS DECIMAL(18,12))) AS VARCHAR) AS DOUBLE)"
+)
+
+
+@register(
+    "cramers_v",
+    oracle="""
+    WITH f AS (
+      SELECT event_type AS a, EXTRACT(hour FROM ts) AS b
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ), cells AS (
+      SELECT a, b, COUNT(*) AS o FROM f GROUP BY a, b
+    ), marg AS (
+      SELECT o,
+             SUM(o) OVER (PARTITION BY a) AS ra,
+             SUM(o) OVER (PARTITION BY b) AS cb,
+             SUM(o) OVER () AS n,
+             a, b
+      FROM cells
+    ), red AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS c,
+             {term} AS s
+      FROM marg
+    ), chi AS (
+      SELECT n, r, c,
+             CASE WHEN n * s - n > 0 THEN n * s - n ELSE 0.0 END
+               AS chi2_raw
+      FROM red
+    )
+    SELECT n, r AS n_rows, c AS n_cols,
+           CASE WHEN n > 0 THEN {chi2} END AS chi2,
+           CASE WHEN n > 0 AND r > 1 AND c > 1
+                THEN {v} END AS cramers_v
+    FROM chi
+    """.format(
+        term=_CV_TERM,
+        chi2=oracle_round6("chi2_raw"),
+        v=oracle_round6("sqrt(chi2_raw / n / LEAST(r - 1, c - 1))"),
+    ),
+)
+def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse `cramersV(a, b)` between event_type and hour-of-day:
+    the chi-square contingency statistic normalized to [0, 1] — "is
+    event mix associated with time of day?". Uses the algebraic
+    identity chi2 = n·(Σ_observed o²/(ra·cb)) − n, which makes the
+    empty contingency cells' contribution implicit — no r×c
+    densification, only observed cells are touched.
+
+    Kernel: ONE real shuffle (the (a, b) cell aggregation — partial-
+    aggregated, at 100 TB the cell table is |types|×24 rows no matter
+    the row count); the margin windows and the final 1-row reduce run
+    over that bounded cell table (plan-audit allowlisted). Per-cell
+    chi-square terms are decimal(18,12)-summed so the 1-row statistic
+    is order-independent and engine-identical; counts stay integer to
+    that point. Guards: chi2 NULL on empty input, V additionally NULL
+    for degenerate 1×c / r×1 tables (CK returns nan there)."""
+    f = tbl(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    cells = f.groupBy(
+        F.col("event_type").alias("a"), F.hour("ts").alias("b")
+    ).agg(F.count("*").alias("o"))
+    marg = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("a")).alias("ra"),
+        F.sum("o").over(Window.partitionBy("b")).alias("cb"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+        "a", "b",
+    )
+    o = F.col("o")
+    red = marg.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count_distinct("a").cast("long").alias("r"),
+        F.count_distinct("b").cast("long").alias("c"),
+        F.sum(
+            (o.cast("double") * o / (F.col("ra") * F.col("cb")))
+            .try_cast("decimal(18,12)")
+        )
+        .cast("double")
+        .alias("s"),
+    )
+    n, r, c = F.col("n"), F.col("r"), F.col("c")
+    chi2_raw = n * F.col("s") - n
+    chi = red.select(
+        n, r, c,
+        F.when(chi2_raw > 0, chi2_raw).otherwise(F.lit(0.0)).alias(
+            "chi2_raw"
+        ),
+    )
+    cr = F.col("chi2_raw")
+    return chi.select(
+        n,
+        r.alias("n_rows"),
+        c.alias("n_cols"),
+        F.when(n > 0, F.round(cr, 6)).alias("chi2"),
+        F.when(
+            (n > 0) & (r > 1) & (c > 1),
+            F.round(
+                F.sqrt(cr / n / F.least(r - 1, c - 1)), 6
+            ),
+        ).alias("cramers_v"),
     )

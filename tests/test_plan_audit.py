@@ -74,6 +74,8 @@ SINGLE_PARTITION_OK = {
     "tpch_q6_forecast_revenue",
     "ttl_expire",  # 1-row retention-cutoff aggregate
     "welch_ttest",  # 1-row reduce of 6 partial-aggregable moments
+    "mann_whitney_utest",  # rank window over the bounded distinct-cents grid
+    "cramers_v",  # margin windows + 1-row reduce over the bounded cell table
 }
 
 

@@ -92,7 +92,7 @@ def test_window_covers_entire_oldest_green_tier():
 
 def test_r13_window_is_the_verdict_target():
     """The specific r13 shape VERDICT r12 item 1 demands, asserted
-    against the REAL artifact history: zero pins; the 9 never-checked
+    against the REAL artifact history: zero pins; the 12 never-checked
     r13 additions lead; all 25 r9-latest names are inside the
     window; the rest of the window is the oldest r10 tier; and NO
     name with a row at r9 or older is left outside. Guarded to the
@@ -114,7 +114,10 @@ def test_r13_window_is_the_verdict_target():
     assert len(r9) == 25 and r9 <= set(window)
     never = [n for n in window if n not in last]
     assert sorted(never) == [
+        "cramers_v",
         "delta_sum",
+        "interval_length_sum",
+        "mann_whitney_utest",
         "max_intersections",
         "sequence_match_time",
         "sequence_next_node",
