@@ -152,50 +152,67 @@ def minhash_min_aggs(shingle_row_col: str, num_perm: int = 128) -> list[Column]:
     computing `num_perm` MIN aggregates keeps everything in the
     vectorized codegen'd hash aggregate; the shuffle carries one
     num_perm-wide row per doc. At 10^10 docs this is a single
-    map-side-combined aggregation — the canonical MinHash plan."""
+    map-side-combined aggregation — the canonical MinHash plan.
+
+    r13: each aggregate is one F.expr() SQL parse instead of four
+    chained Column calls — per-Column-operation py4j round-trips were
+    the dominant cost of BUILDING this 128-wide plan on the driver
+    (guide §4's JVM↔Python boundary, at plan-construction time:
+    measured 1.7 s build for dedup_minhash_lsh, vs 0.04 s of actual
+    Catalyst optimization). The parsed expression tree is identical."""
     return [
-        F.min(F.xxhash64(shingle_row_col, F.lit(i))).alias(f"m{i}")
+        F.expr(f"min(xxhash64({shingle_row_col}, {i})) AS m{i}")
         for i in range(num_perm)
     ]
 
 
-def lsh_band_structs(
-    num_perm: int = 128, bands: int = 32
-) -> list[Column]:
-    """Band buckets from the m0..m{num_perm-1} signature columns:
-    bucket_b = xxhash64(m_{b*r}..m_{b*r+r-1}, b). Multi-arg xxhash64
-    avoids string materialization entirely."""
-    rows_per_band = num_perm // bands
-    return [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)],
-                F.lit(b),
-            ).alias("bucket"),
+def lsh_band_array(num_perm: int = 128, bands: int = 32) -> Column:
+    """array<struct<band,bucket>> of LSH band buckets from the
+    m0..m{num_perm-1} signature columns: bucket_b =
+    xxhash64(m_{b*r}..m_{b*r+r-1}, b). Multi-arg xxhash64 avoids
+    string materialization entirely. One F.expr parse for the whole
+    array (r13 — the per-struct Column-API loop was ~300 py4j
+    round-trips of pure driver overhead per plan build)."""
+    r = num_perm // bands
+    structs = ", ".join(
+        "struct({b} AS band, xxhash64({ms}, {b}) AS bucket)".format(
+            b=b, ms=", ".join(f"m{b * r + j}" for j in range(r))
         )
         for b in range(bands)
-    ]
+    )
+    return F.expr(f"array({structs})")
 
 
-def simhash_bit_votes(hash_col: Column) -> list[Column]:
-    """The 64 per-bit SimHash vote terms for one token hash: +1 if bit
-    b is set, -1 otherwise. Summed per document by the caller (a single
-    hash-aggregate pass — see queries.dedup.dedup_simhash)."""
+def simhash_vote_aggs(hash_name: str, bits: int = 64) -> list[Column]:
+    """The per-bit SimHash vote SUM aggregates over exploded
+    (doc, token-hash) rows: +1 if bit b of the hash is set, -1
+    otherwise, summed per document in a single hash-aggregate pass
+    (see queries.dedup.dedup_simhash). One F.expr parse per aggregate
+    (r13 — same plan-build py4j economics as minhash_min_aggs)."""
     return [
-        (F.shiftright(hash_col, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
-        for b in range(64)
+        F.expr(f"sum((shiftright({hash_name}, {b}) & 1) * 2 - 1) AS v{b}")
+        for b in range(bits)
     ]
 
 
-def simhash_from_votes(vote_cols: list[Column]) -> Column:
-    """Assemble the 64-bit simhash from summed votes: bit b = 1 iff
-    votes_b > 0. Bit 63 is the sign bit of the bigint."""
-    out = F.lit(0).cast("bigint")
-    for b, votes in enumerate(vote_cols):
-        bit_value = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("bigint")
-        out = out + F.when(votes > 0, bit_value).otherwise(F.lit(0).cast("bigint"))
-    return out
+def simhash_from_votes(vote_prefix: str = "v", bits: int = 64) -> Column:
+    """Assemble the 64-bit simhash from the summed vote columns
+    {prefix}0..{prefix}63: bit b = 1 iff votes_b > 0. Bit 63 is the
+    sign bit of the bigint. Single F.expr parse (r13): the Column-API
+    loop built a 64-term CASE chain at ~6 py4j calls per term."""
+    terms = " + ".join(
+        "(CASE WHEN {p}{b} > 0 THEN {v} ELSE 0L END)".format(
+            p=vote_prefix,
+            b=b,
+            v=(
+                "CAST(-9223372036854775808 AS BIGINT)"
+                if b == 63
+                else f"{1 << b}L"
+            ),
+        )
+        for b in range(bits)
+    )
+    return F.expr(terms)
 
 
 def hamming64(a: Column, b: Column) -> Column:

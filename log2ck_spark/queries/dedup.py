@@ -26,10 +26,10 @@ from log2ck_spark.functions.text import (
     fingerprint,
     hamming64,
     hashed_shingles,
-    lsh_band_structs,
+    lsh_band_array,
     minhash_min_aggs,
-    simhash_bit_votes,
     simhash_from_votes,
+    simhash_vote_aggs,
     tokens,
 )
 from log2ck_spark.functions.vectors import (
@@ -336,7 +336,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = posting.groupBy("doc_id").agg(*minhash_min_aggs("s", num_perm=128))
     banded = sig.select(
         "doc_id",
-        F.explode(F.array(*lsh_band_structs(num_perm=128, bands=32))).alias("bb"),
+        F.explode(lsh_band_array(num_perm=128, bands=32)).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
     candidates = _candidate_pairs(banded, ["band", "bucket"])
     return _verify_jaccard(candidates, docs, JACCARD_THRESHOLD)
@@ -407,29 +407,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
     )
-    votes = tok.groupBy("doc_id").agg(
-        *[F.sum(v).alias(f"v{b}") for b, v in enumerate(simhash_bit_votes(F.col("h")))]
-    )
+    votes = tok.groupBy("doc_id").agg(*simhash_vote_aggs("h"))
     docs = votes.select(
         "doc_id",
-        simhash_from_votes([F.col(f"v{b}") for b in range(64)]).alias("sim"),
+        simhash_from_votes("v").alias("sim"),
+    )
+    chunk_structs = ", ".join(
+        f"struct({c} AS chunk, (shiftright(sim, {c * 16}) & 65535) AS key)"
+        for c in range(4)
     )
     chunks = docs.select(
         "doc_id",
         "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("sim"), c * 16)
-                        .bitwiseAND(F.lit(65535))
-                        .alias("key"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ck"),
+        F.explode(F.expr(f"array({chunk_structs})")).alias("ck"),
     ).select("doc_id", "sim", "ck.chunk", "ck.key")
     # the 64-bit signature IS the payload the verification needs, so
     # carry it through the bucket grouping instead of re-joining the
