@@ -38,6 +38,7 @@ from log2ck_spark.functions.vectors import (
     cosine,
     finite_vec,
 )
+from log2ck_spark.functions.plan import nonpushable
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -197,7 +198,15 @@ def _verify_jaccard(
     candidates: DataFrame, docs: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against the full
-    shingle arrays (two hash joins sized by |candidates|)."""
+    shingle arrays (two hash joins sized by |candidates|).
+
+    The threshold filter is nonpushable-guarded (r13): pushed below
+    the projection, Catalyst re-inlines the jaccard expression into
+    the filter and every candidate pays the array_intersect twice —
+    the single most expensive per-row op of the verify stage
+    (measured ~1.12x whole-pipeline on dedup_minhash_lsh at sf0.1;
+    the intersect cost scales with shingle-set size, so the factor
+    grows with document length)."""
     sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -208,7 +217,7 @@ def _verify_jaccard(
             "jaccard",
             inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(nonpushable(F.col("jaccard") >= threshold))
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -535,6 +544,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
             cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
         )
-        .filter(F.col("cos") >= 0.4)
+        # nonpushable (r13): pushed below the projection, the tau
+        # filter re-inlines the 64-dim cosine — the dominant per-pair
+        # cost of the anchor scan — and every (anchor, corpus) pair
+        # pays it twice.
+        .filter(nonpushable(F.col("cos") >= 0.4))
         .distinct()
     )
