@@ -130,18 +130,20 @@ def split_valid(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     subexpression elimination shares within an operator, never across
     Filter and Project) — and locally the pushed filter additionally
     lands below the fanout exchange, single-tasking the regex work.
-    The guard (functions.plan.nonpushable) is the guide-§4.4 remedy
-    spelled for built-in expressions. Measured at sf0.1 (min-of-4,
-    noop sink): parse_monolog valid-side 1.27 s -> 0.74 s,
-    parse_accesslog 1.36 s -> 0.47 s, identical output. At 100 TB the
-    same duplication halves re-parse throughput, exchange or no
-    exchange.
+    The guard (functions.plan.filter_compute_once) is the guide-§4.4
+    remedy spelled for built-in expressions: the tainted condition is
+    a PROJECTED column, which is what actually blocks
+    PushPredicateThroughNonJoin (a taint inside the filter condition
+    still pushes through Projects — the first r13 wrapper was
+    additionally constant-folded away entirely; see functions/plan.py
+    for the verified mechanics). At 100 TB the duplication halves
+    re-parse throughput, exchange or no exchange.
 
     The dead side stays unguarded: its projection keeps only the raw
     line, so the pushed-down filter is the single evaluation."""
-    from log2ck_spark.functions.plan import nonpushable
+    from log2ck_spark.functions.plan import filter_compute_once
 
-    valid = parsed.filter(nonpushable(F.col("_valid"))).drop("_valid", "_raw")
+    valid = filter_compute_once(parsed, F.col("_valid")).drop("_valid", "_raw")
     dead = parsed.filter(~F.col("_valid")).select(F.col("_raw").alias("raw_line"))
     return valid, dead
 

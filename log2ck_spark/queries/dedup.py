@@ -38,7 +38,7 @@ from log2ck_spark.functions.vectors import (
     cosine,
     finite_vec,
 )
-from log2ck_spark.functions.plan import nonpushable
+from log2ck_spark.functions.plan import filter_compute_once
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
 
@@ -200,26 +200,24 @@ def _verify_jaccard(
     """Exact-Jaccard verification of candidate pairs against the full
     shingle arrays (two hash joins sized by |candidates|).
 
-    The threshold filter is nonpushable-guarded (r13): pushed below
-    the projection, Catalyst re-inlines the jaccard expression into
-    the filter and every candidate pays the array_intersect twice —
-    the single most expensive per-row op of the verify stage
-    (measured ~1.12x whole-pipeline on dedup_minhash_lsh at sf0.1;
-    the intersect cost scales with shingle-set size, so the factor
-    grows with document length)."""
+    The threshold filter is guarded with filter_compute_once (r13):
+    pushed below the projection, Catalyst re-inlines the jaccard
+    expression into the filter and every candidate pays the
+    array_intersect twice — the single most expensive per-row op of
+    the verify stage (the intersect cost scales with shingle-set
+    size, so the factor grows with document length)."""
     sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
+    return filter_compute_once(
         candidates.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn(
             "jaccard",
             inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
-        )
-        .filter(nonpushable(F.col("jaccard") >= threshold))
-        .select("doc_a", "doc_b", "jaccard")
-    )
+        ),
+        F.col("jaccard") >= threshold,
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def _exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
@@ -533,7 +531,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", as_double("embedding").alias("v"))
     )
     anchors = e.filter(F.col("vec_id") % 20 == 0)
-    return (
+    return filter_compute_once(
         e.alias("b")
         .join(
             F.broadcast(anchors.alias("a")),
@@ -543,11 +541,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a.vec_id", "b.vec_id").alias("vec_a"),
             F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
             cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
-        )
-        # nonpushable (r13): pushed below the projection, the tau
-        # filter re-inlines the 64-dim cosine — the dominant per-pair
-        # cost of the anchor scan — and every (anchor, corpus) pair
-        # pays it twice.
-        .filter(nonpushable(F.col("cos") >= 0.4))
-        .distinct()
-    )
+        ),
+        # filter_compute_once (r13): pushed below the projection, the
+        # tau filter re-inlines the 64-dim cosine — the dominant
+        # per-pair cost of the anchor scan — and every (anchor,
+        # corpus) pair pays it twice.
+        F.col("cos") >= 0.4,
+    ).distinct()
