@@ -117,15 +117,23 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     spot boilerplate (novelty → 0). Docs shorter than 3 tokens emit
     no grams and drop out (mirrored by the oracle's empty unnest).
 
-    Shape: one (doc, gram)-distinct projection, one gram-df
-    aggregation (partial-combined), one join back on gram, one
-    per-doc aggregation — the posting-list skeleton of
-    decontaminate_overlap. Grams are hashed to 60-bit md5-prefix
-    bigints BEFORE the distinct, so every shuffle/join runs on
-    fixed-width longs instead of ~25-byte strings (portable hash —
-    the oracle replays it, collisions and all; at 10^9 distinct
-    grams a 60-bit collision perturbs one doc's ratio by ~1/n_grams
-    w.p. ~3e-3 corpus-wide)."""
+    Shape (r13): one (doc, gram)-distinct projection, then TWO
+    aggregations over it — no join back on gram at all. A df==1 gram
+    belongs to exactly one document, so MIN(doc_id) inside the gram-df
+    aggregation identifies its owner: per-doc unique counts come from
+    re-grouping the df==1 rows by owner, and per-doc gram totals from
+    grouping the distinct projection by doc_id (runtime exchange reuse
+    serves both consumers from one shingle pass). The final join
+    merges two #docs-sized aggregates, both already partitioned by
+    doc_id (AQE picks broadcast when one side is small) — orders of
+    magnitude smaller than the previous grams-joins-df shuffle, which
+    re-shuffled and sorted EVERY distinct (doc, gram) row a second
+    time. Grams are
+    hashed to 60-bit md5-prefix bigints BEFORE the distinct, so every
+    shuffle runs on fixed-width longs instead of ~25-byte strings
+    (portable hash — the oracle replays it, collisions and all; at
+    10^9 distinct grams a 60-bit collision perturbs one doc's ratio
+    by ~1/n_grams w.p. ~3e-3 corpus-wide)."""
     d = tbl(spark, sf_dir, "documents")
     grams = (
         d.select("doc_id", F.explode(shingles("text", w=3)).alias("g"))
@@ -137,15 +145,23 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    df = grams.groupBy("gram").agg(F.count("*").alias("df"))
-    uniq = F.count(F.when(F.col("df") == 1, 1))
-    return (
-        grams.join(df, "gram")
+    per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    uniq_per_doc = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("df") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            uniq.cast("bigint").alias("n_unique"),
-            F.round(uniq.cast("double") / F.count("*"), 6).alias("novelty"),
+        .agg(F.count("*").alias("u"))
+    )
+    return (
+        per_doc.join(uniq_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("u", F.lit(0)).cast("bigint").alias("n_unique"),
+            F.round(
+                F.coalesce("u", F.lit(0)).cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
         )
     )
 

@@ -74,8 +74,16 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = tbl(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens("text")).alias("tok"))
+    # r13: aggregate occurrences to per-token counts FIRST (guide
+    # §2.3 "aggregate before you shuffle"), then hash. The md5 cell
+    # derivation drops from _CMS_DEPTH md5s per token OCCURRENCE to
+    # per DISTINCT token (vocab << stream length), and because both
+    # the cell build and the exact-top-k branch now consume the SAME
+    # groupBy(tok) aggregation, runtime exchange reuse computes the
+    # tokenize+count pass once instead of twice. Cell counts are
+    # SUM(n) over tokens hashing to the cell — identical values.
+    tok_counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
 
-    # build: each occurrence increments one cell per hash row
     cell_structs = F.array(
         *[
             F.struct(
@@ -88,15 +96,14 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     cells = (
-        toks.select(F.explode(cell_structs).alias("cell"))
+        tok_counts.select(F.explode(cell_structs).alias("cell"), "n")
         .groupBy(F.col("cell.j").alias("j"), F.col("cell.col").alias("col"))
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("n").alias("c"))
     )
 
     # query: exact top-k terms (the audit baseline), then min over rows
     exact = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("n_exact"))
+        tok_counts.withColumnRenamed("n", "n_exact")
         .orderBy(F.desc("n_exact"), F.asc("tok"))
         .limit(_CMS_TOPK)
     )
