@@ -17,7 +17,7 @@ convergence, and precision/recall against brute-force ground truth.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from log2ck_spark.functions.vectors import (
@@ -99,13 +99,15 @@ def _quantize_expr(col: str):
     )
 
 
-def _scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, z, cluster_id, d2) for EVERY (vector, centroid) pair —
-    the clustering front half: quantize the corpus (see _Q), train
+def _corpus_and_centroids(spark: SparkSession, sf_dir: str):
+    """(quantized corpus df, trained centroid ndarray) — the
+    clustering front half: quantize the corpus (see _Q), train
     fixed-point Lloyd's on the driver over the _SAMPLE_CAP rows with
     the smallest md5(vec_id) (bounded TakeOrdered collect, the
-    documented IVF exception), then ONE distributed integer scoring
-    scan with the k centroids broadcast as a tiny table.
+    documented IVF exception). Scoring against the k centroids
+    happens per row in the caller (centroid_scores_sql — r13; the
+    previous shape crossJoined the corpus with a broadcast centroid
+    table and reduced n x k rows back down with a groupBy).
 
     k is sized to the corpus (target ~{cell} members/cell, capped) via
     one exact count — a column-pruned, row-group-metadata-only scan —
@@ -122,50 +124,66 @@ def _scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("v")
     )
     z = e.select("vec_id", _quantize_expr("v").alias("z"))
-    n = (
-        tbl(spark, sf_dir, "embeddings")
-        .where(finite_vec())
-        .count()
-    )
+    # r13 (guide §2.6): the k-sizing count and the training-sample
+    # TakeOrdered are INDEPENDENT actions (the sample cap is fixed at
+    # _SAMPLE_CAP; k only enters Lloyd's afterwards), and each is a
+    # full corpus pass — overlap them from a 2-thread pool so the
+    # second pass back-fills executors instead of waiting for the
+    # first's stragglers.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_n = pool.submit(
+            lambda: tbl(spark, sf_dir, "embeddings").where(finite_vec()).count()
+        )
+        f_sample = pool.submit(
+            lambda: z.select(
+                "z",
+                F.md5(F.col("vec_id").cast("string")).alias("hh"),
+                "vec_id",
+            )
+            .orderBy("hh", "vec_id")
+            .limit(_SAMPLE_CAP)
+            .collect()
+        )
+        n, sample_rows = f_n.result(), f_sample.result()
     k = min(_K_MAX, max(1, n // _CELL_TARGET))
-    sample_rows = (
-        z.select("z", F.md5(F.col("vec_id").cast("string")).alias("hh"), "vec_id")
-        .orderBy("hh", "vec_id")
-        .limit(_SAMPLE_CAP)
-        .collect()
-    )
     sample_z = np.array([r.z for r in sample_rows], dtype=np.int64)
     cent = _fixedpoint_lloyd(sample_z, min(k, len(sample_z)))
-    cent_df = F.broadcast(
-        spark.createDataFrame(
-            [(j, [int(x) for x in cent[j]]) for j in range(len(cent))],
-            "cluster_id int, c array<bigint>",
-        )
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("z"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return z.crossJoin(cent_df).select("vec_id", "z", "cluster_id", d2.alias("d2"))
+    return z, cent
 
 
 def _assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vec_id, cluster_id (nearest centroid), d2 — hard 1-NN
-    assignment over `_scored_cells` (one corpus x k agg). Ties on d2
-    (possible when duplicate sample vectors seed twin centroids) break
-    to the smallest cluster_id via the struct ordering — min_by on d2
-    alone is documented nondeterministic on ties, which would flap the
-    assignment across runs."""
-    return (
-        _scored_cells(spark, sf_dir)
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                "cluster_id", F.struct("d2", "cluster_id")
-            ).alias("cluster_id"),
-            F.min("d2").alias("d2"),
+    assignment as a per-row `array_min` over the literal centroid
+    scores (r13; see similarity.centroid_scores_sql — the old shape
+    shuffled the corpus x k crossJoin through a groupBy(vec_id)
+    min_by). Ties on d2 (possible when duplicate sample vectors seed
+    twin centroids) break to the smallest cluster_id via the struct
+    ordering, exactly as min_by on struct(d2, cluster_id) did. All
+    arithmetic stays int64 (exact, engine-order independent)."""
+    from log2ck_spark.queries.similarity import centroid_scores_sql
+
+    z, cent = _corpus_and_centroids(spark, sf_dir)
+    if len(cent) == 0:
+        # empty corpus: schema-preserving empty frame (the literal
+        # expression cannot type an empty centroid array)
+        return z.select(
+            "vec_id",
+            F.lit(0).alias("cluster_id"),
+            F.lit(0).cast("long").alias("d2"),
+        ).filter(F.lit(False))
+    best = F.array_min(
+        F.expr(
+            centroid_scores_sql(
+                cent.tolist(), "cluster_id", v_col="z", integer=True
+            )
         )
+    )
+    return z.select(
+        "vec_id",
+        best["cluster_id"].alias("cluster_id"),
+        best["d2"].alias("d2"),
     )
 
 
@@ -348,27 +366,22 @@ def _semdedup_oracle() -> str:
     """
 
 
-def _seed_scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, v, cluster_id, d2) for every (vector, seed-centroid)
-    pair — dedup_semantic's cell front half. Unlike `_scored_cells`
-    (Lloyd's k-means on a driver sample, used by embedding_kmeans),
-    the centroids here are the k corpus vectors with the SMALLEST
-    md5(vec_id): a deterministic, layout-independent selection that is
-    a pure function of the table, which makes the whole SemDeDup
-    pipeline SQL-replayable (see _semdedup_oracle) — upgrading it from
-    a rows-only driver check to a full value check. Cell balance is
-    slightly worse than trained centroids; multi-probe posting keeps
-    recall (asserted in tests).
+def _seed_corpus_and_rows(spark: SparkSession, sf_dir: str):
+    """(corpus df, collected seed rows) — dedup_semantic's cell front
+    half. Unlike `_corpus_and_centroids` (Lloyd's k-means on a driver
+    sample, used by embedding_kmeans), the centroids here are the k
+    corpus vectors with the SMALLEST md5(vec_id): a deterministic,
+    layout-independent selection that is a pure function of the table,
+    which makes the whole SemDeDup pipeline SQL-replayable (see
+    _semdedup_oracle) — upgrading it from a rows-only driver check to
+    a full value check. Cell balance is slightly worse than trained
+    centroids; multi-probe posting keeps recall (asserted in tests).
 
     k sizing uses ONE exact count — a column-pruned metadata-cheap
     scan — instead of the KMV estimate, because the oracle must derive
     the identical k; the count rides the same job wave as the seed
     TakeOrdered."""
-    from log2ck_spark.queries.similarity import (
-        seed_centroid_rows,
-        seed_centroid_table,
-        squared_distance_expr,
-    )
+    from log2ck_spark.queries.similarity import seed_centroid_rows
 
     e = tbl(spark, sf_dir, "embeddings", fanout=True).where(
         # NULL vectors can't seed or join cells — corpus = non-NULL
@@ -384,16 +397,22 @@ def _seed_scored_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # component values (the exists() scan) — no longer a
     # definition-levels-only read — but it is still one column, one
     # pass, no shuffle.
-    n = (
-        tbl(spark, sf_dir, "embeddings")
-        .where(finite_vec())
-        .count()
-    )
+    # r13 (guide §2.6): the k-sizing count and the seed TakeOrdered
+    # are both full corpus passes. Collecting the top _K_MAX rows
+    # (instead of top k) breaks the count -> k -> collect dependency —
+    # the deterministic (md5, vec_id) total order makes the first k of
+    # the top-64 exactly the top-k — so the two jobs run overlapped
+    # from a 2-thread pool, back-filling each other's stragglers.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_n = pool.submit(
+            lambda: tbl(spark, sf_dir, "embeddings").where(finite_vec()).count()
+        )
+        f_seeds = pool.submit(lambda: seed_centroid_rows(e, _K_MAX))
+        n, seed_rows = f_n.result(), f_seeds.result()
     k = min(_K_MAX, max(1, n // _CELL_TARGET))
-    seed_rows = seed_centroid_rows(e, k)
-    cent = seed_centroid_table(spark, seed_rows, "cluster_id")
-    d2 = squared_distance_expr()
-    return e.crossJoin(cent).select("vec_id", "v", "cluster_id", d2.alias("d2"))
+    return e, seed_rows[:k]
 
 
 @register("dedup_semantic", oracle=_semdedup_oracle())
@@ -420,7 +439,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-split-dependent and asserted in tests.
 
     Cells are deterministic seed-vector Voronoi cells (see
-    _seed_scored_cells) rather than the paper's trained k-means — the
+    _seed_corpus_and_rows) rather than the paper's trained k-means — the
     partitioner is a free choice in SemDeDup (any cell structure gives
     precision 1.0; only recall varies), and the deterministic one lets
     the DuckDB oracle replay the ENTIRE pipeline value-for-value
@@ -435,14 +454,45 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1) and is quadratic in rows, not flops."""
     import pandas as pd
 
-    scored = _seed_scored_cells(spark, sf_dir)
-    wv = Window.partitionBy("vec_id").orderBy("d2", "cluster_id")
+    from log2ck_spark.queries.similarity import centroid_scores_sql
+
+    e, seed_rows = _seed_corpus_and_rows(spark, sf_dir)
+    if not seed_rows:
+        # empty corpus: schema-preserving empty frame (the literal
+        # expression cannot type an empty centroid array)
+        return e.select(
+            "vec_id",
+            F.lit(0).alias("cluster_id"),
+            F.lit(1).alias("is_kept"),
+            F.lit(0).cast("bigint").alias("n_dups"),
+        ).filter(F.lit(False))
+    # r13 (guide §2.4): top-nprobe cells per vector as a per-row
+    # slice(array_sort(...)) over the literal seed centroids — the old
+    # shape crossJoined the corpus with a broadcast k-row seed table
+    # and ran a Window-partitionBy(vec_id) row_number over the n x k
+    # inflated frame (a full exchange + per-group sort) to pick 4 of
+    # 64 scores per vector; see centroid_scores_sql. Same (d2,
+    # cluster_id) ordering, same values.
+    scores = F.expr(
+        centroid_scores_sql([r.v for r in seed_rows], "cluster_id")
+    )
     # persist the top-nprobe frame: it feeds BOTH the hard assignment
-    # and the per-cell kernel, and its upstream is the corpus x k
-    # scoring scan — without the cache that scan runs twice.
+    # and the per-cell kernel — without the cache the corpus scan and
+    # the k-centroid scoring expression run twice.
     ranked = (
-        scored.withColumn("pr", F.row_number().over(wv))
-        .filter(F.col("pr") <= _NPROBE)
+        e.select(
+            "vec_id",
+            "v",
+            F.posexplode(
+                F.slice(F.array_sort(scores), 1, _NPROBE)
+            ).alias("pos", "s"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            (F.col("pos") + 1).alias("pr"),
+            F.col("s.cluster_id").alias("cluster_id"),
+        )
         .persist()
     )
     assigned = ranked.filter(F.col("pr") == 1).select(

@@ -387,27 +387,47 @@ def seed_centroid_rows(e: DataFrame, k: int) -> list:
     )
 
 
-def seed_centroid_table(spark, seed_rows: list, id_name: str) -> DataFrame:
-    """The collected seeds as a broadcast k-row (id, vector) table —
-    ONE distance expression serves all k (vs k inlined literal-array
-    expressions, which blow up the generated code)."""
-    return F.broadcast(
-        spark.createDataFrame(
-            [(j, [float(x) for x in r.v]) for j, r in enumerate(seed_rows)],
-            f"{id_name} int, c array<double>",
+def centroid_scores_sql(
+    cents: list, id_name: str, v_col: str = "v", integer: bool = False
+) -> str:
+    """SQL text for `array<struct<d2, {id_name}>>`: the squared
+    distance from `v_col` to each of the k LITERAL centroids, tagged
+    with the centroid index — the k-way reduction as ONE per-row
+    expression (r13, guide §2.4). The previous shape crossJoined the
+    corpus with a broadcast k-row centroid table and reduced the n x k
+    rows back down with a groupBy(vec_id) min_by (or a
+    Window-partitionBy(vec_id) row_number for top-nprobe): a k-fold
+    row inflation pushed through a full exchange (and a per-group
+    sort) for what is a per-row argmin. Here the nearest centroid is
+    `array_min(expr)` and the nprobe nearest are
+    `slice(array_sort(expr), 1, nprobe)` — struct ordering compares
+    (d2, id) lexicographically, the exact min_by/row_number tie-break
+    — evaluated inside the corpus scan, no inflation, no exchange.
+
+    The distance arithmetic is element-for-element the fold the old
+    broadcast-join expression ran (zip_with diff-square, left-to-right
+    aggregate), so every d2 is bit-identical. Float centroid literals
+    are repr() round-trips with the D suffix — Double.parseDouble of a
+    shortest-round-trip repr returns the same IEEE double, so the
+    inlined seeds equal the collected ones exactly. The whole array
+    parses in ONE F.expr call (the r13 py4j lesson: thousands of
+    chained Column ops cost seconds at plan-build time)."""
+    if integer:
+        rows = ",".join(
+            "array(" + ",".join(f"{int(x)}L" for x in row) + ")"
+            for row in cents
         )
-    )
-
-
-def squared_distance_expr():
-    """Codegen'd sum((v_i - c_i)^2) fold — used for centroid ORDERING
-    only, so cross-engine float-noise on the absolute value is safe
-    (an order flip needs two distances within ~1e-12; exact ties from
-    duplicate vectors break on the centroid id in both engines)."""
-    return F.aggregate(
-        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        zero = "0L"
+    else:
+        rows = ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in row) + ")"
+            for row in cents
+        )
+        zero = "0.0D"
+    return (
+        f"transform(array({rows}), (c, i) -> named_struct("
+        f"'d2', aggregate(zip_with({v_col}, c, (a, b) -> (a - b) * (a - b)), "
+        f"{zero}, (acc, x) -> acc + x), '{id_name}', i))"
     )
 
 
@@ -501,30 +521,34 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degenerate-but-correct quantizer; nprobe shrinks with it.
     k = len(seed_rows)
     nprobe = min(nprobe, k)
+    if not seed_rows:
+        # empty corpus: no seeds, no result — schema-preserving empty
+        # frame (the literal-centroid expression below cannot type an
+        # empty array)
+        return e.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(1).alias("rank"),
+        ).filter(F.lit(False))
 
-    # corpus x k rows is the standard IVF assignment cost; at 10^10
-    # vectors you chunk the crossJoin by centroid block.
-    cent = seed_centroid_table(spark, seed_rows, "list_id")
-    d2 = squared_distance_expr()
-    scored_lists = e.crossJoin(cent).select("vec_id", "v", "list_id", d2.alias("d2"))
-    assigned = scored_lists.groupBy("vec_id").agg(
-        # struct tie-break: min_by on d2 alone is documented
-        # nondeterministic on exact ties (duplicate seed vectors)
-        F.min_by("list_id", F.struct("d2", "list_id")).alias("list_id"),
-        F.first("v").alias("v"),
+    # r13 (guide §2.4): nearest-list assignment and per-query probing
+    # as per-row expressions over the k LITERAL centroids — the old
+    # corpus x k crossJoin + groupBy(vec_id) min_by (and the window
+    # top-nprobe over the same inflated frame) shuffled k rows per
+    # vector to reduce a per-row argmin; see centroid_scores_sql.
+    scores = F.expr(centroid_scores_sql([r.v for r in seed_rows], "list_id"))
+    assigned = e.select(
+        "vec_id", "v", F.array_min(scores)["list_id"].alias("list_id")
     )
-    wq = Window.partitionBy("query_id").orderBy("d2", "list_id")
     probes = (
-        scored_lists.filter(F.col("vec_id") < N_QUERIES)
+        e.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
-            "list_id",
-            "d2",
+            F.explode(F.slice(F.array_sort(scores), 1, nprobe)).alias("s"),
         )
-        .withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= nprobe)
-        .select("query_id", "qv", "list_id")
+        .select("query_id", "qv", F.col("s.list_id").alias("list_id"))
     )
     cand = assigned.join(F.broadcast(probes), "list_id").filter(
         F.col("vec_id") != F.col("query_id")
