@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from log2ck_spark.functions.text import (
     fingerprint,
@@ -247,14 +246,31 @@ def _exact_jaccard_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     # global shingle document-frequency (one partial-agg pass)
     df_tbl = posting.groupBy("shingle").agg(F.count("*").alias("df"))
     # rank each doc's shingles in the global (df, shingle) order and
-    # keep only the prefix
+    # keep only the prefix. r13 (guide §2.4): hash-aggregate each
+    # doc's (df, shingle) structs and take the prefix with a per-row
+    # sort_array + slice instead of a Window-partitionBy(doc_id)
+    # row_number — the window sorted EVERY posting row by (doc_id, df,
+    # shingle) inside its exchange; the agg shuffles the same rows but
+    # replaces the partition-wide sort with one in-memory sort per
+    # doc's ~90-element array (measured ~1.4 -> ~1.2 s on the full
+    # kernel at sf0.1, identical pairs). (df, shingle) is tie-free
+    # within a doc (shingles are distinct), so sort_array reproduces
+    # the row_number order exactly.
     ranked = posting.join(df_tbl, "shingle")
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
+    ).cast("int")
     prefix = (
-        ranked.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "shingle")
+        ranked.groupBy("doc_id")
+        .agg(
+            F.first("n_sh").alias("n_sh"),
+            F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ds"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.slice(F.col("ds"), 1, prefix_len)).alias("s"),
+        )
+        .select("doc_id", F.col("s.shingle").alias("shingle"))
     )
     candidates = _candidate_pairs(prefix, ["shingle"])
     return _verify_jaccard(candidates, docs, threshold)
