@@ -515,9 +515,14 @@ def series_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "user_id", F.dayofmonth("ts").alias("d")
     ).agg(F.count("*").alias("n"))
-    nd = ev.agg(
-        F.countDistinct(F.dayofmonth("ts")).alias("nd")
-    )
+    # r13 (guide §2.4): the span used to COUNT DISTINCT day-of-month
+    # over a second full events scan; every event's day is already a
+    # group key of `daily`, so the same value is a distinct-count over
+    # the (user, day) aggregate — runtime exchange reuse turns the
+    # second corpus pass into a reduce of the existing one (plan: 2
+    # events scans -> 1; countDistinct skips the NULL-day group on
+    # both shapes).
+    nd = daily.agg(F.countDistinct("d").alias("nd"))
     ref = daily.filter(F.col("user_id") == _REF_USER).select(
         "d", F.col("n").alias("rn")
     )

@@ -36,6 +36,7 @@ BNLJ_OK = {
     "series_similarity_search",  # joins the 1-row reference moments/span
     "similarity_ivf",  # broadcast k-centroid table
     "similarity_topk",  # broadcast bounded query set (exact top-k design)
+    "sketch_bloom",  # joins the 1-row 130-word bloom-filter aggregate
     "tpch_q11_important_share",  # scalar threshold subquery (spec)
     "tpch_q22_global_sales_opportunity",  # scalar avg-balance subquery (spec)
     "ttl_expire",  # scalar retention-cutoff aggregate
@@ -64,6 +65,7 @@ SINGLE_PARTITION_OK = {
     "pmi_collocations",  # 1-row unigram/bigram total aggregates
     "retention_flags",  # 1-row reduce of 3 partial-aggregable counts
     "series_similarity_search",  # 1-row reference-moments aggregates
+    "sketch_bloom",  # 1-row reduce of the 130-word bloom filter
     "profile_columns",
     "tpch_q11_important_share",
     "tpch_q14_promo_revenue",
