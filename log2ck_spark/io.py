@@ -11,6 +11,32 @@ from pyspark.sql import functions as F
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRATCH_ROOT = os.path.join(_REPO_ROOT, ".scratch")
 
+# Per-process parquet SCHEMA memo — the poor man's catalog (r13).
+# `spark.read.parquet(path)` re-infers the schema from file footers on
+# EVERY call (~120 ms at sf0.1); with an explicit schema the same call
+# is ~30 ms, and a production table would carry its schema in a
+# catalog/manifest rather than re-reading footers per query (guide §6).
+# This memoizes METADATA only — no row data, no query results — keyed
+# on (path, mtime_ns, size) so any rewrite of the table invalidates
+# it, and it dies with the process: every bench/oracle invocation
+# still reads the footers at least once per table and scans all data
+# for every query.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return spark.read.parquet(path)  # let Spark raise its own error
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -51,7 +77,7 @@ def tbl(
     # the scan itself: predicates on ts then push down to parquet
     # natively instead of hiding behind a post-scan NTZ->LTZ cast.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
     ts_type = dict(df.dtypes).get("ts")
     if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -56,27 +56,55 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-token fraction, most-frequent-token fraction, duplicate-
     bigram fraction.
 
-    Shape: the distinct/bigram fractions are single-scan array math;
-    the top-token fraction needs one explode + two-phase hash agg
-    keyed by (doc_id, token) — the shuffle carries one row per distinct
-    (doc, token), map-side combined, then a per-doc MAX. No windows, no
-    per-row Python; at 10^10 docs this is two partial-agg passes."""
+    Shape (r13, guide §2.4): ZERO shuffles. The top-token count is a
+    per-row expression — the max run length of the SORTED token array,
+    folded with one higher-order `aggregate` — so the old
+    explode + (doc, token) hash agg + per-doc MAX + join-back (two
+    exchanges and a second corpus pass) collapses into the same single
+    projection that already computes the distinct/bigram fractions.
+    O(n log n) per doc instead of a corpus shuffle; at 10^10 docs the
+    query is embarrassingly parallel. The NULL filters reproduce the
+    old inner join exactly: a NULL text exploded to no rows and a NULL
+    doc_id never equi-joined, so both dropped from the output (same in
+    the DuckDB oracle's JOIN USING). Fixture doc_ids are unique
+    (per-row == per-doc); a duplicated doc_id would have merged counts
+    across rows in the old join shape."""
     d = tbl(spark, sf_dir, "documents", fanout=True)
     toks = tokens("text")
-    base = d.select(
+    zero = F.lit(0).cast("bigint")
+    top_cnt = bound(
+        F.array_sort(toks),
+        lambda s: F.aggregate(
+            s,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                zero.alias("run"),
+                zero.alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+                .otherwise(F.lit(1).cast("bigint"))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                        F.lit(1).cast("bigint")
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        ),
+    )
+    return d.filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    ).select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("int").alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.size(shingles("text", w=2)).alias("n_distinct_bigrams"),
-    )
-    freq = (
-        d.select("doc_id", F.explode(toks).alias("t"))
-        .groupBy("doc_id", "t")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_cnt"))
-    )
-    return base.join(freq, "doc_id").select(
+        top_cnt.alias("top_cnt"),
+    ).select(
         "doc_id",
         F.col("n_tokens").cast("int").alias("n_tokens"),
         (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(

@@ -318,13 +318,18 @@ def agg_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single most common log-analytics reduction (current state per
     host/session/device from an append-only event table). Expressed
     as MAX over a (ts, event_id, payload) struct, NOT a row_number
-    window: a window must SORT every key's history inside the
-    exchange, while the struct-max is a partial-aggregable reduction
-    — each mapper keeps one struct per key, the shuffle carries one
-    row per (partition, key), and both engines compare structs
-    lexicographically, so the unique event_id tiebreak makes the
-    result deterministic. At 100 TB this is the difference between a
-    sort-based window over the corpus and a plain two-phase hash agg."""
+    window: a window must shuffle EVERY row and sort every key's full
+    history inside the exchange, while the struct-max is a
+    partial-aggregable reduction — each mapper keeps one struct per
+    key, the shuffle carries one row per (partition, key), and both
+    engines compare structs lexicographically, so the unique event_id
+    tiebreak makes the result deterministic. (Spark executes it as a
+    partial SortAggregate, not a hash agg — struct-typed buffers are
+    not hash-aggregable in 4.x, and neither are max_by or
+    string/binary max, probed r13 — but the map-side sort reduces to
+    one row per key BEFORE the exchange, which is the property that
+    matters at 100 TB; the row_number window ships the entire corpus
+    through the shuffle first.)"""
     ev = tbl(spark, sf_dir, "events")
     latest = F.max(
         F.struct(
