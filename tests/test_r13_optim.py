@@ -114,3 +114,30 @@ def test_repetition_top_cnt_matches_explode_groupby(spark, tmp_path):
     assert got[4]["top_token_frac"] == pytest.approx(1.0)
     assert got[5]["top_token_frac"] == pytest.approx(0.5)
     assert got[8]["top_token_frac"] == pytest.approx(4 / 7)
+
+
+def test_generate_filter_rule_excluded_and_no_duplicated_generator(spark):
+    """The InferFiltersFromGenerate exclusion must be active on every
+    session the queries run on (tbl() applies it to foreign sessions),
+    and the winnow posting plan — the shape that measured 3.8x — must
+    not evaluate the fingerprint pipeline inside any Filter node."""
+    from pyspark.sql import functions as F
+
+    from log2ck_spark.io import tbl  # applies the exclusion
+    from log2ck_spark.queries.textops3 import _winnow_sets
+
+    sf = "/root/testdata/sf0.001"
+    posting = _winnow_sets(spark, sf).select(
+        "doc_id", F.explode("fp").alias("h")
+    )
+    assert "InferFiltersFromGenerate" in spark.conf.get(
+        "spark.sql.optimizer.excludedRules"
+    )
+    plan = posting._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Filter" in line.split("(")[0] or line.strip().startswith(
+            ("+- Filter", ":- Filter")
+        ):
+            assert "md5" not in line, (
+                "winnow fingerprint re-evaluated inside a Filter: " + line[:200]
+            )
