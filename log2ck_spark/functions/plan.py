@@ -62,6 +62,42 @@ def nonpushable(cond: Column) -> Column:
     return (cond.cast("int") + F.rand()) >= F.lit(1.0)
 
 
+def array_compute_once(arr: Column) -> Column:
+    """Value-identical array taint for `explode(expensive_expr)` sites.
+
+    Catalyst's InferFiltersFromGenerate synthesizes `size(e) > 0 AND
+    isnotnull(e)` below every explode(e), and PushDownPredicates then
+    re-inlines e's FULL defining expression into that filter — the
+    optimizer-synthesized cousin of the duplication `nonpushable`
+    guards against, so no filter-side guard can reach it. For the
+    expensive generator arrays this engine explodes (5-gram shingle
+    pipelines, winnowing fingerprints, zip_with bigram structs) the
+    whole per-row pipeline runs up to 3x, and below a fanout
+    repartition the duplicated copy lands in the UNSPLIT single-task
+    scan stage (r13: winnow posting stage 0.88 → 0.23 s min, values
+    hash-identical).
+
+    The taint is a non-deterministic no-op slice — start index
+    `1 + int(rand()*0)` is always 1, length Int.MaxValue returns the
+    whole array, NULL in → NULL out, [] → [] — projected as a column,
+    which (a) stops the inferred filter's pushdown through the
+    projection, so it tests the MATERIALIZED attribute, and (b) cannot
+    be constant-folded (rand()'s subtree is non-deterministic; the
+    bounds-folding that killed `WHEN rand() >= 0` has no literal
+    comparison to fold here).
+
+    Apply ONLY where the generator expression is expensive: a global
+    exclusion of InferFiltersFromGenerate was measured instead and
+    REVERTED — it also suppresses the `isnotnull` scan pushdown the
+    rule derives for cheap token explodes, costing dedup_minhash_lsh /
+    dedup_simhash a consistent 0.1-0.2 s while the taint captures the
+    full win (winnow 1.23 → 0.83 vs 0.88 excluded) with no
+    collateral."""
+    return F.slice(
+        arr, F.lit(1) + (F.rand() * F.lit(0.0)).cast("int"), F.lit(2147483647)
+    )
+
+
 def filter_compute_once(df: DataFrame, cond: Column) -> DataFrame:
     """``df.filter(cond)`` that evaluates the expensive derived columns
     referenced by ``cond`` exactly once.

@@ -73,13 +73,6 @@ def tbl(
     where per-row compute dominates the added narrow shuffle."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Redundant-filter synthesis below explode() re-runs expensive
-    # generator expressions 3x — excluded at the session the queries
-    # actually run on (the driver's session is not ours to build; see
-    # session.EXCLUDED_RULES for the mechanism and measurements).
-    from log2ck_spark.session import exclude_generate_filter_rule
-
-    exclude_generate_filter_rule(spark)
     # Read naive parquet timestamps as TIMESTAMP (not TIMESTAMP_NTZ) at
     # the scan itself: predicates on ts then push down to parquet
     # natively instead of hiding behind a post-scan NTZ->LTZ cast.

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from log2ck_spark.functions.numeric import finite, md5_bucket
+from log2ck_spark.functions.plan import array_compute_once
 from log2ck_spark.functions.text import shingles, tokens
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
@@ -532,9 +533,14 @@ def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches. This is the standard scale recipe: Bloom prefilter →
     exact verify on survivors."""
     d = tbl(spark, sf_dir, "documents")
+    # array_compute_once (r13): the inferred generator filter re-ran
+    # the 5-gram shingle pipeline twice more per row on both explode
+    # branches (full query 1.51 → 1.33 s with the duplication removed).
     evalg = (
         d.filter(F.col("source") == "src0")
-        .select(F.explode(shingles("text", w=5)).alias("gram"))
+        .select(
+            F.explode(array_compute_once(shingles("text", w=5))).alias("gram")
+        )
         .distinct()
     )
     bit_for = lambda gram_col, j: (  # noqa: E731
@@ -591,7 +597,10 @@ def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     traing = (
         d.filter(F.col("source") != "src0")
-        .select("doc_id", F.explode(shingles("text", w=5)).alias("gram"))
+        .select(
+            "doc_id",
+            F.explode(array_compute_once(shingles("text", w=5))).alias("gram"),
+        )
         .distinct()
     )
     probe_one = lambda b: (  # noqa: E731

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from log2ck_spark.functions.numeric import DECIMAL
+from log2ck_spark.functions.plan import array_compute_once
 from log2ck_spark.functions.text import tokens
 from log2ck_spark.io import tbl
 from log2ck_spark.queries import register
@@ -477,8 +478,10 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         shifted,
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    # array_compute_once (r13): the inferred generator filter re-ran
+    # the zip_with bigram construction twice more per row.
     big = (
-        d.select(F.explode(pairs).alias("p"))
+        d.select(F.explode(array_compute_once(pairs)).alias("p"))
         .filter(F.col("p.w2").isNotNull())
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count("*").alias("n"))

@@ -15,35 +15,6 @@ from pyspark.sql import SparkSession
 
 SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".scratch")
 
-# InferFiltersFromGenerate synthesizes `size(e) > 0 AND isnotnull(e)`
-# below every explode(e) and pushdown then re-inlines e's FULL defining
-# expression into that filter — for the expensive generator expressions
-# this engine explodes (5-gram shingle pipelines, winnowing
-# fingerprints, zip_with bigrams) the whole per-row pipeline runs 3x,
-# and below a fanout repartition it runs single-task (r13; measured
-# 1.41 -> 0.47 s on the winnow posting stage alone, values identical).
-# The filter is semantically redundant — Generate itself emits nothing
-# for NULL/empty arrays — so excluding the rule never changes results.
-EXCLUDED_RULES = (
-    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
-)
-
-
-def exclude_generate_filter_rule(spark: SparkSession) -> None:
-    """Append our exclusion to the session's optimizer rule blocklist
-    without clobbering exclusions the host session already carries
-    (the driver's session is not ours to overwrite)."""
-    try:
-        current = spark.conf.get("spark.sql.optimizer.excludedRules")
-    except Exception:
-        current = None
-    if not current:
-        spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_RULES)
-    elif EXCLUDED_RULES not in current:
-        spark.conf.set(
-            "spark.sql.optimizer.excludedRules", current + "," + EXCLUDED_RULES
-        )
-
 
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an existing session (e.g. the
@@ -53,7 +24,6 @@ def tune(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    exclude_generate_filter_rule(spark)
     return spark
 
 
@@ -69,7 +39,6 @@ def get_spark(app_name: str = "log2ck_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.optimizer.excludedRules", EXCLUDED_RULES)
         .config("spark.driver.memory", os.environ.get("LOG2CK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.path.join(SCRATCH, "warehouse"))

@@ -116,28 +116,31 @@ def test_repetition_top_cnt_matches_explode_groupby(spark, tmp_path):
     assert got[8]["top_token_frac"] == pytest.approx(4 / 7)
 
 
-def test_generate_filter_rule_excluded_and_no_duplicated_generator(spark):
-    """The InferFiltersFromGenerate exclusion must be active on every
-    session the queries run on (tbl() applies it to foreign sessions),
-    and the winnow posting plan — the shape that measured 3.8x — must
-    not evaluate the fingerprint pipeline inside any Filter node."""
+def test_array_taint_keeps_generator_out_of_filters(spark):
+    """array_compute_once must stop the optimizer's inferred generator
+    filter from re-inlining the winnow fingerprint pipeline (the shape
+    that measured 3.8x on the posting stage) — no md5 may appear inside
+    any Filter node of the tainted posting plan — while producing
+    value-identical rows to the bare explode."""
     from pyspark.sql import functions as F
 
-    from log2ck_spark.io import tbl  # applies the exclusion
+    from log2ck_spark.functions.plan import array_compute_once
     from log2ck_spark.queries.textops3 import _winnow_sets
 
     sf = "/root/testdata/sf0.001"
-    posting = _winnow_sets(spark, sf).select(
-        "doc_id", F.explode("fp").alias("h")
+    sets = _winnow_sets(spark, sf)
+    tainted = sets.select(
+        "doc_id", F.explode(array_compute_once(F.col("fp"))).alias("h")
     )
-    assert "InferFiltersFromGenerate" in spark.conf.get(
-        "spark.sql.optimizer.excludedRules"
-    )
-    plan = posting._jdf.queryExecution().executedPlan().toString()
+    plain = sets.select("doc_id", F.explode("fp").alias("h"))
+    plan = tainted._jdf.queryExecution().executedPlan().toString()
     for line in plan.splitlines():
-        if "Filter" in line.split("(")[0] or line.strip().startswith(
-            ("+- Filter", ":- Filter")
-        ):
+        stripped = line.strip()
+        if stripped.startswith(("+- Filter", ":- Filter", "Filter")):
             assert "md5" not in line, (
                 "winnow fingerprint re-evaluated inside a Filter: " + line[:200]
             )
+    agg = lambda df: df.groupBy().agg(  # noqa: E731
+        F.count("*"), F.sum(F.hash("doc_id", "h"))
+    ).collect()
+    assert agg(tainted) == agg(plain)
