@@ -196,6 +196,104 @@ def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b")
 
 
+def _min_label_cc(
+    spark: SparkSession, edges: DataFrame, n_edges: int
+) -> tuple[DataFrame, bool, int]:
+    """Min-label propagation over a SYMMETRIC edge list → (labels,
+    converged, rounds). labels = (doc_id, label) for every node that
+    occurs in an edge, label = the component's minimum doc_id.
+
+    r14 restructure (guide §2.4 — remove shuffles outright, measured
+    round-by-round at sf0.1):
+
+    * Round 1 is ONE aggregation straight off the edge list: with every
+      label still its own doc_id, "min over neighbor labels" IS "min
+      over neighbor ids", so label₁(a) = least(a, MIN(doc_b)) — the old
+      shape paid an initial-labels distinct (an exchange) plus a
+      join+agg+join round for the identical result. The groupBy key set
+      is exactly the node set, so the init frame disappears entirely.
+    * Rounds 2+ drop the second join: the old shape joined neighbor
+      minima BACK to labels to compute least(label, nmin) and a
+      `changed` flag. Instead the node's own label rides the SAME
+      join+agg as a self-loop (labels doubling as (a, a) edges joined
+      against themselves), so updated(a) = MIN over {label(a)} ∪
+      {label(b): b ∈ N(a)} is one join + one agg.
+    * Convergence via the label-sum invariant, not a changed-count:
+      labels only ever DECREASE, so any change strictly decreases
+      SUM(label). One DECIMAL(38,0) aggregate (exact — no int64
+      overflow at 10^10 ids × 10^10 nodes, no ANSI crash) per round is
+      the whole check, and it is the action that materializes the
+      round's lazy checkpoint — one job per round, same as before,
+      with one join and one exchange less inside it.
+
+    The propagation joins shuffle a graph that is orders smaller than
+    the corpus, but they inherit the session's shuffle-partition count
+    (sized for corpus-scale aggregations). Size the loop's shuffles to
+    the GRAPH instead — n_edges is already on the driver — and restore
+    the session setting afterwards (the returned plan's consumers
+    execute under the caller's config). ~100k edges/partition: 1
+    partition on the fixture, thousands at 100 TB. The per-round sum
+    aggregates are the only actions that run under the override."""
+    sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(n_edges // 100_000 + 1)
+    )
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    converged = False
+    rounds = 0
+    try:
+        labels = (
+            edges.groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("doc_b").alias("nmin"))
+            .select(
+                "doc_id",
+                F.least(F.col("doc_id"), F.col("nmin")).alias("label"),
+            )
+            # lazy: the sum right below is the materializing action, so
+            # each round runs ONE job (eager checkpoint + a separate
+            # convergence action was 2 jobs/round).
+            .localCheckpoint(eager=False)
+        )
+        if n_edges == 0:
+            # empty graph: the (empty) round-1 frame is already the
+            # fixpoint — don't spend jobs proving it.
+            return labels, True, 1
+        prev_sum = labels.agg(label_sum).first().s
+        rounds = 1
+        for _ in range(15):  # with round 1: the same 16-round diameter cap
+            prop = edges.unionByName(
+                # self-loop rows: carry each node's OWN label through
+                # the same join+agg, replacing the old join-back
+                labels.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                )
+            )
+            # rename the join key instead of referencing labels.doc_id:
+            # labels sits on BOTH sides (inside prop's union and as the
+            # join's right side), and name-based resolution over
+            # disjoint column names sidesteps the self-join attribute
+            # ambiguity that plan-bound references can hit.
+            labels = (
+                prop.join(
+                    labels.withColumnRenamed("doc_id", "nbr"),
+                    F.col("doc_b") == F.col("nbr"),
+                )
+                .groupBy(F.col("doc_a").alias("doc_id"))
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=False)
+            )
+            new_sum = labels.agg(label_sum).first().s
+            rounds += 1
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+    return labels, converged, rounds
+
+
 @register(
     "dedup_clusters",
     oracle="""
@@ -279,56 +377,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round a full-corpus join for nothing. Singletons rejoin as
     # self-labeled clusters in one union at the end.
     docs = tbl(spark, sf_dir, "documents").select("doc_id")
-    # lazy: round 0's convergence count materializes the initial
-    # labels together with the first propagation — one job, not two.
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint(eager=False)
-    )
-
-    converged = False
-    # The propagation joins shuffle a graph that is orders smaller than
-    # the corpus, but they inherit the session's shuffle-partition
-    # count (sized for corpus-scale aggregations). Size the loop's
-    # shuffles to the GRAPH instead — n_edges is already on the driver
-    # — and restore the session setting afterwards (the returned
-    # plan's final union/anti-join executes under the caller's
-    # config). ~100k edges/partition: 1 partition on the fixture,
-    # thousands at 100 TB. The convergence counts inside the loop are
-    # the only actions that run under the override.
-    sess_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(n_edges // 100_000 + 1)
-    )
-    try:
-        for _ in range(16):  # diameter cap; near-dup clusters converge in 2-4
-            neighbor_min = (
-                edges.join(labels, edges.doc_b == labels.doc_id)
-                .groupBy(edges.doc_a.alias("doc_id"))
-                .agg(F.min("label").alias("nmin"))
-            )
-            updated = (
-                labels.join(neighbor_min, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(F.col("label"), F.coalesce("nmin", F.col("label")))
-                    .alias("label"),
-                    (F.col("nmin") < F.col("label")).alias("changed"),
-                )
-                # lazy: the convergence count right below is the
-                # materializing action, so each round runs ONE job, not
-                # two (eager checkpoint + count was 2 jobs/round).
-                .localCheckpoint(eager=False)
-            )
-            n_changed = updated.filter(F.col("changed")).count()
-            labels = updated.select("doc_id", "label")
-            if n_changed == 0:
-                converged = True
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", sess_parts)
+    labels, converged, _rounds = _min_label_cc(spark, edges, n_edges)
     if not converged:
         # Returning labels from a non-converged propagation would emit
         # SPLIT clusters as if they were final — fail loudly instead.
