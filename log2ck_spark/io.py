@@ -37,6 +37,20 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
         return df
     return spark.read.schema(schema).parquet(path)
 
+def table_key(sf_dir: str, name: str) -> tuple | None:
+    """Identity key of one test table for per-process METADATA memos —
+    the same (path, mtime_ns, size) triple the schema memo above keys
+    on, so any rewrite of the table invalidates dependent entries.
+    Returns None when the table cannot be stat'ed (caller must then
+    skip its memo and compute directly)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (path, st.st_mtime_ns, st.st_size)
+
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

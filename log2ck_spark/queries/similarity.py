@@ -28,7 +28,7 @@ from log2ck_spark.functions.vectors import (
     finite_vec,
     plane_signatures,
 )
-from log2ck_spark.io import tbl
+from log2ck_spark.io import table_key, tbl
 from log2ck_spark.queries import register
 
 N_QUERIES = 5
@@ -94,7 +94,18 @@ _LSH_TABLES, _LSH_BITS = 4, 8
 _TESTDATA_DIM = 64  # every /root/testdata embeddings table is 64-dim
 
 
-def _corpus_dim(e: DataFrame) -> int:
+# Per-process memo of the probed embedding WIDTH, keyed on the table's
+# (path, mtime_ns, size) identity — exactly the schema memo's contract
+# (io._SCHEMA_CACHE): the width is a schema-level property parquet
+# cannot express in its footer, it invalidates on any rewrite of the
+# table, and the memo dies with the process, so every bench/oracle
+# invocation still probes each table once. Before r14 every LSH query
+# CONSTRUCTION re-ran the probe — an O(1) but job-launching first()
+# (~0.1 s × 3 bench iterations × 2 queries).
+_DIM_CACHE: dict = {}
+
+
+def _corpus_dim(e: DataFrame, cache_key: tuple | None = None) -> int:
     """Embedding width read from one NON-DEGENERATE corpus row (bounded
     1-row pull; the size() predicate pushes into the same scan, so this
     is still a take(1) that stops at the first qualifying row).
@@ -106,11 +117,19 @@ def _corpus_dim(e: DataFrame) -> int:
     fallback. Falls back to _TESTDATA_DIM only when NO row has a
     non-empty embedding: there the plane dimensionality is irrelevant
     (every signature path drops empty vectors), but the hyperplane
-    constructor still needs a positive dim."""
+    constructor still needs a positive dim.
+
+    `cache_key` (io.table_key of the underlying table) memoizes the
+    probed width per table identity; None always probes."""
+    if cache_key is not None and cache_key in _DIM_CACHE:
+        return _DIM_CACHE[cache_key]
     row = (
         e.filter(F.size("v") > 0).select(F.size("v").alias("d")).first()
     )
-    return row.d if row is not None and row.d and row.d > 0 else _TESTDATA_DIM
+    d = row.d if row is not None and row.d and row.d > 0 else _TESTDATA_DIM
+    if cache_key is not None:
+        _DIM_CACHE[cache_key] = d
+    return d
 
 
 def _lsh_sig_sql(planes: list[list[float]], t: int, bits: int) -> str:
@@ -182,7 +201,7 @@ def similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", as_double("embedding").alias("v")
     )
-    dim = _corpus_dim(e)
+    dim = _corpus_dim(e, table_key(sf_dir, "embeddings"))
     n_tables, bits = _LSH_TABLES, _LSH_BITS
     planes = _hyperplanes(dim, n_tables * bits)
 
@@ -320,7 +339,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", as_double("embedding").alias("v")
     )
-    dim = _corpus_dim(e)
+    dim = _corpus_dim(e, table_key(sf_dir, "embeddings"))
     # Recall-first banding: the 0.4 threshold sits at a wide angle
     # (66°), so per-bit agreement is only ~0.63 — few bits per table,
     # many tables (16×4 ⇒ theoretical recall ≈ 0.94, measured ~0.9 at

@@ -56,3 +56,44 @@ def test_min_label_cc_empty_graph_short_circuits(spark):
     assert converged
     assert labels == {}
     assert rounds == 1
+
+
+def test_corpus_dim_memo_hits_and_invalidates(spark, tmp_path):
+    """The dim memo is METADATA-only and must follow the schema memo's
+    contract: same table identity -> no second probe job; any rewrite
+    of the table (new mtime/size) -> fresh probe, never a stale width."""
+    from log2ck_spark.io import table_key
+    from log2ck_spark.queries import similarity as sim
+
+    p = str(tmp_path)
+    spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [2.0] * 8)], "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(p + "/embeddings.parquet")
+    e = (
+        spark.read.parquet(p + "/embeddings.parquet")
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    )
+    key = table_key(p, "embeddings")
+    assert key is not None
+    sim._DIM_CACHE.pop(key, None)
+    assert sim._corpus_dim(e, key) == 8
+    assert sim._DIM_CACHE[key] == 8
+    # poison the memo entry: a hit must come from the memo, not a probe
+    sim._DIM_CACHE[key] = 99
+    assert sim._corpus_dim(e, key) == 99
+    # keyless probe never touches the memo
+    assert sim._corpus_dim(e, None) == 8
+    # rewrite the table -> new identity key -> fresh probe
+    import time as _time
+
+    _time.sleep(0.05)  # mtime_ns tick
+    spark.createDataFrame(
+        [(0, [1.0] * 16)], "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(p + "/embeddings.parquet")
+    key2 = table_key(p, "embeddings")
+    assert key2 != key
+    e2 = (
+        spark.read.parquet(p + "/embeddings.parquet")
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+    )
+    assert sim._corpus_dim(e2, key2) == 16
