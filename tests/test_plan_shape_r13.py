@@ -68,6 +68,24 @@ def test_verify_jaccard_filter_not_duplicating_intersect(spark, sf_dir):
     assert "rand(" in plan, "filter_compute_once taint was optimized away"
 
 
+def test_ngram_jaccard_filter_not_duplicating_intersect(spark, sf_dir):
+    # Same pin as dedup_minhash_lsh's, for the OTHER _verify_jaccard
+    # consumer (r14, the verdict's remaining-taint-sites item):
+    # dedup_ngram_jaccard — and through _jaccard_edges the
+    # dedup_clusters kernel — must never pay array_intersect twice.
+    from log2ck_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = _optimized(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    offending = [ln for ln in _filter_lines(plan) if "array_intersect" in ln]
+    assert not offending, (
+        "jaccard threshold filter was pushed below the verify "
+        "projection; array_intersect will run twice per candidate:\n"
+        f"{offending[0][:400]}"
+    )
+    assert "rand(" in plan, "filter_compute_once taint was optimized away"
+
+
 def test_dedup_embedding_cosine_not_duplicated(spark, sf_dir):
     from log2ck_spark.queries import QUERIES, load_all
 
