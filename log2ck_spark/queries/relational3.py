@@ -682,49 +682,46 @@ def tpch_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (lateness → returnflag: the fixture has no
     receipt/commit dates): on finished multi-supplier orders, find the
-    supplier who was the ONLY one with a returned line. The EXISTS /
-    NOT EXISTS chain compiles to a semi then anti join against the
-    distinct (orderkey, suppkey) pair set — both carry two longs per
-    row, and both shuffles share the l_orderkey key with the main join,
-    so AQE can reuse the exchange. Top-10 via TakeOrderedAndProject
-    with an s_name tie-break for a deterministic result set."""
-    pairs = (
+    supplier who was the ONLY one with a returned line.
+
+    r14 (guide §2.4): the EXISTS / NOT EXISTS chain used to compile to
+    a semi + anti join against two distinct pair sets — THREE lineitem
+    scans per run (l1, pairs, r_pairs; the executed plan showed no
+    exchange reuse). One (orderkey, suppkey) aggregation replaces all
+    three: per pair, r_lines counts that supplier's returned lines in
+    the order; per order, a partition-only window gives the distinct-
+    supplier count (ns = rows of the pair agg) and the returned-
+    supplier count (nrs). A pair qualifies exactly when the original
+    l1 row did — it has returned lines (r_lines > 0 ⟺ l1 exists with
+    flag R), another supplier exists (ns > 1 ⟺ EXISTS l2), and no
+    OTHER supplier returned (nrs == 1 ⟺ NOT EXISTS l3, since the pair
+    itself is one of the nrs) — and contributes its r_lines rows to
+    numwait, which is what COUNT(*) over qualifying l1 rows summed.
+    Lineitem scans 3 → 1; the orders filter join is unchanged. Top-10
+    via TakeOrderedAndProject with an s_name tie-break for a
+    deterministic result set."""
+    per_pair = (
         tbl(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("p_orderkey"),
-            F.col("l_suppkey").alias("p_suppkey"),
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.count(F.when(F.col("l_returnflag") == "R", True)).alias("r_lines")
         )
-        .distinct()
     )
-    r_pairs = (
-        tbl(spark, sf_dir, "lineitem")
-        .filter(F.col("l_returnflag") == "R")
-        .select(
-            F.col("l_orderkey").alias("r_orderkey"),
-            F.col("l_suppkey").alias("r_suppkey"),
+    wo = Window.partitionBy("l_orderkey")
+    qual = (
+        per_pair.withColumn("ns", F.count("*").over(wo))
+        .withColumn("nrs", F.sum((F.col("r_lines") > 0).cast("int")).over(wo))
+        .filter(
+            (F.col("r_lines") > 0) & (F.col("ns") > 1) & (F.col("nrs") == 1)
         )
-        .distinct()
     )
-    l1 = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = tbl(spark, sf_dir, "supplier")
     return (
-        l1.join(o, l1.l_orderkey == o.o_orderkey)
-        .join(
-            pairs,
-            (F.col("l_orderkey") == F.col("p_orderkey"))
-            & (F.col("l_suppkey") != F.col("p_suppkey")),
-            "left_semi",
-        )
-        .join(
-            r_pairs,
-            (F.col("l_orderkey") == F.col("r_orderkey"))
-            & (F.col("l_suppkey") != F.col("r_suppkey")),
-            "left_anti",
-        )
+        qual.join(o, qual.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("r_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
@@ -903,7 +900,18 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key, extremum). Both sides of the equality come from the same
     decimal-exact expression, so the double comparison is safe. The
     min table is one row per qualifying part — broadcastable; dims
-    broadcast."""
+    broadcast.
+
+    r14 (guide §2.4): the min used to be a separate aggregate joined
+    back onto target — Catalyst planned the WHOLE lineitem agg + part
+    join subtree twice (no exchange reuse fired; the executed plan
+    held 2 lineitem scans), so the fact table was scanned and
+    aggregated twice. A partition-only window min over target (one
+    row per (part, supplier) — aggregate-sized, NOT the fact table)
+    computes the identical extremum in the same pass: lineitem scans
+    2 → 1, the duplicated agg subtree gone, one narrow exchange by
+    l_partkey added. Values identical (same min over the same group,
+    same double equality)."""
     ps = (
         tbl(spark, sf_dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
@@ -920,17 +928,13 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = ps.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).select(
         "l_partkey", "l_suppkey", "cost"
     )
-    mins = target.groupBy(F.col("l_partkey").alias("mk")).agg(
-        F.min("cost").alias("min_cost")
-    )
     s = tbl(spark, sf_dir, "supplier")
     n = tbl(spark, sf_dir, "nation")
     return (
-        target.join(
-            F.broadcast(mins),
-            (F.col("l_partkey") == F.col("mk"))
-            & (F.col("cost") == F.col("min_cost")),
+        target.withColumn(
+            "min_cost", F.min("cost").over(Window.partitionBy("l_partkey"))
         )
+        .filter(F.col("cost") == F.col("min_cost"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -990,12 +994,18 @@ def tpch_q20_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").try_cast(DECIMAL)).cast("double").alias("qty"))
     )
-    tot = sq.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(F.col("qty").try_cast(DECIMAL)).cast("double").alias("total"),
-        F.count("*").alias("nsupp"),
-    )
+    # r14 (guide §2.4): tot used to be a separate per-part aggregate
+    # joined back onto sq — the whole lineitem-join-agg subtree planned
+    # twice (2 fact-table scans, no exchange reuse fired). The same
+    # per-part total/nsupp as a partition-only window over sq (one row
+    # per (part, supplier) — aggregate-sized) keeps it one scan; the
+    # decimal-sum expression is unchanged so `total` is bit-identical.
+    wp = Window.partitionBy("l_partkey")
     dominant = (
-        sq.join(F.broadcast(tot), F.col("l_partkey") == F.col("pk"))
+        sq.withColumn(
+            "total", F.sum(F.col("qty").try_cast(DECIMAL)).over(wp).cast("double")
+        )
+        .withColumn("nsupp", F.count("*").over(wp))
         .filter(F.col("qty") > 2.0 * F.col("total") / F.col("nsupp"))
         .select("l_suppkey")
         .distinct()
